@@ -1,0 +1,139 @@
+"""Spark schemas for the frontier engine.
+
+Flat DataFrame re-expression of the reference's object tree (SURVEY.md §1.5):
+``SitemapPage`` (usp/objects/page.py:323-477) becomes PAGE_STRUCT;
+``AbstractSitemap`` nodes (usp/objects/sitemap.py) become NODE rows keyed by a
+sortable lineage path so the reference's depth-first ``all_pages()`` /
+``all_sitemaps()`` ordering (sitemap.py:396-413) is recoverable with a plain
+ORDER BY (SURVEY.md §3.4).
+
+Timestamps are stored as UTC instants (sessions must run with
+``spark.sql.session.timeZone=UTC``); the source UTC offset is carried in a
+sibling ``*_offset_seconds`` column so the reference's offset-preserving
+datetimes round-trip exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+# --- page record (reference SitemapPage) -------------------------------------
+
+NEWS_STORY_STRUCT = T.StructType(
+    [
+        T.StructField("title", T.StringType()),
+        T.StructField("publish_date", T.TimestampType()),
+        T.StructField("publish_date_offset_seconds", T.IntegerType()),
+        T.StructField("publication_name", T.StringType()),
+        T.StructField("publication_language", T.StringType()),
+        T.StructField("access", T.StringType()),
+        T.StructField("genres", T.ArrayType(T.StringType())),
+        T.StructField("keywords", T.ArrayType(T.StringType())),
+        T.StructField("stock_tickers", T.ArrayType(T.StringType())),
+    ]
+)
+
+IMAGE_STRUCT = T.StructType(
+    [
+        T.StructField("loc", T.StringType()),
+        T.StructField("caption", T.StringType()),
+        T.StructField("geo_location", T.StringType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("license", T.StringType()),
+    ]
+)
+
+ALTERNATE_STRUCT = T.StructType(
+    [
+        T.StructField("hreflang", T.StringType()),
+        T.StructField("href", T.StringType()),
+    ]
+)
+
+PAGE_STRUCT = T.StructType(
+    [
+        T.StructField("url", T.StringType(), nullable=False),
+        T.StructField("priority", T.DecimalType(3, 2)),
+        T.StructField("last_modified", T.TimestampType()),
+        T.StructField("last_modified_offset_seconds", T.IntegerType()),
+        T.StructField("change_frequency", T.StringType()),
+        T.StructField("news_story", NEWS_STORY_STRUCT),
+        T.StructField("images", T.ArrayType(IMAGE_STRUCT)),
+        T.StructField("alternates", T.ArrayType(ALTERNATE_STRUCT)),
+    ]
+)
+
+# --- frontier work rows (pending fetches) -------------------------------------
+
+PENDING_SCHEMA = T.StructType(
+    [
+        T.StructField("seed", T.StringType(), nullable=False),
+        T.StructField("url", T.StringType(), nullable=False),
+        T.StructField("parent_url", T.StringType()),
+        T.StructField("seq", T.IntegerType(), nullable=False),
+        T.StructField("level", T.IntegerType(), nullable=False),
+        T.StructField("lineage", T.ArrayType(T.IntegerType()), nullable=False),
+        T.StructField("path_key", T.StringType(), nullable=False),
+        T.StructField("parent_urls", T.ArrayType(T.StringType()), nullable=False),
+        T.StructField("quiet_404", T.BooleanType(), nullable=False),
+        T.StructField("blocked_reason", T.StringType()),
+    ]
+)
+
+# --- unified parse-stage output (one mapInPandas pass per wave) ----------------
+
+PARSE_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("rec", T.StringType(), nullable=False),  # node | page | child
+        T.StructField("seed", T.StringType(), nullable=False),
+        T.StructField("url", T.StringType()),  # node: final URL; page/child: owner
+        T.StructField("requested_url", T.StringType()),
+        T.StructField("parent_url", T.StringType()),
+        T.StructField("seq", T.IntegerType()),
+        T.StructField("level", T.IntegerType()),
+        T.StructField("lineage", T.ArrayType(T.IntegerType())),
+        T.StructField("path_key", T.StringType()),
+        T.StructField("parent_urls", T.ArrayType(T.StringType())),
+        T.StructField("kind", T.StringType()),
+        T.StructField("reason", T.StringType()),
+        T.StructField("quiet_404", T.BooleanType()),
+        T.StructField("child_url", T.StringType()),
+        T.StructField("blocked_reason", T.StringType()),
+        T.StructField("page", PAGE_STRUCT),
+    ]
+)
+
+# --- synthetic fetch store (requests_mock replacement; FIXTURES.md §1) ---------
+
+FETCHES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), nullable=False),
+        T.StructField("final_url", T.StringType()),  # post-redirect; null → url
+        T.StructField("status", T.IntegerType(), nullable=False),
+        T.StructField("content_type", T.StringType()),
+        T.StructField("body", T.BinaryType()),
+    ]
+)
+
+# --- pages corpus (BASELINE.json input_hint) -----------------------------------
+
+PAGES_CORPUS_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), nullable=False),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ]
+)
+
+
+def path_segment(seq: int) -> str:
+    """One zero-padded lineage segment; lexicographic order == numeric order."""
+    return f"{seq:07d}"
+
+
+def extend_path_key(parent_key: str, seq: int) -> str:
+    """Child sort key under ``parent_key`` (depth <= 12, so keys stay tiny)."""
+    seg = path_segment(seq)
+    return f"{parent_key}.{seg}" if parent_key else seg

@@ -1,0 +1,332 @@
+"""Deterministic synthetic fetch stores (no network, seed-stable).
+
+Two families:
+
+1. :func:`reference_site_rows` — the reference test-suite's canonical
+   mini-site (tests/tree/base.py:41-255) re-materialized as fetch-store rows,
+   so golden-tree tests run against DataFrames instead of ``requests_mock``.
+2. :func:`synth_crawl_corpus` — a scalable multi-host Common-Crawl-style
+   sitemap corpus (robots → index → leaf urlsets) generated distributed via
+   ``mapInPandas`` for benchmarks and the two-parallelism scaling run.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import gzip as _gzip
+from email.utils import format_datetime
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from .schemas import FETCHES_SCHEMA
+
+TEST_BASE_URL = "http://test_ultimate-sitemap-parser.com"
+TEST_DATE = _dt.datetime(
+    2009, 12, 17, 12, 4, 56, tzinfo=_dt.timezone(_dt.timedelta(hours=2))
+)
+TEST_DATE_ISO = TEST_DATE.isoformat()
+TEST_DATE_RFC2822 = format_datetime(TEST_DATE)
+TEST_PUBLICATION_NAME = "Test publication"
+TEST_PUBLICATION_LANGUAGE = "en"
+
+
+def _row(
+    url: str,
+    body: str | bytes,
+    content_type: str | None = None,
+    status: int = 200,
+    final_url: str | None = None,
+) -> dict:
+    return {
+        "url": url,
+        "final_url": final_url or url,
+        "status": status,
+        "content_type": content_type,
+        "body": body if isinstance(body, bytes) else body.encode("utf-8"),
+    }
+
+
+def gzipped(text: str) -> bytes:
+    return _gzip.compress(text.encode("utf-8"), mtime=0)
+
+
+def _urlset_news(urls_titles: list[tuple[str, str]]) -> str:
+    entries = "\n".join(
+        f"""  <url>
+    <loc>{u}</loc>
+    <news:news>
+      <news:publication>
+        <news:name>{TEST_PUBLICATION_NAME}</news:name>
+        <news:language>{TEST_PUBLICATION_LANGUAGE}</news:language>
+      </news:publication>
+      <news:publication_date>{TEST_DATE_ISO}</news:publication_date>
+      <news:title>{t}</news:title>
+    </news:news>
+  </url>"""
+        for u, t in urls_titles
+    )
+    return (
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"\n'
+        '        xmlns:news="http://www.google.com/schemas/sitemap-news/0.9"\n'
+        '        xmlns:xhtml="http://www.w3.org/1999/xhtml">\n'
+        f"{entries}\n</urlset>"
+    )
+
+
+def reference_site_rows(base: str = TEST_BASE_URL) -> list[dict]:
+    """The canonical golden mini-site (tests/tree/base.py:41-255): robots.txt
+    with both directive spellings, a static-pages urlset exercising invalid
+    changefreq/priority coercion, a two-level news index chain with a 404
+    child, a cross-sitemap duplicate story, CDATA/UTF-8/entity cases."""
+    robots = (
+        "User-agent: *\n"
+        "Disallow: /whatever\n"
+        "\n"
+        f"Sitemap: {base}/sitemap_pages.xml\n"
+        "\n"
+        '# Intentionally spelled as "Site-map" as Google tolerates this:\n'
+        f"Site-map: {base}/sitemap_news_index_1.xml"
+    )
+    sitemap_pages = f"""<?xml version="1.0" encoding="UTF-8"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+    <url>
+        <loc>{base}/about.html</loc>
+        <lastmod>{TEST_DATE_ISO}</lastmod>
+        <changefreq>monthly</changefreq>
+        <priority>0.8</priority>
+    </url>
+    <url>
+        <loc>{base}/contact.html</loc>
+        <lastmod>{TEST_DATE_ISO}</lastmod>
+
+        <!-- Invalid change frequency -->
+        <changefreq>when we feel like it</changefreq>
+
+        <!-- Invalid priority -->
+        <priority>1.1</priority>
+
+    </url>
+</urlset>"""
+    news_index_1 = f"""<?xml version="1.0" encoding="UTF-8"?>
+<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+    <sitemap>
+        <loc>{base}/sitemap_news_1.xml</loc>
+        <lastmod>{TEST_DATE_ISO}</lastmod>
+    </sitemap>
+    <sitemap>
+        <loc>{base}/sitemap_news_index_2.xml</loc>
+        <lastmod>{TEST_DATE_ISO}</lastmod>
+    </sitemap>
+</sitemapindex>"""
+    news_1 = f"""<?xml version="1.0" encoding="UTF-8"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"
+        xmlns:news="http://www.google.com/schemas/sitemap-news/0.9"
+        xmlns:xhtml="http://www.w3.org/1999/xhtml">
+
+    <url>
+        <loc>{base}/news/foo.html</loc>
+
+        <!-- Element present but empty -->
+        <lastmod />
+
+        <!-- Some other XML namespace -->
+        <xhtml:link rel="alternate"
+                    media="only screen and (max-width: 640px)"
+                    href="{base}/news/foo.html?mobile=1" />
+
+        <news:news>
+            <news:publication>
+                <news:name>{TEST_PUBLICATION_NAME}</news:name>
+                <news:language>{TEST_PUBLICATION_LANGUAGE}</news:language>
+            </news:publication>
+            <news:publication_date>{TEST_DATE_ISO}</news:publication_date>
+            <news:title>Foo &lt;foo&gt;</news:title>    <!-- HTML entity decoding -->
+        </news:news>
+    </url>
+
+    <!-- Has a duplicate story in /sitemap_news_2.xml -->
+    <url>
+        <loc>{base}/news/bar.html</loc>
+        <xhtml:link rel="alternate"
+                    media="only screen and (max-width: 640px)"
+                    href="{base}/news/bar.html?mobile=1" />
+        <news:news>
+            <news:publication>
+                <news:name>{TEST_PUBLICATION_NAME}</news:name>
+                <news:language>{TEST_PUBLICATION_LANGUAGE}</news:language>
+            </news:publication>
+            <news:publication_date>{TEST_DATE_ISO}</news:publication_date>
+            <news:title>Bar &amp; bar</news:title>
+        </news:news>
+    </url>
+
+</urlset>"""
+    news_index_2 = f"""<?xml version="1.0" encoding="UTF-8"?>
+<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+
+    <sitemap>
+        <!-- Extra whitespace added around URL -->
+        <loc>  {base}/sitemap_news_2.xml  </loc>
+        <lastmod>{TEST_DATE_ISO}</lastmod>
+    </sitemap>
+
+    <!-- Nonexistent sitemap -->
+    <sitemap>
+        <loc>{base}/sitemap_news_missing.xml</loc>
+        <lastmod>{TEST_DATE_ISO}</lastmod>
+    </sitemap>
+
+</sitemapindex>"""
+    news_2 = f"""<?xml version="1.0" encoding="UTF-8"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"
+        xmlns:news="http://www.google.com/schemas/sitemap-news/0.9"
+        xmlns:xhtml="http://www.w3.org/1999/xhtml">
+
+    <!-- Has a duplicate story in /sitemap_news_1.xml -->
+    <url>
+        <!-- Extra whitespace added around URL -->
+        <loc>  {base}/news/bar.html  </loc>
+        <xhtml:link rel="alternate"
+                    media="only screen and (max-width: 640px)"
+                    href="{base}/news/bar.html?mobile=1#fragment_is_to_be_removed" />
+        <news:news>
+            <news:publication>
+                <news:name>{TEST_PUBLICATION_NAME}</news:name>
+                <news:language>{TEST_PUBLICATION_LANGUAGE}</news:language>
+            </news:publication>
+            <news:publication_date>{TEST_DATE_ISO}</news:publication_date>
+
+            <tag_without_inner_character_data name="value" />
+
+            <news:title>Bar &amp; bar</news:title>
+        </news:news>
+    </url>
+
+    <url>
+        <loc>{base}/news/baz.html</loc>
+        <xhtml:link rel="alternate"
+                    media="only screen and (max-width: 640px)"
+                    href="{base}/news/baz.html?mobile=1" />
+        <news:news>
+            <news:publication>
+                <news:name>{TEST_PUBLICATION_NAME}</news:name>
+                <news:language>{TEST_PUBLICATION_LANGUAGE}</news:language>
+            </news:publication>
+            <news:publication_date>{TEST_DATE_ISO}</news:publication_date>
+            <news:title><![CDATA[Bąž]]></news:title>    <!-- CDATA and UTF-8 -->
+        </news:news>
+    </url>
+
+</urlset>"""
+    return [
+        _row(f"{base}/", "This is a homepage."),
+        _row(f"{base}/robots.txt", robots, content_type="text/plain"),
+        _row(f"{base}/sitemap_pages.xml", sitemap_pages, content_type="application/xml"),
+        _row(f"{base}/sitemap_news_index_1.xml", news_index_1, content_type="application/xml"),
+        _row(f"{base}/sitemap_news_1.xml", news_1, content_type="application/xml"),
+        _row(f"{base}/sitemap_news_index_2.xml", news_index_2, content_type="application/xml"),
+        _row(f"{base}/sitemap_news_2.xml", news_2, content_type="application/xml"),
+        _row(
+            f"{base}/sitemap_news_missing.xml",
+            "<h1>404 Not Found!</h1>",
+            content_type="text/html",
+            status=404,
+        ),
+    ]
+
+
+def fetches_from_rows(spark: SparkSession, rows: list[dict]) -> DataFrame:
+    return spark.createDataFrame(
+        [
+            (r["url"], r["final_url"], r["status"], r["content_type"], r["body"])
+            for r in rows
+        ],
+        FETCHES_SCHEMA,
+    )
+
+
+def reference_site_fetches(spark: SparkSession) -> DataFrame:
+    return fetches_from_rows(spark, reference_site_rows())
+
+
+# --- scalable corpus (bench / scaling-efficiency evidence) ---------------------
+
+_FREQS = ["always", "hourly", "daily", "weekly", "monthly", "yearly", "never"]
+
+
+def _leaf_body(host: str, leaf: int, pages_per_leaf: int) -> str:
+    parts = [
+        '<?xml version="1.0" encoding="UTF-8"?>',
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">',
+    ]
+    for i in range(pages_per_leaf):
+        key = (leaf * 7919 + i * 104729) % 100000
+        day = 1 + key % 28
+        parts.append(
+            f"<url><loc>http://{host}/p{leaf}_{i}.html</loc>"
+            f"<lastmod>2025-{1 + key % 12:02d}-{day:02d}T{key % 24:02d}:00:00+00:00</lastmod>"
+            f"<changefreq>{_FREQS[key % 7]}</changefreq>"
+            f"<priority>0.{key % 10}</priority></url>"
+        )
+    parts.append("</urlset>")
+    return "\n".join(parts)
+
+
+def synth_crawl_corpus(
+    spark: SparkSession,
+    n_hosts: int,
+    leaves_per_host: int = 4,
+    pages_per_leaf: int = 100,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic multi-host fetch store: per host one robots.txt, one
+    sitemap index, ``leaves_per_host`` leaf urlsets of ``pages_per_leaf``
+    pages. Generated distributed (one task per host slice) so corpus size
+    scales without driver memory involvement."""
+
+    n_parts = partitions or spark.sparkContext.defaultParallelism
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for host_id in batch["id"]:
+                host = f"host{int(host_id)}.example.com"
+                base = f"http://{host}"
+                index_entries = "".join(
+                    f"<sitemap><loc>{base}/leaf_{j}.xml</loc></sitemap>"
+                    for j in range(leaves_per_host)
+                )
+                rows.append(
+                    _row(
+                        f"{base}/robots.txt",
+                        f"User-agent: *\nSitemap: {base}/sitemap_index.xml\n",
+                        content_type="text/plain",
+                    )
+                )
+                rows.append(
+                    _row(
+                        f"{base}/sitemap_index.xml",
+                        '<?xml version="1.0" encoding="UTF-8"?>'
+                        '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+                        f"{index_entries}</sitemapindex>",
+                        content_type="application/xml",
+                    )
+                )
+                for j in range(leaves_per_host):
+                    rows.append(
+                        _row(
+                            f"{base}/leaf_{j}.xml",
+                            _leaf_body(host, j, pages_per_leaf),
+                            content_type="application/xml",
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["url", "final_url", "status", "content_type", "body"]
+            )
+
+    return spark.range(0, n_hosts, numPartitions=n_parts).mapInPandas(
+        build, FETCHES_SCHEMA
+    )

@@ -1,0 +1,396 @@
+"""The wave engine: the reference's recursive DFS fetch loop re-expressed as
+breadth-first DataFrame waves over a frontier table.
+
+Reference lifecycle (usp/tree.py:42-130 + usp/fetch_parse.py): a Python call
+stack fetches one sitemap at a time, depth-first. Here each *wave* fetches and
+parses every pending sitemap of one recursion level in parallel:
+
+    pending --(semi-join filter)--> fetch store scan --(broadcast join)-->
+    mapInPandas parse kernel --> node/page/child rows --> next wave's pending
+
+Depth-first output ordering is recovered by sorting on a zero-padded lineage
+``path_key`` (SURVEY.md §3.4), so results are byte-identical to the
+single-threaded reference while execution is fully parallel.
+
+Scale notes (100 TB fetch store, 10^10-URL frontier):
+
+- The fetch store is only ever scanned with a broadcast semi-join on the
+  current wave's URLs → no shuffle of the big table, column pruning keeps
+  ``body`` reads limited to matched rows' row groups.
+- Each wave is snapshotted to parquet (``checkpoint_dir``) → plan lineage is
+  truncated, the job is resumable from any completed wave, and per-wave
+  metrics are inspectable.
+- Waves are bounded: depth limit 11 (fetch_parse.py:69) → at most 13 jobs.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Callable, Iterable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.storagelevel import StorageLevel
+
+from . import parse as K
+from .schemas import (
+    PARSE_OUT_SCHEMA,
+    PENDING_SCHEMA,
+    extend_path_key,
+    path_segment,
+)
+from .textnorm import is_http_url, strip_url_to_homepage
+from .udfs import parse_wave
+
+#: Well-known sitemap locations probed besides robots.txt
+#: (usp/tree.py:23-38 ``_UNPUBLISHED_SITEMAP_PATHS``).
+KNOWN_SITEMAP_PATHS = frozenset(
+    {
+        "sitemap.xml",
+        "sitemap.xml.gz",
+        "sitemap_index.xml",
+        "sitemap-index.xml",
+        "sitemap_index.xml.gz",
+        "sitemap-index.xml.gz",
+        ".sitemap.xml",
+        "sitemap",
+        "admin/config/search/xmlsitemap",
+        "sitemap/sitemap-index.xml",
+        "sitemap_news.xml",
+        "sitemap-news.xml",
+        "sitemap_news.xml.gz",
+        "sitemap-news.xml.gz",
+    }
+)
+
+RecurseFilter = Callable[[DataFrame], DataFrame]
+
+_NODE_COLS = [
+    "seed",
+    "url",
+    "requested_url",
+    "parent_url",
+    "seq",
+    "level",
+    "lineage",
+    "path_key",
+    "kind",
+    "reason",
+]
+
+
+@dataclass
+class SitemapForest:
+    """Flat-table result of a crawl: the reference's object tree as DataFrames.
+
+    ``nodes``: one row per sitemap node (website roots, robots, indexes,
+    page leaves, invalids) with sortable ``path_key`` + ``depth``.
+    ``pages``: one row per extracted page record with owning-sitemap lineage.
+    """
+
+    nodes: DataFrame
+    pages: DataFrame
+
+    def all_sitemaps(self) -> DataFrame:
+        """Pre-order traversal (usp sitemap.py:405-413), roots excluded per
+        seed ordering; equals reference ``all_sitemaps()`` flattened."""
+        return self.nodes.orderBy("seed", "path_key")
+
+    def all_pages(self) -> DataFrame:
+        """DFS page stream (usp sitemap.py:113-119, 396-403): declaration
+        order within a sitemap, depth-first across sitemaps, cross-sitemap
+        duplicates retained."""
+        return self.pages.orderBy("seed", "path_key", "seq")
+
+
+def _empty_pending(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([], PENDING_SCHEMA)
+
+
+def prepare_fetches(fetches: DataFrame) -> DataFrame:
+    """Normalize a fetch store: unique url, final_url defaulted.
+
+    The synthetic store plays the role of the live HTTP boundary
+    (requests client, usp/web_client/requests_client.py:140-176); redirects
+    arrive pre-resolved in ``final_url``.
+    """
+    cols = dict.fromkeys(fetches.columns)
+    out = fetches
+    if "final_url" not in cols:
+        out = out.withColumn("final_url", F.col("url"))
+    else:
+        out = out.withColumn("final_url", F.coalesce("final_url", "url"))
+    if "content_type" not in cols:
+        out = out.withColumn("content_type", F.lit(None).cast("string"))
+    if "body" not in cols:
+        out = out.withColumn("body", F.lit(None).cast("binary"))
+    return out.select("url", "final_url", "status", "content_type", "body").dropDuplicates(["url"])
+
+
+class _WaveRunner:
+    """Runs the bounded wave loop for one phase, accumulating parse output."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        fetches: DataFrame,
+        recurse_filter: RecurseFilter | None,
+        checkpoint_dir: str | None,
+        phase: str,
+    ) -> None:
+        self.spark = spark
+        self.fetches = fetches
+        self.recurse_filter = recurse_filter
+        self.checkpoint_dir = checkpoint_dir
+        self.phase = phase
+        self.wave_outputs: list[DataFrame] = []
+
+    def _snapshot(self, df: DataFrame, wave: int) -> DataFrame:
+        """Materialize one wave's parse output, truncating plan lineage.
+
+        With a checkpoint dir this is a resumable parquet snapshot
+        (north rule: per-wave Iceberg/parquet snapshots); without one we
+        persist + localCheckpoint.
+        """
+        if self.checkpoint_dir:
+            path = os.path.join(self.checkpoint_dir, f"phase={self.phase}", f"wave={wave}")
+            df.write.mode("overwrite").parquet(path)
+            return self.spark.read.schema(PARSE_OUT_SCHEMA).parquet(path)
+        return df.persist(StorageLevel.MEMORY_AND_DISK).localCheckpoint(eager=True)
+
+    def run(self, pending: DataFrame) -> None:
+        wave = 0
+        while True:
+            joined = self._fetch_join(pending)
+            parsed = self._snapshot(
+                joined.mapInPandas(parse_wave, PARSE_OUT_SCHEMA), wave
+            )
+            self.wave_outputs.append(parsed)
+
+            children = parsed.filter(F.col("rec") == "child")
+            if self.recurse_filter is not None:
+                # R5 recursion hooks (fetch_parse.py:345-363, 730-749):
+                # a DataFrame-level filter applied between parse and expansion
+                children = self.recurse_filter(children)
+
+            pending = children.select(
+                F.col("seed"),
+                F.col("child_url").alias("url"),
+                F.col("url").alias("parent_url"),
+                "seq",
+                "level",
+                "lineage",
+                "path_key",
+                "parent_urls",
+                F.lit(False).alias("quiet_404"),
+                "blocked_reason",
+            )
+            if pending.isEmpty():
+                break
+            wave += 1
+            if wave > K.MAX_RECURSION_LEVEL + 1:  # safety net; R1 blocks first
+                break
+
+    def _fetch_join(self, pending: DataFrame) -> DataFrame:
+        """(pending ⟕ fetch store) without shuffling the big table.
+
+        The wave's URL set is broadcast into a semi-join against the store
+        (the only scan of the 100 TB side), then the small matched slice is
+        broadcast back onto pending. Unmatched pending rows keep null fetch
+        columns → 404 semantics downstream.
+        """
+        fetchable = pending.filter(F.col("blocked_reason").isNull())
+        wave_urls = fetchable.select("url").distinct()
+        matched = self.fetches.join(F.broadcast(wave_urls), "url", "semi")
+        return pending.join(F.broadcast(matched), "url", "left")
+
+
+def _seed_frame(
+    spark: SparkSession,
+    homepages: Sequence[str],
+    normalize_homepage_url: bool,
+) -> DataFrame:
+    """Validate + normalize seeds (usp/tree.py:70-85): D1 guard, optional D2
+    homepage strip, trailing slash."""
+    seeds: list[str] = []
+    for homepage in homepages:
+        if not is_http_url(homepage):
+            raise ValueError(f"URL {homepage} is not a HTTP(s) URL.")
+        if normalize_homepage_url:
+            homepage = strip_url_to_homepage(homepage)
+        if not homepage.endswith("/"):
+            homepage += "/"
+        if homepage not in seeds:
+            seeds.append(homepage)
+    return spark.createDataFrame([(s,) for s in seeds], "seed string")
+
+
+def sitemap_tree_for_homepages(
+    spark: SparkSession,
+    homepages: Sequence[str],
+    fetches: DataFrame,
+    *,
+    use_robots: bool = True,
+    use_known_paths: bool = True,
+    extra_known_paths: Iterable[str] = (),
+    normalize_homepage_url: bool = True,
+    recurse_filter: RecurseFilter | None = None,
+    checkpoint_dir: str | None = None,
+) -> SitemapForest:
+    """Flagship entry: the reference ``sitemap_tree_for_homepage``
+    (usp/tree.py:42-130) generalized to many seeds in one distributed run.
+
+    Discovery = robots.txt probe (D3) + well-known paths (D4, anti-joined
+    against robots-discovered URLs, usp/tree.py:112); recursion = wave loop.
+
+    Deviation (documented): the reference iterates known paths in Python
+    ``set`` order (nondeterministic); we order them lexicographically so
+    output is deterministic under parallelism.
+    """
+    fetches = prepare_fetches(fetches)
+    seeds = _seed_frame(spark, homepages, normalize_homepage_url)
+
+    runner_a = _WaveRunner(spark, fetches, recurse_filter, checkpoint_dir, "robots")
+    if use_robots:
+        pending0 = seeds.select(
+            F.col("seed"),
+            F.concat(F.col("seed"), F.lit("robots.txt")).alias("url"),
+            F.col("seed").alias("parent_url"),
+            F.lit(0).alias("seq"),
+            F.lit(0).alias("level"),
+            F.array(F.lit(0)).alias("lineage"),
+            F.lit(path_segment(0)).alias("path_key"),
+            F.array().cast("array<string>").alias("parent_urls"),
+            F.lit(False).alias("quiet_404"),
+            F.lit(None).cast("string").alias("blocked_reason"),
+        )
+        runner_a.run(pending0)
+
+    robots_out = (
+        runner_a.wave_outputs
+        if runner_a.wave_outputs
+        else [spark.createDataFrame([], PARSE_OUT_SCHEMA)]
+    )
+    robots_all = robots_out[0]
+    for extra in robots_out[1:]:
+        robots_all = robots_all.unionByName(extra)
+
+    robots_nodes = robots_all.filter(F.col("rec") == "node")
+    # URLs discovered via robots.txt = every node strictly below the robots
+    # node (tree.py:103-105 collects all_sitemaps() of the robots tree)
+    robots_found = robots_nodes.filter(F.col("level") >= 1).select("seed", "url")
+
+    runner_b = _WaveRunner(spark, fetches, recurse_filter, checkpoint_dir, "known_paths")
+    if use_known_paths:
+        paths = sorted(KNOWN_SITEMAP_PATHS | set(extra_known_paths))
+        paths_df = spark.createDataFrame(
+            [(i + 1, p) for i, p in enumerate(paths)], "pseq int, path string"
+        )
+        robots_sets = robots_found.groupBy("seed").agg(
+            F.collect_set("url").alias("robots_urls")
+        )
+        candidates = (
+            seeds.crossJoin(F.broadcast(paths_df))
+            .withColumn("url", F.concat(F.col("seed"), F.col("path")))
+            # D4: skip URLs already discovered via robots.txt (tree.py:112)
+            .join(robots_found, ["seed", "url"], "left_anti")
+            .join(robots_sets, "seed", "left")
+        )
+        pending_b = candidates.select(
+            "seed",
+            "url",
+            F.col("seed").alias("parent_url"),
+            F.col("pseq").alias("seq"),
+            F.lit(0).alias("level"),
+            F.array("pseq").alias("lineage"),
+            F.lpad(F.col("pseq").cast("string"), 7, "0").alias("path_key"),
+            F.coalesce("robots_urls", F.array().cast("array<string>")).alias(
+                "parent_urls"
+            ),
+            F.lit(True).alias("quiet_404"),
+            F.lit(None).cast("string").alias("blocked_reason"),
+        )
+        if not pending_b.isEmpty():
+            runner_b.run(pending_b)
+
+    outputs = runner_a.wave_outputs + runner_b.wave_outputs
+    if not outputs:
+        outputs = [spark.createDataFrame([], PARSE_OUT_SCHEMA)]
+    everything = outputs[0]
+    for extra in outputs[1:]:
+        everything = everything.unionByName(extra)
+
+    return _assemble(spark, seeds, everything)
+
+
+def _assemble(spark: SparkSession, seeds: DataFrame, parse_out: DataFrame) -> SitemapForest:
+    """Build the final forest: drop invalid phase roots (tree.py:100-101,
+    125-126), add website roots, re-densify root-child seq, flatten pages."""
+    nodes = parse_out.filter(F.col("rec") == "node").select(*_NODE_COLS)
+    # a root-level invalid result is dropped together with (nonexistent)
+    # descendants; deeper invalids stay as tree nodes
+    nodes = nodes.filter(~((F.col("level") == 0) & (F.col("kind") == K.KIND_INVALID)))
+
+    roots = seeds.select(
+        "seed",
+        F.col("seed").alias("url"),
+        F.col("seed").alias("requested_url"),
+        F.lit(None).cast("string").alias("parent_url"),
+        F.lit(0).alias("seq"),
+        F.lit(-1).alias("level"),
+        F.array().cast("array<int>").alias("lineage"),
+        F.lit("").alias("path_key"),
+        F.lit(K.KIND_WEBSITE).alias("kind"),
+        F.lit(None).cast("string").alias("reason"),
+    )
+
+    from pyspark.sql.window import Window
+
+    root_child_rank = (
+        F.row_number().over(Window.partitionBy("seed").orderBy("path_key")) - 1
+    )
+    nodes = nodes.withColumn(
+        "seq", F.when(F.col("level") == 0, root_child_rank).otherwise(F.col("seq"))
+    )
+    all_nodes = roots.unionByName(nodes).withColumn("depth", F.col("level") + 1)
+
+    pages = (
+        parse_out.filter(F.col("rec") == "page")
+        .select(
+            "seed",
+            F.col("url").alias("sitemap_url"),
+            "path_key",
+            "seq",
+            F.col("page.url").alias("page_url"),
+            F.col("page.priority").alias("priority"),
+            F.col("page.last_modified").alias("last_modified"),
+            F.col("page.last_modified_offset_seconds").alias(
+                "last_modified_offset_seconds"
+            ),
+            F.col("page.change_frequency").alias("change_frequency"),
+            F.col("page.news_story").alias("news_story"),
+            F.col("page.images").alias("images"),
+            F.col("page.alternates").alias("alternates"),
+        )
+    )
+    return SitemapForest(nodes=all_nodes, pages=pages)
+
+
+def sitemap_from_str(content: str) -> K.ParsedDoc:
+    """Parse one sitemap payload from a string with recursion disabled — the
+    reference ``sitemap_from_str`` (usp/tree.py:133-142): children of an index
+    surface as invalid 'Un-fetched child sitemap' entries in the caller.
+
+    JVM-free: returns the kernel's ParsedDoc; pair with
+    :func:`unfetched_children` to mirror the reference tree shape.
+    """
+    return K.parse_sitemap_text("http://usp-local-dummy.local/", content)
+
+
+def unfetched_children(doc: K.ParsedDoc) -> list[dict]:
+    """Child entries as the reference records them in string-parse mode
+    (fetch_parse.py:364-367, 750-753)."""
+    return [
+        {"url": child, "kind": K.KIND_INVALID, "reason": "Un-fetched child sitemap"}
+        for child in doc.children
+    ]
