@@ -1,0 +1,133 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Headline metric (BASELINE.json): frontier throughput — URLs scheduled+parsed
+per second through the wave engine over a deterministic synthetic multi-host
+sitemap corpus sized by the scale factor. Per-query wall times for the
+training-data/relational operators at the same SF ride along in "queries".
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+BENCH_QUERIES = [
+    "pricing_summary",
+    "sessionize",
+    "politeness_topk",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "text_lang_id",
+    "text_quality_score",
+]
+
+
+def sf_from_dir(path: str) -> float:
+    name = os.path.basename(path.rstrip("/"))
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def build_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(f"frontier-bench-{cpus}")
+        .config("spark.sql.shuffle.partitions", str(2 * cpus))
+        .config("spark.default.parallelism", str(2 * cpus))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # the fetch-store scan drives parse parallelism (see waves.py
+        # _fetch_join): small partitions → every core parses
+        .config("spark.sql.files.maxPartitionBytes", str(1 * 1024 * 1024))
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def crawl_bench(spark, sf: float, workdir: str) -> tuple[float, int, int]:
+    """Materialize the corpus (untimed), then time the crawl. Returns
+    (seconds, urls_processed, pages)."""
+    from frontier.synth import synth_crawl_corpus
+    from frontier.waves import sitemap_tree_for_homepages
+
+    n_hosts = max(8, int(2000 * sf))
+    leaves, pages_per_leaf = 4, 250
+    corpus_path = os.path.join(workdir, "corpus")
+    synth_crawl_corpus(
+        spark, n_hosts, leaves_per_host=leaves, pages_per_leaf=pages_per_leaf,
+        partitions=4 * CPUS,
+    ).write.mode("overwrite").parquet(corpus_path)
+    corpus = spark.read.parquet(corpus_path)
+    seeds = [f"http://host{i}.example.com/" for i in range(n_hosts)]
+
+    start = time.perf_counter()
+    forest = sitemap_tree_for_homepages(
+        spark, seeds, corpus, use_known_paths=False
+    )
+    n_pages = forest.pages.count()
+    n_nodes = forest.nodes.count()
+    elapsed = time.perf_counter() - start
+    # URLs processed = sitemap fetches (nodes minus synthetic roots) + page
+    # records parsed — the unit BASELINE.md's throughput metric counts
+    urls = n_pages + (n_nodes - n_hosts)
+    return elapsed, urls, n_pages
+
+
+def main() -> None:
+    spark = build_spark(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = sf_from_dir(SF_DIR)
+
+    workdir = f"/tmp/frontier_bench_{os.getpid()}"
+    os.makedirs(workdir, exist_ok=True)
+
+    timings: dict[str, float] = {}
+    try:
+        crawl_s, urls, _pages = crawl_bench(spark, sf, workdir)
+        timings["frontier_crawl"] = round(crawl_s, 3)
+
+        from frontier.datapipe import REGISTRY
+
+        for name in BENCH_QUERIES:
+            qd = REGISTRY[name]
+            start = time.perf_counter()
+            qd.build(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - start, 3)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+        spark.stop()
+
+    print(
+        json.dumps(
+            {
+                "metric": "frontier_urls_per_sec",
+                "value": round(urls / crawl_s, 1),
+                "unit": "urls/sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": CPUS,
+                "crawl_urls": urls,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

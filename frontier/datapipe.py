@@ -1,0 +1,606 @@
+"""Large-scale training-data pipeline operators over the driver testdata
+tables (documents / embeddings / events / TPC-H-ish star schema).
+
+Each operator is defined as a (PySpark builder, DuckDB oracle SQL) pair with
+deliberately engine-portable semantics: tokenization, hashing (md5 hex) and
+rounding are chosen so both engines produce bit-identical results — that is
+what the driver's CORRECTNESS gate hashes.
+
+Scale notes: every operator is shuffle-minimal — dedup families hash/shingle
+map-side then group on compact keys; LSH banding turns the O(n²) near-dup
+problem into co-partitioned equality joins; ANN brute-force broadcasts the
+small query side; top-k uses rank-in-partition, not global sorts.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class QueryDef:
+    """One operator: Spark builder + (optional) DuckDB oracle."""
+
+    build: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str = ""
+
+
+def _load(spark: SparkSession, sf_dir: str, *tables: str) -> None:
+    for t in tables:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+
+
+def _sql_query(spark_sql: str, tables: tuple[str, ...], doc: str,
+               oracle: str | None = None) -> QueryDef:
+    """Operator expressed as SQL runnable (nearly) verbatim on both engines."""
+
+    def build(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _load(spark, sf_dir, *tables)
+        return spark.sql(spark_sql)
+
+    return QueryDef(build=build, oracle=oracle or spark_sql, doc=doc)
+
+
+# --- shared fragments ---------------------------------------------------------
+# Tokenization: lowercase, split on non-alphanumeric runs, drop empties.
+_SPARK_WORDS = "filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+_DUCK_WORDS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+# 3-word shingles over the token array (1-based indexing in both engines).
+_SPARK_SHINGLES = (
+    "CASE WHEN size(words) >= 3 THEN "
+    "transform(sequence(1, size(words) - 2), i -> "
+    "concat_ws(' ', element_at(words, i), element_at(words, i + 1), "
+    "element_at(words, i + 2))) ELSE array() END"
+)
+_DUCK_SHINGLES = (
+    "list_transform(range(1, len(words) - 1), i -> "
+    "words[i] || ' ' || words[i+1] || ' ' || words[i+2])"
+)
+
+_N_MINHASHES = 8
+
+REGISTRY: dict[str, QueryDef] = {}
+
+
+def _register(name: str, qd: QueryDef) -> None:
+    REGISTRY[name] = qd
+
+
+# =============================================================================
+# A. Frontier operators re-expressed relationally (SURVEY.md §2.2/§2.4/§2.6)
+# =============================================================================
+
+# P2: robots.txt `Sitemap:` directive extraction with ordered first-wins dedup
+# (fetch_parse.py:323-340) — a synthetic robots corpus is derived
+# deterministically from `documents` (both directive spellings, duplicate
+# URLs across lines), then the exact extraction regexp + dedup window runs.
+_ROBOTS_SQL = """
+WITH robots_lines AS (
+    SELECT
+        source,
+        doc_id AS line_no,
+        CASE WHEN doc_id % 2 = 1
+             THEN 'Site-map: http://' || source || '.example.com/s'
+                  || CAST(doc_id % 7 AS {STR}) || '.xml'
+             ELSE 'Sitemap: http://' || source || '.example.com/s'
+                  || CAST(doc_id % 7 AS {STR}) || '.xml'
+        END AS line
+    FROM documents
+),
+extracted AS (
+    SELECT source, line_no,
+           regexp_extract(line, '^[Ss]ite-?[Mm]ap:[ ]*(.+)$', 1) AS sitemap_url
+    FROM robots_lines
+),
+deduped AS (
+    SELECT source, sitemap_url, line_no,
+           row_number() OVER (PARTITION BY source, sitemap_url
+                              ORDER BY line_no) AS rn
+    FROM extracted
+    WHERE sitemap_url <> ''
+)
+SELECT source, sitemap_url, line_no AS first_line
+FROM deduped WHERE rn = 1
+ORDER BY source, first_line
+"""
+_register(
+    "robots_extract",
+    _sql_query(
+        _ROBOTS_SQL.replace("{STR}", "STRING"),
+        ("documents",),
+        "P2 robots directive extraction + first-wins dedup window",
+        oracle=_ROBOTS_SQL.replace("{STR}", "VARCHAR"),
+    ),
+)
+
+# R8-style first-wins URL dedup: earliest event per (user, type)
+_FIRST_WINS_SQL = """
+WITH ranked AS (
+    SELECT user_id, event_type, event_id, ts, value,
+           row_number() OVER (PARTITION BY user_id, event_type
+                              ORDER BY ts, event_id) AS rn
+    FROM events
+)
+SELECT user_id, event_type, event_id, ts, value
+FROM ranked WHERE rn = 1
+ORDER BY user_id, event_type
+"""
+_register(
+    "first_wins_dedup",
+    _sql_query(
+        _FIRST_WINS_SQL,
+        ("events",),
+        "first-occurrence-wins dedup (fetch_parse.py:1004-1007 as a window)",
+    ),
+)
+
+# R9 politeness priority queue: top-k per partition ordered by
+# (priority desc, lastmod desc) — here value desc, ts asc per user
+_TOPK_SQL = """
+WITH ranked AS (
+    SELECT user_id, event_id, event_type, value, ts,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY value DESC, ts, event_id) AS rk
+    FROM events
+)
+SELECT user_id, event_id, event_type, value, rk
+FROM ranked WHERE rk <= 3
+ORDER BY user_id, rk
+"""
+_register(
+    "politeness_topk",
+    _sql_query(
+        _TOPK_SQL,
+        ("events",),
+        "R9 per-host budget top-k (rank within partition, no global sort)",
+    ),
+)
+
+# D4 known-path exclusion as an anti-join: customers with no orders
+_ANTI_SQL = """
+SELECT c.c_custkey, c.c_name
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 450000)
+ORDER BY c.c_custkey
+"""
+_register(
+    "known_path_anti_join",
+    _sql_query(
+        _ANTI_SQL,
+        ("customer", "orders"),
+        "D4 robots-set exclusion as left-anti join (tree.py:112)",
+    ),
+)
+
+# dimension join rollup: orders x customer x nation (broadcast-able dims)
+_ROLLUP_SQL = """
+SELECT n.n_name,
+       CAST(year(o.o_orderdate) AS BIGINT) AS order_year,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name, year(o.o_orderdate)
+ORDER BY n_name, order_year
+"""
+_register(
+    "nation_revenue_rollup",
+    _sql_query(
+        _ROLLUP_SQL,
+        ("orders", "customer", "nation"),
+        "fact-dim join rollup (dims broadcast, single shuffle on group keys)",
+    ),
+)
+
+# per-host crawl telemetry aggregation
+_HOST_METRICS_SQL = """
+SELECT source,
+       COUNT(*) AS n_docs,
+       SUM(n_chars) AS total_chars,
+       CAST(ROUND(AVG(n_chars), 4) AS DOUBLE) AS avg_chars,
+       COUNT(DISTINCT lang) AS n_langs
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+_register(
+    "host_metrics",
+    _sql_query(_HOST_METRICS_SQL, ("documents",), "per-host fetch/parse metrics agg"),
+)
+
+# classic relational coverage: TPC-H Q1-style pricing summary
+_PRICING_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4))
+                * (1 - CAST(l_discount AS DECIMAL(20,4)))) AS DOUBLE) AS sum_disc_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2024-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+_register(
+    "pricing_summary",
+    _sql_query(
+        _PRICING_SQL,
+        ("lineitem",),
+        "aggregation pipeline (map-side partial agg, decimal-exact)",
+    ),
+)
+
+# gap-based sessionization (streaming semantics expressed in batch:
+# 30-minute inactivity gap; lag + running sum)
+_SESSION_SQL = """
+WITH with_gap AS (
+    SELECT user_id, event_id, ts,
+           CASE WHEN ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                  OR lag(ts) OVER w IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+    SELECT user_id, event_id, ts,
+           SUM(new_session) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_no
+    FROM with_gap
+)
+SELECT user_id, session_no, COUNT(*) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM numbered
+GROUP BY user_id, session_no
+ORDER BY user_id, session_no
+"""
+_register(
+    "sessionize",
+    _sql_query(
+        _SESSION_SQL,
+        ("events",),
+        "gap-based sessionization (Structured-Streaming analog in batch)",
+    ),
+)
+
+# =============================================================================
+# B. Deduplication family (training-data pipeline; task brief)
+# =============================================================================
+
+# exact dedup fingerprint: md5 of normalized text
+def _fingerprint_sql(words_expr: str, concat: str) -> str:
+    return f"""
+SELECT doc_id, md5({concat}) AS fingerprint
+FROM (SELECT doc_id, {words_expr} AS words FROM documents) t
+ORDER BY doc_id
+"""
+
+
+_register(
+    "dedup_exact_fingerprint",
+    _sql_query(
+        _fingerprint_sql(_SPARK_WORDS, "array_join(words, ' ')"),
+        ("documents",),
+        "exact-dup fingerprint: md5 over normalized tokens",
+        oracle=_fingerprint_sql(_DUCK_WORDS, "list_aggregate(words, 'string_agg', ' ')"),
+    ),
+)
+
+
+def _minhash_cte(words_expr: str, shingles_expr: str, unnest: str, str_type: str = 'STRING') -> str:
+    """Per-(doc, hash-seed) min-hash signature rows; band size 1, so each of
+    the signatures is its own LSH band."""
+    return f"""
+WITH toks AS (
+    SELECT doc_id, {words_expr} AS words FROM documents
+),
+shingled AS (
+    SELECT doc_id, {shingles_expr} AS shingles FROM toks
+),
+exploded AS (
+    SELECT DISTINCT doc_id, {unnest} AS shingle FROM shingled
+),
+sigs AS (
+    SELECT doc_id, j, MIN(md5(shingle || '#' || CAST(j AS {str_type}))) AS mh
+    FROM exploded
+    CROSS JOIN (SELECT 0 AS j UNION ALL SELECT 1 UNION ALL SELECT 2
+                UNION ALL SELECT 3 UNION ALL SELECT 4 UNION ALL SELECT 5
+                UNION ALL SELECT 6 UNION ALL SELECT 7) seeds
+    GROUP BY doc_id, j
+)
+""".replace("{str_type}", str_type)
+
+
+_SPARK_MINHASH = _minhash_cte(
+    _SPARK_WORDS, _SPARK_SHINGLES, "explode(shingles)"
+) + """
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM sigs a JOIN sigs b ON a.j = b.j AND a.mh = b.mh AND a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b
+"""
+_DUCK_MINHASH = _minhash_cte(
+    _DUCK_WORDS, _DUCK_SHINGLES, "unnest(shingles)", "VARCHAR"
+) + """
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM sigs a JOIN sigs b ON a.j = b.j AND a.mh = b.mh AND a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b
+"""
+_register(
+    "dedup_minhash_lsh",
+    _sql_query(
+        _SPARK_MINHASH,
+        ("documents",),
+        "MinHash-LSH near-dup candidates: shingle → 8 minhashes → band join",
+        oracle=_DUCK_MINHASH,
+    ),
+)
+
+
+def _jaccard_sql(words_expr: str, shingles_expr: str, unnest: str, str_type: str = 'STRING') -> str:
+    return _minhash_cte(words_expr, shingles_expr, unnest, str_type) + """
+, candidates AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM sigs a JOIN sigs b ON a.j = b.j AND a.mh = b.mh AND a.doc_id < b.doc_id
+),
+sizes AS (
+    SELECT doc_id, COUNT(*) AS n FROM exploded GROUP BY doc_id
+),
+inter AS (
+    SELECT c.doc_a, c.doc_b, COUNT(*) AS overlap
+    FROM candidates c
+    JOIN exploded ea ON ea.doc_id = c.doc_a
+    JOIN exploded eb ON eb.doc_id = c.doc_b AND eb.shingle = ea.shingle
+    GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       CAST(ROUND(CAST(i.overlap AS DOUBLE)
+            / (sa.n + sb.n - i.overlap), 6) AS DOUBLE) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE CAST(i.overlap AS DOUBLE) / (sa.n + sb.n - i.overlap) >= 0.1
+ORDER BY doc_a, doc_b
+"""
+
+
+_register(
+    "dedup_ngram_jaccard",
+    _sql_query(
+        _jaccard_sql(_SPARK_WORDS, _SPARK_SHINGLES, "explode(shingles)"),
+        ("documents",),
+        "exact 3-gram Jaccard over LSH candidates (verify stage of near-dup)",
+        oracle=_jaccard_sql(_DUCK_WORDS, _DUCK_SHINGLES, "unnest(shingles)", "VARCHAR"),
+    ),
+)
+
+
+# 16-bit SimHash over token hashes: bit k set iff the sum of ±1 votes
+# (weighted by token multiplicity) is positive.
+def _simhash_spark_sql() -> str:
+    bits = " + ".join(
+        f"CAST(SUM(CASE WHEN (h >> {k}) % 2 = 1 THEN 1 ELSE -1 END) > 0 "
+        f"AS BIGINT) * {1 << k}"
+        for k in range(16)
+    )
+    return f"""
+WITH toks AS (
+    SELECT doc_id, {_SPARK_WORDS} AS words FROM documents
+),
+word_hashes AS (
+    SELECT doc_id, CAST(conv(substr(md5(w), 1, 15), 16, 10) AS BIGINT) AS h
+    FROM toks LATERAL VIEW explode(words) t AS w
+)
+SELECT doc_id, {bits} AS simhash
+FROM word_hashes
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+def _simhash_duck_sql() -> str:
+    bits = " + ".join(
+        f"CAST(SUM(CASE WHEN (h >> {k}) % 2 = 1 THEN 1 ELSE -1 END) > 0 "
+        f"AS BIGINT) * {1 << k}"
+        for k in range(16)
+    )
+    return f"""
+WITH toks AS (
+    SELECT doc_id, {_DUCK_WORDS} AS words FROM documents
+),
+word_hashes AS (
+    SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h
+    FROM (SELECT doc_id, unnest(words) AS w FROM toks) x
+)
+SELECT doc_id, {bits} AS simhash
+FROM word_hashes
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+_register(
+    "dedup_simhash",
+    _sql_query(
+        _simhash_spark_sql(),
+        ("documents",),
+        "16-bit SimHash fingerprint per document (md5-derived token hashes)",
+        oracle=_simhash_duck_sql(),
+    ),
+)
+
+# =============================================================================
+# C. Similarity search (brute-force cosine top-k baseline)
+# =============================================================================
+
+_ANN_SPARK_SQL = """
+WITH queries AS (
+    SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10
+),
+sims AS (
+    SELECT q.q_id, e.vec_id,
+           aggregate(zip_with(q.q_vec, e.embedding, (a, b) -> CAST(a AS DOUBLE) * CAST(b AS DOUBLE)),
+                     CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)
+           / (sqrt(aggregate(transform(q.q_vec, a -> CAST(a AS DOUBLE) * CAST(a AS DOUBLE)),
+                             CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))
+              * sqrt(aggregate(transform(e.embedding, a -> CAST(a AS DOUBLE) * CAST(a AS DOUBLE)),
+                               CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))) AS sim
+    FROM queries q CROSS JOIN embeddings e
+    WHERE e.vec_id <> q.q_id
+),
+ranked AS (
+    SELECT q_id, vec_id, CAST(ROUND(sim, 6) AS DOUBLE) AS sim_r,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY ROUND(sim, 6) DESC, vec_id) AS rk
+    FROM sims
+)
+SELECT q_id, vec_id AS neighbor_id, sim_r AS cosine, rk
+FROM ranked WHERE rk <= 5
+ORDER BY q_id, rk
+"""
+
+_ANN_DUCK_SQL = """
+WITH queries AS (
+    SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10
+),
+sims AS (
+    SELECT q.q_id, e.vec_id,
+           list_sum(list_transform(range(1, len(q.q_vec) + 1),
+                    i -> CAST(q.q_vec[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(q.q_vec, a -> CAST(a AS DOUBLE) * CAST(a AS DOUBLE))))
+              * sqrt(list_sum(list_transform(e.embedding, a -> CAST(a AS DOUBLE) * CAST(a AS DOUBLE))))) AS sim
+    FROM queries q CROSS JOIN embeddings e
+    WHERE e.vec_id <> q.q_id
+),
+ranked AS (
+    SELECT q_id, vec_id, CAST(ROUND(sim, 6) AS DOUBLE) AS sim_r,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY ROUND(sim, 6) DESC, vec_id) AS rk
+    FROM sims
+)
+SELECT q_id, vec_id AS neighbor_id, sim_r AS cosine, rk
+FROM ranked WHERE rk <= 5
+ORDER BY q_id, rk
+"""
+
+_register(
+    "ann_cosine_topk",
+    _sql_query(
+        _ANN_SPARK_SQL,
+        ("embeddings",),
+        "brute-force cosine top-5 (broadcastable query side; IVF variant later)",
+        oracle=_ANN_DUCK_SQL,
+    ),
+)
+
+# =============================================================================
+# D. Text analysis (lang-id heuristic, quality, token counts)
+# =============================================================================
+
+_STOPWORDS = {
+    "en": ("the", "and", "of"),
+    "de": ("der", "und", "die"),
+    "fr": ("le", "et", "la"),
+    "es": ("el", "y", "de"),
+}
+
+
+def _langid_sql(words_expr: str, contains_fn: str) -> str:
+    scores = []
+    for lang, words in _STOPWORDS.items():
+        hits = " + ".join(
+            f"CAST({contains_fn}(words, '{w}') AS BIGINT)" for w in words
+        )
+        scores.append(f"({hits}) AS score_{lang}")
+    score_cols = ", ".join(scores)
+    return f"""
+WITH scored AS (
+    SELECT doc_id, lang, {score_cols}
+    FROM (SELECT doc_id, lang, {words_expr} AS words FROM documents) t
+)
+SELECT doc_id, lang,
+       CASE GREATEST(score_en, score_de, score_fr, score_es)
+            WHEN score_en THEN 'en'
+            WHEN score_de THEN 'de'
+            WHEN score_fr THEN 'fr'
+            ELSE 'es' END AS lang_guess,
+       score_en, score_de, score_fr, score_es
+FROM scored
+ORDER BY doc_id
+"""
+
+
+_register(
+    "text_lang_id",
+    _sql_query(
+        _langid_sql(_SPARK_WORDS, "array_contains"),
+        ("documents",),
+        "n-gram/stopword language-ID heuristic",
+        oracle=_langid_sql(_DUCK_WORDS, "list_contains"),
+    ),
+)
+
+
+def _quality_sql(words_expr: str) -> str:
+    return f"""
+WITH toks AS (
+    SELECT doc_id, n_chars, {words_expr} AS words, text FROM documents
+)
+SELECT doc_id,
+       size_w AS n_tokens,
+       CAST(ROUND(CAST(n_chars AS DOUBLE) / size_w, 4) AS DOUBLE) AS chars_per_token,
+       CAST(ROUND(CAST(n_punct AS DOUBLE) / n_chars, 4) AS DOUBLE) AS punct_ratio,
+       CASE WHEN size_w BETWEEN 20 AND 1000 THEN 1 ELSE 0 END AS length_ok
+FROM (
+    SELECT doc_id, n_chars,
+           CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '')) AS BIGINT) AS n_punct,
+           CAST(GREATEST(CAST(1 AS BIGINT), CAST({{size_fn}}(words) AS BIGINT)) AS BIGINT) AS size_w
+    FROM toks
+) q
+ORDER BY doc_id
+"""
+
+
+_register(
+    "text_quality_score",
+    _sql_query(
+        _quality_sql(_SPARK_WORDS).replace("{size_fn}", "size"),
+        ("documents",),
+        "quality scoring: token counts, chars/token, punctuation ratio",
+        oracle=_quality_sql(_DUCK_WORDS)
+        .replace("{size_fn}", "len")
+        .replace("regexp_replace(text, '[.,;:!?]', '')",
+                 "regexp_replace(text, '[.,;:!?]', '', 'g')"),
+    ),
+)
+
+_TOKEN_COUNT_SPARK = f"""
+SELECT doc_id,
+       CAST(size(filter(split(text, ' '), x -> x <> '')) AS BIGINT) AS ws_tokens,
+       CAST(size({_SPARK_WORDS}) AS BIGINT) AS norm_tokens
+FROM documents
+ORDER BY doc_id
+"""
+_TOKEN_COUNT_DUCK = f"""
+SELECT doc_id,
+       CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS ws_tokens,
+       CAST(len({_DUCK_WORDS}) AS BIGINT) AS norm_tokens
+FROM documents
+ORDER BY doc_id
+"""
+_register(
+    "text_token_count",
+    _sql_query(
+        _TOKEN_COUNT_SPARK,
+        ("documents",),
+        "token counting: whitespace + normalized regex tokenizer",
+        oracle=_TOKEN_COUNT_DUCK,
+    ),
+)

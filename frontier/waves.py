@@ -90,6 +90,7 @@ class SitemapForest:
 
     nodes: DataFrame
     pages: DataFrame
+    wave_metrics: DataFrame | None = None
 
     def all_sitemaps(self) -> DataFrame:
         """Pre-order traversal (usp sitemap.py:405-413), roots excluded per
@@ -102,17 +103,63 @@ class SitemapForest:
         duplicates retained."""
         return self.pages.orderBy("seed", "path_key", "seq")
 
+    def to_dict(self, with_pages: bool = True) -> list[dict]:
+        """Nested-dict export per seed — the reference ``to_dict`` sink
+        (usp/objects/sitemap.py:88-98, 271-279, 374-381). Collects to the
+        driver; meant for small trees (use the DataFrames at scale)."""
+        nodes = self.all_sitemaps().collect()
+        pages = self.all_pages().collect() if with_pages else []
+
+        pages_by_node: dict[tuple, list] = {}
+        for p in pages:
+            pages_by_node.setdefault((p.seed, p.path_key), []).append(
+                {
+                    "url": p.page_url,
+                    "priority": p.priority,
+                    "last_modified": p.last_modified,
+                    "change_frequency": p.change_frequency,
+                    "news_story": p.news_story.asDict(recursive=True)
+                    if p.news_story
+                    else None,
+                    "images": [i.asDict() for i in p.images] if p.images else None,
+                }
+            )
+
+        by_key: dict[tuple, dict] = {}
+        roots: list[dict] = []
+        for n in nodes:
+            entry: dict = {"url": n.url, "kind": n.kind}
+            if n.reason is not None:
+                entry["reason"] = n.reason
+            if n.kind in K.PAGE_KINDS and with_pages:
+                entry["pages"] = pages_by_node.get((n.seed, n.path_key), [])
+            if n.kind in K.INDEX_KINDS:
+                entry["sub_sitemaps"] = []
+            by_key[(n.seed, n.path_key)] = entry
+            if n.path_key == "":
+                roots.append(entry)
+            else:
+                parent_key = n.path_key.rsplit(".", 1)[0] if "." in n.path_key else ""
+                parent = by_key.get((n.seed, parent_key))
+                if parent is not None:
+                    parent.setdefault("sub_sitemaps", []).append(entry)
+        return roots
+
 
 def _empty_pending(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame([], PENDING_SCHEMA)
 
 
 def prepare_fetches(fetches: DataFrame) -> DataFrame:
-    """Normalize a fetch store: unique url, final_url defaulted.
+    """Normalize a fetch store: unique url, final_url defaulted, 3xx chains
+    resolved.
 
     The synthetic store plays the role of the live HTTP boundary
-    (requests client, usp/web_client/requests_client.py:140-176); redirects
-    arrive pre-resolved in ``final_url``.
+    (requests client, usp/web_client/requests_client.py:140-176). A 3xx row's
+    ``final_url`` is the Location target; resolution follows the chain the
+    way ``requests`` does transparently, recording the last hop's URL as the
+    response URL (consumed by the redirect-cycle check,
+    fetch_parse.py:164-173).
     """
     cols = dict.fromkeys(fetches.columns)
     out = fetches
@@ -124,7 +171,52 @@ def prepare_fetches(fetches: DataFrame) -> DataFrame:
         out = out.withColumn("content_type", F.lit(None).cast("string"))
     if "body" not in cols:
         out = out.withColumn("body", F.lit(None).cast("binary"))
-    return out.select("url", "final_url", "status", "content_type", "body").dropDuplicates(["url"])
+    out = out.select(
+        "url", "final_url", "status", "content_type", "body"
+    ).dropDuplicates(["url"])
+    return _resolve_redirects(out)
+
+
+def _is_redirect():
+    return (F.col("status") >= 300) & (F.col("status") < 400)
+
+
+def _resolve_redirects(fetches: DataFrame, max_hops: int = 10) -> DataFrame:
+    """Rewrite 3xx rows to their ultimate target's response.
+
+    The redirect subset is assumed broadcastable (sitemap redirects are rare);
+    at true 10^10 scale pre-resolve offline and skip this (rows arrive with
+    2xx/4xx only, which short-circuits below without extra jobs).
+    """
+    redirects = fetches.filter(_is_redirect())
+    if redirects.isEmpty():
+        return fetches
+    terminal = fetches.filter(~_is_redirect())
+
+    # chain state: requested url -> current hop target
+    chain = redirects.select("url", F.col("final_url").alias("hop"))
+    resolved = None
+    for _ in range(max_hops):
+        landed = chain.join(
+            F.broadcast(terminal.withColumnRenamed("url", "hop")).drop("final_url"),
+            "hop",
+        ).select(
+            "url",
+            F.col("hop").alias("final_url"),
+            "status",
+            "content_type",
+            "body",
+        )
+        resolved = landed if resolved is None else resolved.unionByName(landed)
+        chain = chain.join(
+            F.broadcast(redirects.select(F.col("url").alias("hop"), "final_url")),
+            "hop",
+        ).select("url", F.col("final_url").alias("hop"))
+        if chain.isEmpty():
+            break
+    # chains that never land (loops / missing targets) simply drop out and
+    # behave as 404s downstream, matching the mock fallback matcher
+    return terminal.unionByName(resolved) if resolved is not None else terminal
 
 
 class _WaveRunner:
@@ -137,24 +229,30 @@ class _WaveRunner:
         recurse_filter: RecurseFilter | None,
         checkpoint_dir: str | None,
         phase: str,
+        resume: bool = False,
     ) -> None:
         self.spark = spark
         self.fetches = fetches
         self.recurse_filter = recurse_filter
         self.checkpoint_dir = checkpoint_dir
         self.phase = phase
+        self.resume = resume
         self.wave_outputs: list[DataFrame] = []
 
     def _snapshot(self, df: DataFrame, wave: int) -> DataFrame:
         """Materialize one wave's parse output, truncating plan lineage.
 
         With a checkpoint dir this is a resumable parquet snapshot
-        (north rule: per-wave Iceberg/parquet snapshots); without one we
+        (north rule: per-wave snapshots + resumability) — with ``resume``,
+        an already-committed wave is read back instead of recomputed, so a
+        crashed crawl restarts from its last completed wave. Without a dir,
         persist + localCheckpoint.
         """
         if self.checkpoint_dir:
             path = os.path.join(self.checkpoint_dir, f"phase={self.phase}", f"wave={wave}")
-            df.write.mode("overwrite").parquet(path)
+            committed = os.path.join(path, "_SUCCESS")
+            if not (self.resume and os.path.exists(committed)):
+                df.write.mode("overwrite").parquet(path)
             return self.spark.read.schema(PARSE_OUT_SCHEMA).parquet(path)
         return df.persist(StorageLevel.MEMORY_AND_DISK).localCheckpoint(eager=True)
 
@@ -165,7 +263,12 @@ class _WaveRunner:
             parsed = self._snapshot(
                 joined.mapInPandas(parse_wave, PARSE_OUT_SCHEMA), wave
             )
-            self.wave_outputs.append(parsed)
+            # per-wave lineage tag for metrics/telemetry (north rule)
+            self.wave_outputs.append(
+                parsed.withColumn("phase", F.lit(self.phase)).withColumn(
+                    "wave", F.lit(wave)
+                )
+            )
 
             children = parsed.filter(F.col("rec") == "child")
             if self.recurse_filter is not None:
@@ -192,17 +295,42 @@ class _WaveRunner:
                 break
 
     def _fetch_join(self, pending: DataFrame) -> DataFrame:
-        """(pending ⟕ fetch store) without shuffling the big table.
+        """(pending ⟕ fetch store) without ever moving payload bodies.
 
-        The wave's URL set is broadcast into a semi-join against the store
-        (the only scan of the 100 TB side), then the small matched slice is
-        broadcast back onto pending. Unmatched pending rows keep null fetch
-        columns → 404 semantics downstream.
+        Plan shape (scale-critical at a 100 TB store):
+
+        1. broadcast the wave's URL set into a semi-join → the ONLY scan of
+           the big table, with the join filter applied inside the scan stage;
+        2. broadcast the (tiny, body-free) pending rows onto the matched
+           slice → bodies stay in the scan tasks, are never shuffled or
+           broadcast, and parse parallelism follows the scan partitioning;
+        3. unmatched pending rows (404 semantics) and pre-blocked rows come
+           back with null fetch columns via cheap body-free branches.
         """
         fetchable = pending.filter(F.col("blocked_reason").isNull())
+        blocked = pending.filter(F.col("blocked_reason").isNotNull())
+
         wave_urls = fetchable.select("url").distinct()
         matched = self.fetches.join(F.broadcast(wave_urls), "url", "semi")
-        return pending.join(F.broadcast(matched), "url", "left")
+
+        hits = matched.join(F.broadcast(fetchable), "url", "inner")
+        null_fetch = [
+            F.lit(None).cast("string").alias("final_url"),
+            F.lit(None).cast("int").alias("status"),
+            F.lit(None).cast("string").alias("content_type"),
+            F.lit(None).cast("binary").alias("body"),
+        ]
+        misses = fetchable.join(
+            F.broadcast(matched.select("url")), "url", "left_anti"
+        ).select("*", *null_fetch)
+        blocked = blocked.select("*", *null_fetch)
+        wave_input = hits.unionByName(misses).unionByName(blocked)
+        # the union SUMS its branches' partition counts, and pending inherits
+        # this wave's count — unchecked, partitions double every wave and the
+        # parse stage degenerates into thousands of empty Python-worker
+        # launches. Cap with a narrow coalesce (no body shuffle).
+        cap = 2 * self.spark.sparkContext.defaultParallelism
+        return wave_input.coalesce(max(1, cap))
 
 
 def _seed_frame(
@@ -236,6 +364,7 @@ def sitemap_tree_for_homepages(
     normalize_homepage_url: bool = True,
     recurse_filter: RecurseFilter | None = None,
     checkpoint_dir: str | None = None,
+    resume: bool = False,
 ) -> SitemapForest:
     """Flagship entry: the reference ``sitemap_tree_for_homepage``
     (usp/tree.py:42-130) generalized to many seeds in one distributed run.
@@ -250,7 +379,7 @@ def sitemap_tree_for_homepages(
     fetches = prepare_fetches(fetches)
     seeds = _seed_frame(spark, homepages, normalize_homepage_url)
 
-    runner_a = _WaveRunner(spark, fetches, recurse_filter, checkpoint_dir, "robots")
+    runner_a = _WaveRunner(spark, fetches, recurse_filter, checkpoint_dir, "robots", resume)
     if use_robots:
         pending0 = seeds.select(
             F.col("seed"),
@@ -280,7 +409,7 @@ def sitemap_tree_for_homepages(
     # node (tree.py:103-105 collects all_sitemaps() of the robots tree)
     robots_found = robots_nodes.filter(F.col("level") >= 1).select("seed", "url")
 
-    runner_b = _WaveRunner(spark, fetches, recurse_filter, checkpoint_dir, "known_paths")
+    runner_b = _WaveRunner(spark, fetches, recurse_filter, checkpoint_dir, "known_paths", resume)
     if use_known_paths:
         paths = sorted(KNOWN_SITEMAP_PATHS | set(extra_known_paths))
         paths_df = spark.createDataFrame(
@@ -315,12 +444,28 @@ def sitemap_tree_for_homepages(
 
     outputs = runner_a.wave_outputs + runner_b.wave_outputs
     if not outputs:
-        outputs = [spark.createDataFrame([], PARSE_OUT_SCHEMA)]
+        outputs = [
+            spark.createDataFrame([], PARSE_OUT_SCHEMA)
+            .withColumn("phase", F.lit(""))
+            .withColumn("wave", F.lit(0))
+        ]
     everything = outputs[0]
     for extra in outputs[1:]:
         everything = everything.unionByName(extra)
 
-    return _assemble(spark, seeds, everything)
+    forest = _assemble(spark, seeds, everything)
+    # per-wave fetch/parse telemetry (north rule: per-partition lineage +
+    # metrics ride on every snapshot; this is the per-wave rollup)
+    forest.wave_metrics = everything.groupBy("phase", "wave").agg(
+        F.sum(F.when(F.col("rec") == "node", 1).otherwise(0)).alias("n_nodes"),
+        F.sum(
+            F.when((F.col("rec") == "node") & (F.col("kind") == K.KIND_INVALID), 1)
+            .otherwise(0)
+        ).alias("n_invalid"),
+        F.sum(F.when(F.col("rec") == "page", 1).otherwise(0)).alias("n_pages"),
+        F.sum(F.when(F.col("rec") == "child", 1).otherwise(0)).alias("n_children"),
+    )
+    return forest
 
 
 def _assemble(spark: SparkSession, seeds: DataFrame, parse_out: DataFrame) -> SitemapForest:
@@ -346,12 +491,14 @@ def _assemble(spark: SparkSession, seeds: DataFrame, parse_out: DataFrame) -> Si
 
     from pyspark.sql.window import Window
 
+    # root children: re-densify seq after invalid roots were dropped, so
+    # declaration order under the website root matches the reference's
+    # [robots] + kept-known-paths list (tree.py:87-126)
     root_child_rank = (
         F.row_number().over(Window.partitionBy("seed").orderBy("path_key")) - 1
     )
-    nodes = nodes.withColumn(
-        "seq", F.when(F.col("level") == 0, root_child_rank).otherwise(F.col("seq"))
-    )
+    level0 = nodes.filter(F.col("level") == 0).withColumn("seq", root_child_rank)
+    nodes = level0.unionByName(nodes.filter(F.col("level") != 0))
     all_nodes = roots.unionByName(nodes).withColumn("depth", F.col("level") + 1)
 
     pages = (

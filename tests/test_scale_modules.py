@@ -1,0 +1,85 @@
+"""Tests for the R8 URL-seen set and R9 politeness scheduler."""
+
+import datetime as dt
+from decimal import Decimal
+
+import pytest
+
+from frontier.dedup import UrlSeenSet
+from frontier.schedule import fetch_plan
+
+
+def test_url_seen_set_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "seen")
+    seen = UrlSeenSet(spark, path, expected_urls=1000)
+
+    first = spark.createDataFrame(
+        [(f"http://h/{i}",) for i in range(20)], "url string"
+    )
+    # nothing recorded yet → everything passes
+    assert seen.filter_unseen(first).count() == 20
+    seen.record_seen(first)
+
+    second = spark.createDataFrame(
+        [(f"http://h/{i}",) for i in range(10, 30)], "url string"
+    )
+    fresh = seen.filter_unseen(second)
+    # exactly the 10 unseen survive — Bloom false positives must not drop rows
+    assert sorted(r.url for r in fresh.collect()) == sorted(
+        f"http://h/{i}" for i in range(20, 30)
+    )
+
+    seen.record_seen(second)
+    seen.compact()
+    assert seen.filter_unseen(second).count() == 0
+    # compacted table is distinct
+    assert spark.read.parquet(path).count() == 30
+
+
+def _pages_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "page_url string, priority decimal(3,2), last_modified timestamp"
+    )
+
+
+def test_fetch_plan_budget_and_order(spark):
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for h in ("a.com", "b.com"):
+        for i in range(5):
+            rows.append(
+                (
+                    f"http://{h}/p{i}",
+                    Decimal(f"0.{9 - i}"),
+                    t0 + dt.timedelta(days=i),
+                )
+            )
+    plan = fetch_plan(_pages_df(spark, rows), budget_per_host=3)
+    got = plan.orderBy("canonical_host", "fetch_rank").collect()
+    assert len(got) == 6  # 3 per host
+    assert [r.page_url for r in got if r.canonical_host == "a.com"] == [
+        "http://a.com/p0",
+        "http://a.com/p1",
+        "http://a.com/p2",
+    ]
+    assert all(r.fetch_rank <= 3 for r in got)
+
+
+def test_fetch_plan_salted_equals_unsalted(spark):
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (
+            f"http://mega.com/p{i}",
+            Decimal(f"0.{i % 10}"),
+            t0 + dt.timedelta(hours=i % 97),
+        )
+        for i in range(500)
+    ] + [(f"http://tiny.com/p{i}", Decimal("0.5"), t0) for i in range(3)]
+    df = _pages_df(spark, rows)
+    plain = fetch_plan(df, budget_per_host=10).select(
+        "canonical_host", "page_url", "fetch_rank"
+    )
+    salted = fetch_plan(df, budget_per_host=10, salt_buckets=8).select(
+        "canonical_host", "page_url", "fetch_rank"
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
