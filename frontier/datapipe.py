@@ -604,3 +604,330 @@ _register(
         oracle=_TOKEN_COUNT_DUCK,
     ),
 )
+
+# =============================================================================
+# E. Round-1 widening: embedding near-dup, IVF ANN, rolling-hash fingerprint,
+#    BPE-ish tokenizer, URL validate/normalize (D1/D2), gzip sniff (S5),
+#    recursive-CTE DFS ordering (T1).
+# =============================================================================
+
+def _dot_spark(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _norm_spark(a: str) -> str:
+    return (
+        f"sqrt(aggregate(transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
+    )
+
+
+def _dot_duck(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, len({a}) + 1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+
+
+def _norm_duck(a: str) -> str:
+    return (
+        f"sqrt(list_sum(list_transform({a}, "
+        f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    )
+
+
+def _cos(dot, norm, a: str, b: str) -> str:
+    return f"({dot(a, b)} / ({norm(a)} * {norm(b)}))"
+
+
+# --- embedding-cosine near-dup: sign-bit LSH buckets (first 8 dims) prefilter
+# the O(n^2) pair space into co-partitioned equality joins; exact cosine >= 0.8
+# confirms within bucket. Scale path: bucket join shuffles only (bucket, id,
+# vec) — never the cross product.
+def _embed_neardup_sql(elem_fn, dot, norm) -> str:
+    bucket = " + ".join(
+        f"CAST(CAST({elem_fn(k + 1)} AS DOUBLE) > 0 AS BIGINT) * {1 << k}"
+        for k in range(8)
+    )
+    cos = _cos(dot, norm, "a.embedding", "b.embedding")
+    return f"""
+WITH bucketed AS (
+    SELECT vec_id, embedding, {bucket} AS bucket
+    FROM embeddings
+),
+pairs AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           CAST(ROUND({cos}, 6) AS DOUBLE) AS cosine
+    FROM bucketed a JOIN bucketed b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, cosine
+FROM pairs
+WHERE cosine >= 0.3
+ORDER BY vec_a, vec_b
+"""
+
+
+_register(
+    "dedup_embedding_cosine",
+    _sql_query(
+        _embed_neardup_sql(
+            lambda k: f"element_at(embedding, {k})", _dot_spark, _norm_spark
+        ),
+        ("embeddings",),
+        "embedding-cosine near-dup: sign-bit LSH buckets -> exact cosine >= 0.3",
+        oracle=_embed_neardup_sql(
+            lambda k: f"embedding[{k}]", _dot_duck, _norm_duck
+        ),
+    ),
+)
+
+
+# --- IVF ANN: centroids = 4 deterministic seed vectors; every vector is
+# assigned to its nearest centroid (argmax rounded cosine); each query probes
+# ONLY its own cluster. At scale: assignment is a broadcast join against the
+# tiny centroid table; search shuffles on cluster id, never all-pairs.
+def _ivf_sql(dot, norm) -> str:
+    cos_assign = _cos(dot, norm, "e.embedding", "c.cvec")
+    cos_search = _cos(dot, norm, "q.q_vec", "m.embedding")
+    return f"""
+WITH centroids AS (
+    SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 4
+),
+scored AS (
+    SELECT e.vec_id, e.embedding, c.cid,
+           ROUND({cos_assign}, 6) AS csim
+    FROM embeddings e CROSS JOIN centroids c
+),
+assigned AS (
+    SELECT vec_id, embedding, cid
+    FROM (SELECT vec_id, embedding, cid,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY csim DESC, cid) AS rn
+          FROM scored) t
+    WHERE rn = 1
+),
+queries AS (
+    SELECT vec_id AS q_id, embedding AS q_vec, cid FROM assigned
+    WHERE vec_id < 10
+),
+cands AS (
+    SELECT q.q_id, m.vec_id,
+           CAST(ROUND({cos_search}, 6) AS DOUBLE) AS sim
+    FROM queries q JOIN assigned m
+      ON m.cid = q.cid AND m.vec_id <> q.q_id
+),
+ranked AS (
+    SELECT q_id, vec_id, sim,
+           row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rk
+    FROM cands
+)
+SELECT q_id, vec_id AS neighbor_id, sim AS cosine, rk
+FROM ranked WHERE rk <= 3
+ORDER BY q_id, rk
+"""
+
+
+_register(
+    "ann_ivf_topk",
+    _sql_query(
+        _ivf_sql(_dot_spark, _norm_spark),
+        ("embeddings",),
+        "IVF ANN: deterministic centroids -> cluster assignment -> probe own cluster",
+        oracle=_ivf_sql(_dot_duck, _norm_duck),
+    ),
+)
+
+
+# --- rolling-hash document fingerprint: md5-derived per-token ints folded
+# left-to-right with a polynomial rolling hash (order-sensitive, unlike the
+# md5-concat fingerprint above). Spark: aggregate(); DuckDB: list_reduce with
+# a prepended init element.
+_ROLL_B, _ROLL_M = 131, 1000000007
+
+_ROLL_SPARK = f"""
+WITH toks AS (
+    SELECT doc_id, {_SPARK_WORDS} AS words FROM documents
+),
+hashed AS (
+    SELECT doc_id,
+           transform(words, w -> CAST(conv(substr(md5(w), 1, 15), 16, 10) AS BIGINT)
+                                 % {_ROLL_M}) AS hs
+    FROM toks
+)
+SELECT doc_id,
+       aggregate(hs, CAST(0 AS BIGINT),
+                 (acc, x) -> (acc * {_ROLL_B} + x) % {_ROLL_M}) AS rolling_hash
+FROM hashed
+ORDER BY doc_id
+"""
+
+_ROLL_DUCK = f"""
+WITH toks AS (
+    SELECT doc_id, {_DUCK_WORDS} AS words FROM documents
+),
+hashed AS (
+    SELECT doc_id,
+           list_transform(words, w -> CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT)
+                                      % {_ROLL_M}) AS hs
+    FROM toks
+)
+SELECT doc_id,
+       list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
+                   (acc, x) -> (acc * {_ROLL_B} + x) % {_ROLL_M}) AS rolling_hash
+FROM hashed
+ORDER BY doc_id
+"""
+
+_register(
+    "text_fingerprint_rolling",
+    _sql_query(
+        _ROLL_SPARK,
+        ("documents",),
+        "order-sensitive polynomial rolling-hash document fingerprint",
+        oracle=_ROLL_DUCK,
+    ),
+)
+
+
+# --- BPE-ish tokenizer: GPT-2-style pretokenization regex (contractions,
+# letter runs, digit runs, punct runs, space runs) via regexp_extract_all.
+_BPE_PATTERN = "''(s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+|[ ]+"
+
+_BPE_SPARK = f"""
+SELECT doc_id,
+       CAST(size(regexp_extract_all(text, '{_BPE_PATTERN}', 0)) AS BIGINT) AS bpe_tokens,
+       CAST(size({_SPARK_WORDS}) AS BIGINT) AS norm_tokens
+FROM documents
+ORDER BY doc_id
+"""
+_BPE_DUCK = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS BIGINT) AS bpe_tokens,
+       CAST(len({_DUCK_WORDS}) AS BIGINT) AS norm_tokens
+FROM documents
+ORDER BY doc_id
+"""
+_register(
+    "text_bpe_token_count",
+    _sql_query(
+        _BPE_SPARK,
+        ("documents",),
+        "BPE-ish pretokenizer count (GPT-2 pretokenization regex family)",
+        oracle=_BPE_DUCK,
+    ),
+)
+
+
+# --- D1 + D2: URL validation (helpers.py:29,47-86 regex) and homepage
+# normalization (strip_url_to_homepage, helpers.py:294-325) over a
+# deterministic synthetic URL column (some invalid).
+_URLNORM_SQL = """
+WITH urls AS (
+    SELECT doc_id,
+           CASE doc_id % 5
+             WHEN 0 THEN 'http://' || source || '.example.com/a/b?q=' || CAST(doc_id AS {STR})
+             WHEN 1 THEN 'https://' || source || '.example.com/p' || CAST(doc_id AS {STR}) || '/'
+             WHEN 2 THEN 'ftp://' || source || '.example.com/x'
+             WHEN 3 THEN 'not a url ' || CAST(doc_id AS {STR})
+             ELSE 'http://' || source || '.example.com:8080/deep/path#frag'
+           END AS url
+    FROM documents
+)
+SELECT doc_id, url,
+       CASE WHEN regexp_matches THEN 1 ELSE 0 END AS is_valid,
+       CASE WHEN regexp_matches
+            THEN regexp_extract(url, '^(https?://[^/]+)', 1) || '/'
+            ELSE NULL END AS homepage
+FROM (
+    SELECT doc_id, url,
+           {RLIKE} AS regexp_matches
+    FROM urls
+) t
+ORDER BY doc_id
+"""
+_URL_RE = "^https?://[^ /$.?#].[^ ]*$"
+_register(
+    "url_validate_normalize",
+    _sql_query(
+        _URLNORM_SQL.replace("{STR}", "STRING").replace(
+            "{RLIKE}", f"url RLIKE '{_URL_RE}'"
+        ),
+        ("documents",),
+        "D1 is_http_url regex + D2 strip_url_to_homepage as column exprs",
+        oracle=_URLNORM_SQL.replace("{STR}", "VARCHAR").replace(
+            "{RLIKE}", f"regexp_matches(url, '{_URL_RE}')"
+        ),
+    ),
+)
+
+
+# --- S5 gzip sniff predicate (helpers.py:198-216): endswith('.gz') on the
+# unquoted path OR content-type contains 'gzip'.
+_GZIP_SQL = """
+WITH resp AS (
+    SELECT doc_id,
+           'http://' || source || '.example.com/s' || CAST(doc_id AS {STR})
+             || CASE WHEN doc_id % 3 = 0 THEN '.xml.gz' ELSE '.xml' END AS url,
+           CASE WHEN doc_id % 4 = 0 THEN 'application/x-gzip'
+                WHEN doc_id % 4 = 1 THEN 'text/xml; charset=utf-8'
+                ELSE NULL END AS content_type
+    FROM documents
+)
+SELECT doc_id, url,
+       CASE WHEN lower(url) LIKE '%.gz'
+              OR lower(coalesce(content_type, '')) LIKE '%gzip%'
+            THEN 1 ELSE 0 END AS is_gzipped
+FROM resp
+ORDER BY doc_id
+"""
+_register(
+    "gzip_sniff",
+    _sql_query(
+        _GZIP_SQL.replace("{STR}", "STRING"),
+        ("documents",),
+        "S5 gzip sniff predicate as pure column expressions",
+        oracle=_GZIP_SQL.replace("{STR}", "VARCHAR"),
+    ),
+)
+
+
+# --- T1 DFS ordering as a recursive CTE (Spark 4 WITH RECURSIVE == DuckDB):
+# a deterministic 4-ary tree over doc_ids; path_key = '.'-joined zero-padded
+# child seq reproduces the reference's all_pages()/all_sitemaps() DFS order
+# (usp sitemap.py:113-119, 396-403) in pure SQL.
+_DFS_SQL = """
+WITH RECURSIVE edges AS (
+    SELECT doc_id AS child,
+           CASE WHEN doc_id = 0 THEN NULL
+                ELSE CAST(floor((doc_id - 1) / 4.0) AS BIGINT) END AS parent,
+           CAST((doc_id - 1) % 4 AS BIGINT) AS seq
+    FROM documents
+    WHERE doc_id < 200
+),
+walk(node, depth, path_key) AS (
+    SELECT child, 0, CAST('' AS {STR})
+    FROM edges WHERE parent IS NULL
+    UNION ALL
+    SELECT e.child, w.depth + 1,
+           w.path_key || lpad(CAST(e.seq AS {STR}), 7, '0') || '.'
+    FROM walk w JOIN edges e ON e.parent = w.node
+)
+SELECT node, depth, path_key,
+       repeat(chr(9), depth) || CAST(node AS {STR}) AS tabtree_line,
+       row_number() OVER (ORDER BY path_key, node) AS dfs_order
+FROM walk
+ORDER BY dfs_order
+"""
+_register(
+    "dfs_order_recursive",
+    _sql_query(
+        _DFS_SQL.replace("{STR}", "STRING"),
+        ("documents",),
+        "T1/T3 DFS lineage ordering + tabtree rendering via recursive CTE",
+        oracle=_DFS_SQL.replace("{STR}", "VARCHAR"),
+    ),
+)
