@@ -150,9 +150,8 @@ def _empty_pending(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame([], PENDING_SCHEMA)
 
 
-def prepare_fetches(fetches: DataFrame) -> DataFrame:
-    """Normalize a fetch store: unique url, final_url defaulted, 3xx chains
-    resolved.
+def prepare_fetches(fetches: DataFrame, cache: bool = True) -> DataFrame:
+    """Normalize a fetch store: final_url defaulted, 3xx chains resolved.
 
     The synthetic store plays the role of the live HTTP boundary
     (requests client, usp/web_client/requests_client.py:140-176). A 3xx row's
@@ -160,6 +159,16 @@ def prepare_fetches(fetches: DataFrame) -> DataFrame:
     way ``requests`` does transparently, recording the last hop's URL as the
     response URL (consumed by the redirect-cycle check,
     fetch_parse.py:164-173).
+
+    URL uniqueness is NOT enforced here — a global ``dropDuplicates`` would
+    shuffle every payload body in the store on every wave. Duplicates are
+    dropped per wave on the (tiny) matched slice in ``_fetch_join`` instead.
+
+    ``cache`` persists the prepared store so the ≤13 wave jobs don't re-run
+    the scan + redirect plan each time. Right for fixture/benchmark-sized
+    stores; pass ``cache=False`` for a real 100 TB store, where the per-wave
+    broadcast semi-join against a partition-pruned Iceberg scan is the
+    correct (and only feasible) plan.
     """
     cols = dict.fromkeys(fetches.columns)
     out = fetches
@@ -171,10 +180,11 @@ def prepare_fetches(fetches: DataFrame) -> DataFrame:
         out = out.withColumn("content_type", F.lit(None).cast("string"))
     if "body" not in cols:
         out = out.withColumn("body", F.lit(None).cast("binary"))
-    out = out.select(
-        "url", "final_url", "status", "content_type", "body"
-    ).dropDuplicates(["url"])
-    return _resolve_redirects(out)
+    out = out.select("url", "final_url", "status", "content_type", "body")
+    out = _resolve_redirects(out)
+    if cache:
+        out = out.persist(StorageLevel.MEMORY_AND_DISK)
+    return out
 
 
 def _is_redirect():
@@ -311,7 +321,20 @@ class _WaveRunner:
         blocked = pending.filter(F.col("blocked_reason").isNotNull())
 
         wave_urls = fetchable.select("url").distinct()
-        matched = self.fetches.join(F.broadcast(wave_urls), "url", "semi")
+        # per-wave dedup of the matched slice (wave-sized shuffle) replaces a
+        # store-wide dropDuplicates that would shuffle every body every wave
+        matched = self.fetches.join(
+            F.broadcast(wave_urls), "url", "semi"
+        ).dropDuplicates(["url"])
+        # anti-join key set built WITHOUT the dedup node: Deduplicate blocks
+        # column pruning, so broadcast(matched.select("url")) would collect
+        # full payload bodies through the driver — this projection scans the
+        # url column only
+        matched_urls = (
+            self.fetches.join(F.broadcast(wave_urls), "url", "semi")
+            .select("url")
+            .distinct()
+        )
 
         hits = matched.join(F.broadcast(fetchable), "url", "inner")
         null_fetch = [
@@ -321,7 +344,7 @@ class _WaveRunner:
             F.lit(None).cast("binary").alias("body"),
         ]
         misses = fetchable.join(
-            F.broadcast(matched.select("url")), "url", "left_anti"
+            F.broadcast(matched_urls), "url", "left_anti"
         ).select("*", *null_fetch)
         blocked = blocked.select("*", *null_fetch)
         wave_input = hits.unionByName(misses).unionByName(blocked)
@@ -365,6 +388,7 @@ def sitemap_tree_for_homepages(
     recurse_filter: RecurseFilter | None = None,
     checkpoint_dir: str | None = None,
     resume: bool = False,
+    cache_fetch_store: bool = True,
 ) -> SitemapForest:
     """Flagship entry: the reference ``sitemap_tree_for_homepage``
     (usp/tree.py:42-130) generalized to many seeds in one distributed run.
@@ -376,7 +400,7 @@ def sitemap_tree_for_homepages(
     ``set`` order (nondeterministic); we order them lexicographically so
     output is deterministic under parallelism.
     """
-    fetches = prepare_fetches(fetches)
+    fetches = prepare_fetches(fetches, cache=cache_fetch_store)
     seeds = _seed_frame(spark, homepages, normalize_homepage_url)
 
     runner_a = _WaveRunner(spark, fetches, recurse_filter, checkpoint_dir, "robots", resume)
@@ -452,6 +476,11 @@ def sitemap_tree_for_homepages(
     everything = outputs[0]
     for extra in outputs[1:]:
         everything = everything.unionByName(extra)
+
+    if cache_fetch_store:
+        # wave outputs are snapshotted (lineage truncated), so the cached
+        # store is no longer referenced by the result DataFrames
+        fetches.unpersist(blocking=False)
 
     forest = _assemble(spark, seeds, everything)
     # per-wave fetch/parse telemetry (north rule: per-partition lineage +

@@ -22,6 +22,7 @@ N_LOW, N_HIGH = 8, 32
 
 
 def run_crawl(cpus: int, corpus_path: str, n_hosts: int) -> dict:
+    from bench import warmup_crawl
     from frontier.waves import sitemap_tree_for_homepages
 
     spark = build_spark(cpus)
@@ -29,6 +30,8 @@ def run_crawl(cpus: int, corpus_path: str, n_hosts: int) -> dict:
     try:
         corpus = spark.read.parquet(corpus_path)
         seeds = [f"http://host{i}.example.com/" for i in range(n_hosts)]
+        # untimed JIT/worker warm-up (identical at both parallelism levels)
+        warmup_crawl(spark, corpus, n_hosts)
         start = time.perf_counter()
         forest = sitemap_tree_for_homepages(
             spark, seeds, corpus, use_known_paths=False
@@ -48,7 +51,7 @@ def run_crawl(cpus: int, corpus_path: str, n_hosts: int) -> dict:
 
 
 def main() -> None:
-    n_hosts = int(sys.argv[1]) if len(sys.argv) > 1 else 400
+    n_hosts = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
     leaves, pages = 4, 250
 
     workdir = f"/tmp/frontier_scaling_{os.getpid()}"
