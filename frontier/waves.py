@@ -6,7 +6,7 @@ stack fetches one sitemap at a time, depth-first. Here each *wave* fetches and
 parses every pending sitemap of one recursion level in parallel:
 
     pending --(semi-join filter)--> fetch store scan --(broadcast join)-->
-    mapInPandas parse kernel --> node/page/child rows --> next wave's pending
+    mapInArrow parse kernel --> node/page/child rows --> next wave's pending
 
 Depth-first output ordering is recovered by sorting on a zero-padded lineage
 ``path_key`` (SURVEY.md §3.4), so results are byte-identical to the
@@ -34,6 +34,7 @@ from pyspark.storagelevel import StorageLevel
 
 from . import parse as K
 from .schemas import (
+    PAGE_STRUCT,
     PARSE_OUT_SCHEMA,
     PENDING_SCHEMA,
     extend_path_key,
@@ -240,6 +241,7 @@ class _WaveRunner:
         checkpoint_dir: str | None,
         phase: str,
         resume: bool = False,
+        store_urls_unique: bool = False,
     ) -> None:
         self.spark = spark
         self.fetches = fetches
@@ -247,6 +249,7 @@ class _WaveRunner:
         self.checkpoint_dir = checkpoint_dir
         self.phase = phase
         self.resume = resume
+        self.store_urls_unique = store_urls_unique
         self.wave_outputs: list[DataFrame] = []
 
     def _snapshot(self, df: DataFrame, wave: int) -> DataFrame:
@@ -256,7 +259,7 @@ class _WaveRunner:
         (north rule: per-wave snapshots + resumability) — with ``resume``,
         an already-committed wave is read back instead of recomputed, so a
         crashed crawl restarts from its last completed wave. Without a dir,
-        persist + localCheckpoint.
+        localCheckpoint (one job; storage already columnar/binary).
         """
         if self.checkpoint_dir:
             path = os.path.join(self.checkpoint_dir, f"phase={self.phase}", f"wave={wave}")
@@ -264,18 +267,42 @@ class _WaveRunner:
             if not (self.resume and os.path.exists(committed)):
                 df.write.mode("overwrite").parquet(path)
             return self.spark.read.schema(PARSE_OUT_SCHEMA).parquet(path)
-        return df.persist(StorageLevel.MEMORY_AND_DISK).localCheckpoint(eager=True)
+        return df.localCheckpoint(eager=True)
 
     def run(self, pending: DataFrame) -> None:
         wave = 0
+        # small-side partition cap: pending/node/child rows are tiny and feed
+        # broadcasts + driver checks; scanning them over the parse stage's
+        # wide partitioning would cost a task launch (~10 ms) per near-empty
+        # partition, several times per wave
+        small_cap = max(8, self.spark.sparkContext.defaultParallelism // 4)
+        # assembly keeps enough width for downstream sorts/writes to use
+        # every core on their map side
+        assembly_cap = max(small_cap, self.spark.sparkContext.defaultParallelism // 2)
         while True:
-            joined = self._fetch_join(pending)
+            fetchable = pending.filter(F.col("blocked_reason").isNull())
+            blocked = pending.filter(F.col("blocked_reason").isNotNull())
+            joined = self._fetch_join(fetchable, blocked)
             parsed = self._snapshot(
-                joined.mapInPandas(parse_wave, PARSE_OUT_SCHEMA), wave
+                joined.mapInArrow(parse_wave, PARSE_OUT_SCHEMA), wave
             )
+            # store misses (the mock harness's 404 fallback,
+            # tests/tree/base.py:31-39): pending rows whose URL produced no
+            # node row. Derived from the (checkpointed) parse output instead
+            # of a second store scan — at a 100 TB store the extra
+            # broadcast-subquery scan per wave was the single biggest fixed
+            # cost. Lazy-checkpointed: nothing reads it until final assembly,
+            # then it's computed once and cached.
+            miss_nodes = self._miss_nodes(fetchable, parsed).localCheckpoint(
+                eager=False
+            )
+            # assembly reads the (already-materialized) snapshot through a
+            # narrow coalesce — final counts/sorts over a crawl's union of
+            # waves otherwise launch #waves × parse-width near-empty tasks
+            wave_out = parsed.coalesce(assembly_cap).unionByName(miss_nodes)
             # per-wave lineage tag for metrics/telemetry (north rule)
             self.wave_outputs.append(
-                parsed.withColumn("phase", F.lit(self.phase)).withColumn(
+                wave_out.withColumn("phase", F.lit(self.phase)).withColumn(
                     "wave", F.lit(wave)
                 )
             )
@@ -286,17 +313,26 @@ class _WaveRunner:
                 # a DataFrame-level filter applied between parse and expansion
                 children = self.recurse_filter(children)
 
-            pending = children.select(
-                F.col("seed"),
-                F.col("child_url").alias("url"),
-                F.col("url").alias("parent_url"),
-                "seq",
-                "level",
-                "lineage",
-                "path_key",
-                "parent_urls",
-                F.lit(False).alias("quiet_404"),
-                "blocked_reason",
+            # narrow-coalesce + eager checkpoint: ONE pass over the parse
+            # snapshot yields next wave's pending, cached small — the
+            # emptiness check and both broadcast builds of the next
+            # iteration then read a handful of cached partitions instead of
+            # re-scanning the wide snapshot three times
+            pending = (
+                children.select(
+                    F.col("seed"),
+                    F.col("child_url").alias("url"),
+                    F.col("url").alias("parent_url"),
+                    "seq",
+                    "level",
+                    "lineage",
+                    "path_key",
+                    "parent_urls",
+                    F.lit(False).alias("quiet_404"),
+                    "blocked_reason",
+                )
+                .coalesce(small_cap)
+                .localCheckpoint(eager=True)
             )
             if pending.isEmpty():
                 break
@@ -304,50 +340,73 @@ class _WaveRunner:
             if wave > K.MAX_RECURSION_LEVEL + 1:  # safety net; R1 blocks first
                 break
 
-    def _fetch_join(self, pending: DataFrame) -> DataFrame:
-        """(pending ⟕ fetch store) without ever moving payload bodies.
+    def _miss_nodes(self, fetchable: DataFrame, parsed: DataFrame) -> DataFrame:
+        """Invalid-node rows for pending URLs absent from the fetch store —
+        exactly what the parse stage emits for a 404
+        (udfs.unfetchable_reason + '404 Not Found'), built declaratively."""
+        parsed_urls = (
+            parsed.filter(F.col("rec") == "node")
+            .select(F.col("requested_url").alias("url"))
+        )
+        return fetchable.join(F.broadcast(parsed_urls), "url", "left_anti").select(
+            F.lit("node").alias("rec"),
+            "seed",
+            "url",
+            F.col("url").alias("requested_url"),
+            "parent_url",
+            "seq",
+            "level",
+            "lineage",
+            "path_key",
+            "parent_urls",
+            F.lit(K.KIND_INVALID).alias("kind"),
+            F.concat(
+                F.lit("Unable to fetch sitemap from "),
+                F.col("url"),
+                F.lit(": 404 Not Found"),
+            ).alias("reason"),
+            "quiet_404",
+            F.lit(None).cast("string").alias("child_url"),
+            F.lit(None).cast("string").alias("blocked_reason"),
+            F.lit(None).cast(PAGE_STRUCT).alias("page"),
+        )
+
+    def _fetch_join(self, fetchable: DataFrame, blocked: DataFrame) -> DataFrame:
+        """(pending ⨝ fetch store) without ever moving payload bodies.
 
         Plan shape (scale-critical at a 100 TB store):
 
         1. broadcast the wave's URL set into a semi-join → the ONLY scan of
-           the big table, with the join filter applied inside the scan stage;
+           the big table this wave, with the join filter applied inside the
+           scan stage (predicate pushdown / row-group pruning on url);
         2. broadcast the (tiny, body-free) pending rows onto the matched
            slice → bodies stay in the scan tasks, are never shuffled or
            broadcast, and parse parallelism follows the scan partitioning;
-        3. unmatched pending rows (404 semantics) and pre-blocked rows come
-           back with null fetch columns via cheap body-free branches.
+        3. pre-blocked rows come back with null fetch columns via a cheap
+           body-free branch; store misses never enter the parse stage at all
+           (see ``_miss_nodes``).
         """
-        fetchable = pending.filter(F.col("blocked_reason").isNull())
-        blocked = pending.filter(F.col("blocked_reason").isNotNull())
-
-        wave_urls = fetchable.select("url").distinct()
-        # per-wave dedup of the matched slice (wave-sized shuffle) replaces a
-        # store-wide dropDuplicates that would shuffle every body every wave
-        matched = self.fetches.join(
-            F.broadcast(wave_urls), "url", "semi"
-        ).dropDuplicates(["url"])
-        # anti-join key set built WITHOUT the dedup node: Deduplicate blocks
-        # column pruning, so broadcast(matched.select("url")) would collect
-        # full payload bodies through the driver — this projection scans the
-        # url column only
-        matched_urls = (
-            self.fetches.join(F.broadcast(wave_urls), "url", "semi")
-            .select("url")
-            .distinct()
-        )
-
-        hits = matched.join(F.broadcast(fetchable), "url", "inner")
+        if self.store_urls_unique:
+            # one broadcast, one join: scan → hash-probe pending → parse
+            hits = self.fetches.join(F.broadcast(fetchable), "url", "inner")
+        else:
+            # per-wave dedup of the matched slice (wave-sized shuffle)
+            # replaces a store-wide dropDuplicates that would shuffle every
+            # body every wave; the semi-join keeps bodies out of the dedup
+            # exchange's build side
+            wave_urls = fetchable.select("url").distinct()
+            matched = self.fetches.join(
+                F.broadcast(wave_urls), "url", "semi"
+            ).dropDuplicates(["url"])
+            hits = matched.join(F.broadcast(fetchable), "url", "inner")
         null_fetch = [
             F.lit(None).cast("string").alias("final_url"),
             F.lit(None).cast("int").alias("status"),
             F.lit(None).cast("string").alias("content_type"),
             F.lit(None).cast("binary").alias("body"),
         ]
-        misses = fetchable.join(
-            F.broadcast(matched_urls), "url", "left_anti"
-        ).select("*", *null_fetch)
         blocked = blocked.select("*", *null_fetch)
-        wave_input = hits.unionByName(misses).unionByName(blocked)
+        wave_input = hits.unionByName(blocked)
         # the union SUMS its branches' partition counts, and pending inherits
         # this wave's count — unchecked, partitions double every wave and the
         # parse stage degenerates into thousands of empty Python-worker
@@ -373,7 +432,12 @@ def _seed_frame(
             homepage += "/"
         if homepage not in seeds:
             seeds.append(homepage)
-    return spark.createDataFrame([(s,) for s in seeds], "seed string")
+    # Arrow-backed local relation (pandas input): executes JVM-side, unlike a
+    # plain list which becomes a pickled Python RDD and pays a Python-worker
+    # launch per task on every scan
+    import pandas as pd
+
+    return spark.createDataFrame(pd.DataFrame({"seed": seeds}))
 
 
 def sitemap_tree_for_homepages(
@@ -389,6 +453,7 @@ def sitemap_tree_for_homepages(
     checkpoint_dir: str | None = None,
     resume: bool = False,
     cache_fetch_store: bool = True,
+    store_urls_unique: bool = False,
 ) -> SitemapForest:
     """Flagship entry: the reference ``sitemap_tree_for_homepage``
     (usp/tree.py:42-130) generalized to many seeds in one distributed run.
@@ -403,7 +468,10 @@ def sitemap_tree_for_homepages(
     fetches = prepare_fetches(fetches, cache=cache_fetch_store)
     seeds = _seed_frame(spark, homepages, normalize_homepage_url)
 
-    runner_a = _WaveRunner(spark, fetches, recurse_filter, checkpoint_dir, "robots", resume)
+    runner_a = _WaveRunner(
+        spark, fetches, recurse_filter, checkpoint_dir, "robots", resume,
+        store_urls_unique,
+    )
     if use_robots:
         pending0 = seeds.select(
             F.col("seed"),
@@ -433,12 +501,17 @@ def sitemap_tree_for_homepages(
     # node (tree.py:103-105 collects all_sitemaps() of the robots tree)
     robots_found = robots_nodes.filter(F.col("level") >= 1).select("seed", "url")
 
-    runner_b = _WaveRunner(spark, fetches, recurse_filter, checkpoint_dir, "known_paths", resume)
+    runner_b = _WaveRunner(
+        spark, fetches, recurse_filter, checkpoint_dir, "known_paths", resume,
+        store_urls_unique,
+    )
     if use_known_paths:
+        import pandas as pd
+
         paths = sorted(KNOWN_SITEMAP_PATHS | set(extra_known_paths))
         paths_df = spark.createDataFrame(
-            [(i + 1, p) for i, p in enumerate(paths)], "pseq int, path string"
-        )
+            pd.DataFrame({"pseq": range(1, len(paths) + 1), "path": paths})
+        ).select(F.col("pseq").cast("int"), "path")
         robots_sets = robots_found.groupBy("seed").agg(
             F.collect_set("url").alias("robots_urls")
         )

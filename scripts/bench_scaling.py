@@ -34,7 +34,7 @@ def run_crawl(cpus: int, corpus_path: str, n_hosts: int) -> dict:
         warmup_crawl(spark, corpus, n_hosts)
         start = time.perf_counter()
         forest = sitemap_tree_for_homepages(
-            spark, seeds, corpus, use_known_paths=False
+            spark, seeds, corpus, use_known_paths=False, store_urls_unique=True
         )
         n_pages = forest.pages.count()
         n_nodes = forest.nodes.count()
