@@ -80,13 +80,20 @@ PENDING_SCHEMA = T.StructType(
     ]
 )
 
-# --- unified parse-stage output (one mapInPandas pass per wave) ----------------
+# --- unified parse-stage output (one mapInArrow pass per wave) -----------------
+#
+# Page records ride PACKED on their owning node row (``pages`` array) instead
+# of one output row per page: a leaf sitemap with 50k URLs crosses the
+# Arrow boundary and the wave snapshot as ONE row, and the engine explodes
+# lazily at assembly (posexplode preserves the reference's declaration-order
+# ``seq``). At scale this is the difference between the JVM materializing
+# 10^8 nested rows per wave and 10^5.
 
 PARSE_OUT_SCHEMA = T.StructType(
     [
-        T.StructField("rec", T.StringType(), nullable=False),  # node | page | child
+        T.StructField("rec", T.StringType(), nullable=False),  # node | child
         T.StructField("seed", T.StringType(), nullable=False),
-        T.StructField("url", T.StringType()),  # node: final URL; page/child: owner
+        T.StructField("url", T.StringType()),  # node: final URL; child: owner
         T.StructField("requested_url", T.StringType()),
         T.StructField("parent_url", T.StringType()),
         T.StructField("seq", T.IntegerType()),
@@ -99,7 +106,7 @@ PARSE_OUT_SCHEMA = T.StructType(
         T.StructField("quiet_404", T.BooleanType()),
         T.StructField("child_url", T.StringType()),
         T.StructField("blocked_reason", T.StringType()),
-        T.StructField("page", PAGE_STRUCT),
+        T.StructField("pages", T.ArrayType(PAGE_STRUCT)),
     ]
 )
 

@@ -13,10 +13,9 @@ The stage is columnar end-to-end: Arrow batch in → per-column Python lists →
 ``pa.RecordBatch`` out. No pandas materialization, no dict-per-row churn —
 at 100 TB the worker-side conversion cost is the difference between the
 parse stage being CPU-bound on expat (good) or on object plumbing (bad).
-Page rows carry only the columns downstream consumers read (seed, url,
-path_key, seq, page); lineage/parent arrays ride on node/child rows only,
-which shrinks the Arrow transfer and the per-wave snapshot by ~40% on
-page-heavy waves.
+Page records ride PACKED as an array on their node row (see schemas.py) so
+a 50k-URL leaf is ONE row through Arrow, the JVM row converter, and the
+wave snapshot; the engine explodes lazily at assembly.
 
 All per-row work happens here, batched over Arrow; everything around it is
 declarative DataFrame plumbing (SURVEY.md §2.6 "UDF surface").
@@ -172,7 +171,14 @@ class _Out:
 
     # --- row emitters (positional appends; this is the hot path) -----------
 
-    def node(self, base: dict, url: str, kind: str, reason: str | None) -> None:
+    def node(
+        self,
+        base: dict,
+        url: str,
+        kind: str,
+        reason: str | None,
+        pages: list | None = None,
+    ) -> None:
         self.rec.append("node")
         self.seed.append(base["seed"])
         self.url.append(url)
@@ -188,28 +194,10 @@ class _Out:
         self.quiet_404.append(base["quiet_404"])
         self.child_url.append(None)
         self.blocked_reason.append(None)
-        self.page.append(None)
-        self.n += 1
-
-    def page_row(self, base: dict, url: str, seq: int, page: dict) -> None:
-        # trimmed: pages only need (seed, url, path_key, seq, page) downstream
-        self.rec.append("page")
-        self.seed.append(base["seed"])
-        self.url.append(url)
-        self.requested_url.append(None)
-        self.parent_url.append(None)
-        self.seq.append(seq)
-        self.level.append(base["level"])
-        self.lineage.append(None)
-        self.path_key.append(base["path_key"])
-        self.parent_urls.append(None)
-        self.kind.append(None)
-        self.reason.append(None)
-        self.quiet_404.append(None)
-        self.child_url.append(None)
-        self.blocked_reason.append(None)
-        self.page.append(page)
-        self.n += 1
+        self.pages.append(pages)
+        # a packed leaf counts as its page-cardinality toward the flush
+        # threshold so Arrow batches stay bounded in bytes, not just rows
+        self.n += 1 + (len(pages) if pages else 0)
 
     def child(
         self,
@@ -238,7 +226,7 @@ class _Out:
         self.quiet_404.append(base["quiet_404"])
         self.child_url.append(child_url)
         self.blocked_reason.append(blocked)
-        self.page.append(None)
+        self.pages.append(None)
         self.n += 1
 
 
@@ -279,10 +267,13 @@ def process_pending_row(row: dict[str, Any], out: _Out) -> None:
     )
     doc = K.parse_sitemap_text(final_url, text)
 
-    out.node(base, final_url, doc.kind, doc.reason)
-
-    for i, record in enumerate(doc.pages):
-        out.page_row(base, final_url, i, page_struct(record))
+    out.node(
+        base,
+        final_url,
+        doc.kind,
+        doc.reason,
+        [page_struct(r) for r in doc.pages] if doc.pages else None,
+    )
 
     child_level = row["level"] + 1
     child_parents = parent_urls + [final_url]

@@ -29,7 +29,7 @@ import os
 from dataclasses import dataclass
 from typing import Callable, Iterable, Sequence
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 from pyspark.storagelevel import StorageLevel
 
 from . import parse as K
@@ -259,7 +259,11 @@ class _WaveRunner:
         (north rule: per-wave snapshots + resumability) — with ``resume``,
         an already-committed wave is read back instead of recomputed, so a
         crashed crawl restarts from its last completed wave. Without a dir,
-        localCheckpoint (one job; storage already columnar/binary).
+        localCheckpoint at DISK_ONLY: the on-heap memory store serializes
+        concurrent block writes badly (measured 8× slower than DISK_ONLY at
+        32 writer threads on a page-heavy wave — allocation/GC contention),
+        while DISK_ONLY streams through the OS page cache and scales with
+        cores.
         """
         if self.checkpoint_dir:
             path = os.path.join(self.checkpoint_dir, f"phase={self.phase}", f"wave={wave}")
@@ -267,7 +271,7 @@ class _WaveRunner:
             if not (self.resume and os.path.exists(committed)):
                 df.write.mode("overwrite").parquet(path)
             return self.spark.read.schema(PARSE_OUT_SCHEMA).parquet(path)
-        return df.localCheckpoint(eager=True)
+        return df.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
 
     def run(self, pending: DataFrame) -> None:
         wave = 0
@@ -368,7 +372,7 @@ class _WaveRunner:
             "quiet_404",
             F.lit(None).cast("string").alias("child_url"),
             F.lit(None).cast("string").alias("blocked_reason"),
-            F.lit(None).cast(PAGE_STRUCT).alias("page"),
+            F.lit(None).cast(T.ArrayType(PAGE_STRUCT)).alias("pages"),
         )
 
     def _fetch_join(self, fetchable: DataFrame, blocked: DataFrame) -> DataFrame:
@@ -454,6 +458,7 @@ def sitemap_tree_for_homepages(
     resume: bool = False,
     cache_fetch_store: bool = True,
     store_urls_unique: bool = False,
+    fetches_prepared: bool = False,
 ) -> SitemapForest:
     """Flagship entry: the reference ``sitemap_tree_for_homepage``
     (usp/tree.py:42-130) generalized to many seeds in one distributed run.
@@ -465,7 +470,8 @@ def sitemap_tree_for_homepages(
     ``set`` order (nondeterministic); we order them lexicographically so
     output is deterministic under parallelism.
     """
-    fetches = prepare_fetches(fetches, cache=cache_fetch_store)
+    if not fetches_prepared:
+        fetches = prepare_fetches(fetches, cache=cache_fetch_store)
     seeds = _seed_frame(spark, homepages, normalize_homepage_url)
 
     runner_a = _WaveRunner(
@@ -550,9 +556,10 @@ def sitemap_tree_for_homepages(
     for extra in outputs[1:]:
         everything = everything.unionByName(extra)
 
-    if cache_fetch_store:
+    if cache_fetch_store and not fetches_prepared:
         # wave outputs are snapshotted (lineage truncated), so the cached
-        # store is no longer referenced by the result DataFrames
+        # store is no longer referenced by the result DataFrames; a
+        # caller-prepared store is the caller's to unpersist
         fetches.unpersist(blocking=False)
 
     forest = _assemble(spark, seeds, everything)
@@ -564,7 +571,7 @@ def sitemap_tree_for_homepages(
             F.when((F.col("rec") == "node") & (F.col("kind") == K.KIND_INVALID), 1)
             .otherwise(0)
         ).alias("n_invalid"),
-        F.sum(F.when(F.col("rec") == "page", 1).otherwise(0)).alias("n_pages"),
+        F.sum(F.coalesce(F.size("pages"), F.lit(0))).alias("n_pages"),
         F.sum(F.when(F.col("rec") == "child", 1).otherwise(0)).alias("n_children"),
     )
     return forest
@@ -603,11 +610,21 @@ def _assemble(spark: SparkSession, seeds: DataFrame, parse_out: DataFrame) -> Si
     nodes = level0.unionByName(nodes.filter(F.col("level") != 0))
     all_nodes = roots.unionByName(nodes).withColumn("depth", F.col("level") + 1)
 
+    # pages are packed per node (schemas.py) — posexplode recovers the
+    # reference's declaration-order ``seq`` lazily, in whole-stage codegen,
+    # without the parse stage ever materializing one row per page
     pages = (
-        parse_out.filter(F.col("rec") == "page")
+        parse_out.filter(F.col("rec") == "node")
+        .filter(F.col("pages").isNotNull())
         .select(
             "seed",
             F.col("url").alias("sitemap_url"),
+            "path_key",
+            F.posexplode("pages").alias("seq", "page"),
+        )
+        .select(
+            "seed",
+            "sitemap_url",
             "path_key",
             "seq",
             F.col("page.url").alias("page_url"),
