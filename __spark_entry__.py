@@ -74,6 +74,48 @@ def _media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_media_metadata(media).orderBy("doc_id")
 
 
+def _media_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(F.col("doc_id"), F.encode("text", "utf-8").alias("payload"))
+
+
+def _media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize plumbing (stub transform; rows-only check)."""
+    from pyspark.sql import functions as F
+
+    from frontier.multimodal import resize_images
+
+    out = resize_images(_media_payloads(spark, sf_dir), 224, 224)
+    return out.select(
+        "doc_id", "width", "height", F.sha2("payload", 256).alias("payload_sha")
+    ).orderBy("doc_id")
+
+
+def _media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling plumbing (stub sampler; rows-only check)."""
+    from frontier.multimodal import sample_video_frames
+
+    out = sample_video_frames(_media_payloads(spark, sf_dir), every_n=2)
+    return out.select("doc_id", "frame_idx", "frame_sha256").orderBy(
+        "doc_id", "frame_idx"
+    )
+
+
+def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media feature extraction into the ANN embedding contract
+    (stub embedder; rows-only check)."""
+    from pyspark.sql import functions as F
+
+    from frontier.multimodal import extract_media_features
+
+    out = extract_media_features(_media_payloads(spark, sf_dir), dim=16)
+    return out.select(
+        "doc_id", F.round(F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x * x), 4).alias("sq_norm")
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         name: qd.build for name, qd in REGISTRY.items()
@@ -81,6 +123,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["frontier_crawl"] = _frontier_crawl
     out["flagship_tree"] = lambda spark, sf_dir: _flagship(spark)
     out["media_metadata"] = _media_metadata
+    out["media_resize"] = _media_resize
+    out["media_frames"] = _media_frames
+    out["media_features"] = _media_features
     return out
 
 

@@ -118,6 +118,65 @@ _register(
     ),
 )
 
+# P3: plain-text sitemap extraction (fetch_parse.py:380-402) — a synthetic
+# line corpus is derived deterministically from `documents` (valid URLs with
+# surrounding whitespace, duplicates via modulo, junk lines, blanks), then the
+# reference pipeline runs: split lines → strip → keep http(s) URLs (D1 regex,
+# helpers.py:29) → ordered first-wins dedup → page records at default
+# priority 0.5.
+_PLAINTEXT_SQL = """
+WITH body_lines AS (
+    SELECT
+        source,
+        doc_id AS line_no,
+        CASE CAST(doc_id % 4 AS INTEGER)
+             WHEN 0 THEN 'http://' || source || '.example.com/p'
+                  || CAST(doc_id AS {STR})
+             WHEN 1 THEN '  https://' || source || '.example.com/q'
+                  || CAST(doc_id % 50 AS {STR}) || '  '
+             WHEN 2 THEN 'not a url at all'
+             ELSE ''
+        END AS line
+    FROM documents
+),
+stripped AS (
+    SELECT source, line_no, trim(line) AS page_url
+    FROM body_lines
+),
+valid AS (
+    SELECT source, line_no, page_url
+    FROM stripped
+    WHERE {URL_OK}
+),
+deduped AS (
+    SELECT source, page_url, line_no,
+           row_number() OVER (PARTITION BY source, page_url
+                              ORDER BY line_no) AS rn
+    FROM valid
+)
+SELECT source, page_url, line_no AS first_line,
+       CAST(0.5 AS DOUBLE) AS priority
+FROM deduped WHERE rn = 1
+ORDER BY source, first_line
+"""
+_URL_RE = "^https?://[^{WS}/$.?#].[^{WS}]*$"
+_register(
+    "plaintext_extract",
+    _sql_query(
+        _PLAINTEXT_SQL.replace("{STR}", "STRING").replace(
+            "{URL_OK}",
+            "page_url RLIKE '(?i)" + _URL_RE.replace("{WS}", "\\\\s") + "'",
+        ),
+        ("documents",),
+        "P3 plain-text sitemap pipeline: line split, D1 URL regex, "
+        "first-wins dedup, default priority",
+        oracle=_PLAINTEXT_SQL.replace("{STR}", "VARCHAR").replace(
+            "{URL_OK}",
+            "regexp_matches(page_url, '" + _URL_RE.replace("{WS}", "\\s") + "', 'i')",
+        ),
+    ),
+)
+
 # R8-style first-wins URL dedup: earliest event per (user, type)
 _FIRST_WINS_SQL = """
 WITH ranked AS (
