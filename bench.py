@@ -55,7 +55,16 @@ def build_spark(cpus: int):
         # the fetch-store scan drives parse parallelism (see waves.py
         # _fetch_join): small partitions → every core parses
         .config("spark.sql.files.maxPartitionBytes", str(1 * 1024 * 1024))
-        .config("spark.driver.memory", "16g")
+        # heap scales with threads, as executor heaps would on a cluster
+        # (N→4N executors brings 4× heap on a real cluster; an undersized
+        # shared local heap collapses into GC thrash at 32 writer threads —
+        # measured 55.7 s → 9.2 s for one checkpoint stage going 16g → 96g)
+        .config("spark.driver.memory", f"{max(16, (3 * cpus) // 2)}g")
+        # G1 wins for the flat-row wave/page output (measured 19.4 s
+        # ParallelGC vs 11.9 s G1 for the full 2M-page crawl at local[32];
+        # ParallelGC only won when page records were packed into ~50 KB
+        # humongous node rows, a design since removed)
+        .config("spark.driver.extraJavaOptions", "-XX:+UseG1GC")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

@@ -258,18 +258,40 @@ _FREQS = ["always", "hourly", "daily", "weekly", "monthly", "yearly", "never"]
 
 
 def _leaf_body(host: str, leaf: int, pages_per_leaf: int) -> str:
+    """Representative urlset leaf: every page has scalar fields; every 5th
+    carries a Google News block and every 10th an image block (the extension
+    mix of real news-site sitemaps, usp's headline use case)."""
     parts = [
         '<?xml version="1.0" encoding="UTF-8"?>',
-        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">',
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"'
+        ' xmlns:news="http://www.google.com/schemas/sitemap-news/0.9"'
+        ' xmlns:image="http://www.google.com/schemas/sitemap-image/1.1">',
     ]
     for i in range(pages_per_leaf):
         key = (leaf * 7919 + i * 104729) % 100000
         day = 1 + key % 28
+        stamp = f"2025-{1 + key % 12:02d}-{day:02d}T{key % 24:02d}:00:00+00:00"
+        extra = ""
+        if i % 5 == 0:
+            extra += (
+                "<news:news><news:publication>"
+                f"<news:name>Daily {host}</news:name>"
+                "<news:language>en</news:language></news:publication>"
+                f"<news:publication_date>{stamp}</news:publication_date>"
+                f"<news:title>Story {leaf}-{i} &amp; more</news:title>"
+                f"<news:keywords>k{key % 13}, k{key % 7}</news:keywords>"
+                "</news:news>"
+            )
+        if i % 10 == 0:
+            extra += (
+                f"<image:image><image:loc>http://{host}/img{leaf}_{i}.jpg</image:loc>"
+                f"<image:caption>caption {key}</image:caption></image:image>"
+            )
         parts.append(
             f"<url><loc>http://{host}/p{leaf}_{i}.html</loc>"
-            f"<lastmod>2025-{1 + key % 12:02d}-{day:02d}T{key % 24:02d}:00:00+00:00</lastmod>"
+            f"<lastmod>{stamp}</lastmod>"
             f"<changefreq>{_FREQS[key % 7]}</changefreq>"
-            f"<priority>0.{key % 10}</priority></url>"
+            f"<priority>0.{key % 10}</priority>{extra}</url>"
         )
     parts.append("</urlset>")
     return "\n".join(parts)

@@ -5,17 +5,16 @@ Input: pending frontier rows joined with the fetch store
 synthesized declaratively in waves.py — the 404 fallback of the reference
 test harness, tests/tree/base.py:31-39, never reaches this stage).
 Output: the flat union PARSE_OUT_SCHEMA — ``node`` rows (one per consumed
-pending row), ``page`` rows (exploded records), ``child`` rows (ready-made
-pending rows for the next wave with depth-limit / ancestor-cycle pre-checks
-already applied).
+pending row, with a page COUNT only) and ``child`` rows (ready-made pending
+rows for the next wave with depth-limit / ancestor-cycle pre-checks already
+applied). Page records are extracted in a separate lazy pass
+(:func:`parse_pages`) that runs once over leaf bodies at consumption time —
+see the rationale in schemas.py.
 
 The stage is columnar end-to-end: Arrow batch in → per-column Python lists →
 ``pa.RecordBatch`` out. No pandas materialization, no dict-per-row churn —
 at 100 TB the worker-side conversion cost is the difference between the
 parse stage being CPU-bound on expat (good) or on object plumbing (bad).
-Page records ride PACKED as an array on their node row (see schemas.py) so
-a 50k-URL leaf is ONE row through Arrow, the JVM row converter, and the
-wave snapshot; the engine explodes lazily at assembly.
 
 All per-row work happens here, batched over Arrow; everything around it is
 declarative DataFrame plumbing (SURVEY.md §2.6 "UDF surface").
@@ -30,15 +29,17 @@ from typing import Any, Iterable, Iterator
 import pyarrow as pa
 
 from . import parse as K
-from .schemas import PARSE_OUT_SCHEMA, extend_path_key
+from .schemas import PAGES_FLAT_SCHEMA, PARSE_OUT_SCHEMA, extend_path_key
 from .textnorm import decode_sitemap_body
 
 try:  # Spark's own Catalyst→Arrow mapping keeps the schemas in lockstep
     from pyspark.sql.pandas.types import to_arrow_schema
 
     ARROW_OUT_SCHEMA = to_arrow_schema(PARSE_OUT_SCHEMA)
+    ARROW_PAGES_SCHEMA = to_arrow_schema(PAGES_FLAT_SCHEMA)
 except Exception:  # pragma: no cover - fallback for import-time environments
     ARROW_OUT_SCHEMA = None
+    ARROW_PAGES_SCHEMA = None
 
 _OUT_COLUMNS = [f.name for f in PARSE_OUT_SCHEMA.fields]
 
@@ -105,21 +106,6 @@ def _news_struct(story: dict[str, Any] | None):
     }
 
 
-def page_struct(record: dict[str, Any]) -> dict[str, Any]:
-    """Kernel page record → PAGE_STRUCT dict."""
-    lastmod, offset = _utc_and_offset(record.get("last_modified"))
-    return {
-        "url": record["url"],
-        "priority": record.get("priority", K.DEFAULT_PRIORITY),
-        "last_modified": lastmod,
-        "last_modified_offset_seconds": offset,
-        "change_frequency": record.get("change_frequency"),
-        "news_story": _news_struct(record.get("news_story")),
-        "images": record.get("images"),
-        "alternates": record.get("alternates"),
-    }
-
-
 def depth_exceeded_reason(child_url: str) -> str:
     """fetch_parse.py:109-112 wrapped by :754-758."""
     return (
@@ -177,7 +163,7 @@ class _Out:
         url: str,
         kind: str,
         reason: str | None,
-        pages: list | None = None,
+        n_pages: int = 0,
     ) -> None:
         self.rec.append("node")
         self.seed.append(base["seed"])
@@ -194,10 +180,8 @@ class _Out:
         self.quiet_404.append(base["quiet_404"])
         self.child_url.append(None)
         self.blocked_reason.append(None)
-        self.pages.append(pages)
-        # a packed leaf counts as its page-cardinality toward the flush
-        # threshold so Arrow batches stay bounded in bytes, not just rows
-        self.n += 1 + (len(pages) if pages else 0)
+        self.n_pages.append(n_pages)
+        self.n += 1
 
     def child(
         self,
@@ -226,7 +210,7 @@ class _Out:
         self.quiet_404.append(base["quiet_404"])
         self.child_url.append(child_url)
         self.blocked_reason.append(blocked)
-        self.pages.append(None)
+        self.n_pages.append(0)
         self.n += 1
 
 
@@ -265,15 +249,9 @@ def process_pending_row(row: dict[str, Any], out: _Out) -> None:
     text = decode_sitemap_body(
         final_url, row["content_type"], bytes(body), K.MAX_SITEMAP_BYTES
     )
-    doc = K.parse_sitemap_text(final_url, text)
+    doc = K.parse_sitemap_text(final_url, text, count_only=True)
 
-    out.node(
-        base,
-        final_url,
-        doc.kind,
-        doc.reason,
-        [page_struct(r) for r in doc.pages] if doc.pages else None,
-    )
+    out.node(base, final_url, doc.kind, doc.reason, doc.page_count)
 
     child_level = row["level"] + 1
     child_parents = parent_urls + [final_url]
@@ -296,6 +274,74 @@ def process_pending_row(row: dict[str, Any], out: _Out) -> None:
             child_parents,
             blocked,
         )
+
+
+_PAGES_IN_COLUMNS = ["seed", "sitemap_url", "path_key", "content_type", "body"]
+
+
+class _PagesOut:
+    """Columnar accumulator for the flat page pass."""
+
+    __slots__ = tuple(f.name for f in PAGES_FLAT_SCHEMA.fields) + ("n",)
+
+    def __init__(self) -> None:
+        for f in PAGES_FLAT_SCHEMA.fields:
+            setattr(self, f.name, [])
+        self.n = 0
+
+    def flush(self) -> pa.RecordBatch:
+        arrays = [
+            pa.array(getattr(self, f.name), type=f.type)
+            for f in ARROW_PAGES_SCHEMA
+        ]
+        batch = pa.RecordBatch.from_arrays(arrays, schema=ARROW_PAGES_SCHEMA)
+        self.__init__()
+        return batch
+
+
+def parse_pages(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    """mapInArrow kernel for the lazy page-extraction pass.
+
+    Input: leaf-node rows re-joined with their store bodies
+    ``(seed, sitemap_url, path_key, content_type, body)`` where
+    ``sitemap_url`` is the node's final URL (the parse base URL, matching
+    what the wave parse used). Output: one flat row per page record,
+    declaration order preserved in ``seq`` — identical records to what a
+    single-pass parse would have produced (the kernel is deterministic), but
+    with zero intermediate materialization between store and consumer."""
+    out = _PagesOut()
+    for batch in batches:
+        names = batch.schema.names
+        cols = [
+            batch.column(names.index(c)).to_pylist()
+            if c in names
+            else [None] * batch.num_rows
+            for c in _PAGES_IN_COLUMNS
+        ]
+        for seed, sitemap_url, path_key, content_type, body in zip(*cols):
+            text = decode_sitemap_body(
+                sitemap_url, content_type, bytes(body or b""), K.MAX_SITEMAP_BYTES
+            )
+            doc = K.parse_sitemap_text(sitemap_url, text)
+            for seq, rec in enumerate(doc.pages):
+                out.seed.append(seed)
+                out.sitemap_url.append(sitemap_url)
+                out.path_key.append(path_key)
+                out.seq.append(seq)
+                out.page_url.append(rec["url"])
+                out.priority.append(rec.get("priority", K.DEFAULT_PRIORITY))
+                lastmod, offset = _utc_and_offset(rec.get("last_modified"))
+                out.last_modified.append(lastmod)
+                out.last_modified_offset_seconds.append(offset)
+                out.change_frequency.append(rec.get("change_frequency"))
+                out.news_story.append(_news_struct(rec.get("news_story")))
+                out.images.append(rec.get("images"))
+                out.alternates.append(rec.get("alternates"))
+                out.n += 1
+                if out.n >= _FLUSH_ROWS:
+                    yield out.flush()
+    if out.n:
+        yield out.flush()
 
 
 def parse_wave(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:

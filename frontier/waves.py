@@ -29,19 +29,18 @@ import os
 from dataclasses import dataclass
 from typing import Callable, Iterable, Sequence
 
-from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.storagelevel import StorageLevel
 
 from . import parse as K
 from .schemas import (
-    PAGE_STRUCT,
+    PAGES_FLAT_SCHEMA,
     PARSE_OUT_SCHEMA,
     PENDING_SCHEMA,
-    extend_path_key,
     path_segment,
 )
 from .textnorm import is_http_url, strip_url_to_homepage
-from .udfs import parse_wave
+from .udfs import parse_pages, parse_wave
 
 #: Well-known sitemap locations probed besides robots.txt
 #: (usp/tree.py:23-38 ``_UNPUBLISHED_SITEMAP_PATHS``).
@@ -77,6 +76,7 @@ _NODE_COLS = [
     "path_key",
     "kind",
     "reason",
+    "n_pages",
 ]
 
 
@@ -274,6 +274,10 @@ class _WaveRunner:
         return df.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
 
     def run(self, pending: DataFrame) -> None:
+        import sys
+        import time
+
+        trace = bool(os.environ.get("FRONTIER_WAVE_TIMING"))
         wave = 0
         # small-side partition cap: pending/node/child rows are tiny and feed
         # broadcasts + driver checks; scanning them over the parse stage's
@@ -284,12 +288,19 @@ class _WaveRunner:
         # every core on their map side
         assembly_cap = max(small_cap, self.spark.sparkContext.defaultParallelism // 2)
         while True:
+            t0 = time.perf_counter()
             fetchable = pending.filter(F.col("blocked_reason").isNull())
             blocked = pending.filter(F.col("blocked_reason").isNotNull())
             joined = self._fetch_join(fetchable, blocked)
             parsed = self._snapshot(
                 joined.mapInArrow(parse_wave, PARSE_OUT_SCHEMA), wave
             )
+            if trace:
+                print(
+                    f"[wave {self.phase}/{wave}] parse+snapshot "
+                    f"{time.perf_counter() - t0:.2f}s",
+                    file=sys.stderr,
+                )
             # store misses (the mock harness's 404 fallback,
             # tests/tree/base.py:31-39): pending rows whose URL produced no
             # node row. Derived from the (checkpointed) parse output instead
@@ -338,6 +349,12 @@ class _WaveRunner:
                 .coalesce(small_cap)
                 .localCheckpoint(eager=True)
             )
+            if trace:
+                print(
+                    f"[wave {self.phase}/{wave}] expand+checkpoint "
+                    f"{time.perf_counter() - t0:.2f}s total",
+                    file=sys.stderr,
+                )
             if pending.isEmpty():
                 break
             wave += 1
@@ -372,7 +389,7 @@ class _WaveRunner:
             "quiet_404",
             F.lit(None).cast("string").alias("child_url"),
             F.lit(None).cast("string").alias("blocked_reason"),
-            F.lit(None).cast(T.ArrayType(PAGE_STRUCT)).alias("pages"),
+            F.lit(0).alias("n_pages"),
         )
 
     def _fetch_join(self, fetchable: DataFrame, blocked: DataFrame) -> DataFrame:
@@ -562,7 +579,7 @@ def sitemap_tree_for_homepages(
         # caller-prepared store is the caller's to unpersist
         fetches.unpersist(blocking=False)
 
-    forest = _assemble(spark, seeds, everything)
+    forest = _assemble(spark, seeds, everything, fetches, store_urls_unique)
     # per-wave fetch/parse telemetry (north rule: per-partition lineage +
     # metrics ride on every snapshot; this is the per-wave rollup)
     forest.wave_metrics = everything.groupBy("phase", "wave").agg(
@@ -571,15 +588,22 @@ def sitemap_tree_for_homepages(
             F.when((F.col("rec") == "node") & (F.col("kind") == K.KIND_INVALID), 1)
             .otherwise(0)
         ).alias("n_invalid"),
-        F.sum(F.coalesce(F.size("pages"), F.lit(0))).alias("n_pages"),
+        F.sum(F.coalesce(F.col("n_pages"), F.lit(0))).alias("n_pages"),
         F.sum(F.when(F.col("rec") == "child", 1).otherwise(0)).alias("n_children"),
     )
     return forest
 
 
-def _assemble(spark: SparkSession, seeds: DataFrame, parse_out: DataFrame) -> SitemapForest:
+def _assemble(
+    spark: SparkSession,
+    seeds: DataFrame,
+    parse_out: DataFrame,
+    fetches: DataFrame,
+    store_urls_unique: bool = False,
+) -> SitemapForest:
     """Build the final forest: drop invalid phase roots (tree.py:100-101,
-    125-126), add website roots, re-densify root-child seq, flatten pages."""
+    125-126), add website roots, re-densify root-child seq, and wire the
+    LAZY page-extraction pass (see schemas.py PARSE_OUT_SCHEMA rationale)."""
     nodes = parse_out.filter(F.col("rec") == "node").select(*_NODE_COLS)
     # a root-level invalid result is dropped together with (nonexistent)
     # descendants; deeper invalids stay as tree nodes
@@ -596,6 +620,7 @@ def _assemble(spark: SparkSession, seeds: DataFrame, parse_out: DataFrame) -> Si
         F.lit("").alias("path_key"),
         F.lit(K.KIND_WEBSITE).alias("kind"),
         F.lit(None).cast("string").alias("reason"),
+        F.lit(0).alias("n_pages"),
     )
 
     from pyspark.sql.window import Window
@@ -610,35 +635,31 @@ def _assemble(spark: SparkSession, seeds: DataFrame, parse_out: DataFrame) -> Si
     nodes = level0.unionByName(nodes.filter(F.col("level") != 0))
     all_nodes = roots.unionByName(nodes).withColumn("depth", F.col("level") + 1)
 
-    # pages are packed per node (schemas.py) — posexplode recovers the
-    # reference's declaration-order ``seq`` lazily, in whole-stage codegen,
-    # without the parse stage ever materializing one row per page
-    pages = (
-        parse_out.filter(F.col("rec") == "node")
-        .filter(F.col("pages").isNotNull())
-        .select(
-            "seed",
-            F.col("url").alias("sitemap_url"),
-            "path_key",
-            F.posexplode("pages").alias("seq", "page"),
-        )
-        .select(
-            "seed",
-            "sitemap_url",
-            "path_key",
-            "seq",
-            F.col("page.url").alias("page_url"),
-            F.col("page.priority").alias("priority"),
-            F.col("page.last_modified").alias("last_modified"),
-            F.col("page.last_modified_offset_seconds").alias(
-                "last_modified_offset_seconds"
-            ),
-            F.col("page.change_frequency").alias("change_frequency"),
-            F.col("page.news_story").alias("news_story"),
-            F.col("page.images").alias("images"),
-            F.col("page.alternates").alias("alternates"),
-        )
+    # LAZY page pass: page-kind leaves (tiny rows) re-join their store
+    # bodies and stream through the flat-page kernel straight into whatever
+    # consumes ``pages`` — no intermediate materialization of page records
+    # anywhere in the engine. The leaf side is broadcast (sitemap-node count
+    # ≪ store size; at 10^10 scale swap for a shuffle join on url — the
+    # plan shape is one scan either way).
+    leaves = nodes.filter(
+        (F.col("kind").isin(*K.PAGE_KINDS)) & (F.col("n_pages") > 0)
+    ).select(
+        "seed",
+        F.col("url").alias("sitemap_url"),
+        F.col("requested_url").alias("url"),
+        "path_key",
     )
+    bodies = fetches.select("url", "content_type", "body")
+    if not store_urls_unique:
+        # duplicate store urls → one body per node; dedup the (small) matched
+        # slice only, never the whole store (mirrors _fetch_join)
+        bodies = bodies.join(
+            F.broadcast(leaves.select("url").distinct()), "url", "semi"
+        ).dropDuplicates(["url"])
+    joined = bodies.join(F.broadcast(leaves), "url").select(
+        "seed", "sitemap_url", "path_key", "content_type", "body"
+    )
+    pages = joined.mapInArrow(parse_pages, PAGES_FLAT_SCHEMA)
     return SitemapForest(nodes=all_nodes, pages=pages)
 
 

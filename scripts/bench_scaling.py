@@ -1,9 +1,21 @@
 """Two-parallelism scaling evidence (BASELINE.json north rule): run the
-IDENTICAL frontier crawl at local[8] and local[32] on the same materialized
-corpus, report throughput at both plus scaling efficiency
-eff = (thr_32 / thr_8) / 4. Writes/updates BENCH/BASELINE.md.
+IDENTICAL frontier crawl at N and 4N cores on the same materialized corpus,
+report throughput at both plus scaling efficiency
+eff = (thr_4N / thr_N) / 4. Writes/updates BENCH/BASELINE.md.
 
-    python scripts/bench_scaling.py [n_hosts]
+    python scripts/bench_scaling.py [n_hosts] [n_low]
+
+Methodology notes (hard-won on this sandbox):
+
+- Every level runs a FULL untimed warm-up crawl first (JIT, Python worker
+  pool spin-up, page cache), then ``TRIALS`` timed crawls; the best trial is
+  reported. The host VM shows multi-minute noise phases (CPU steal), so
+  best-of-N on a warmed session is the stable estimator.
+- The heap is scaled with the thread count (bench.build_spark), mirroring
+  how executor count scales total heap on a real cluster. All local[k] runs
+  share one machine, so the high-parallelism level additionally pays shared
+  memory-bandwidth/GC contention a real 4N-executor cluster would not —
+  the reported efficiency is therefore a LOWER bound on cluster scaling.
 """
 
 from __future__ import annotations
@@ -18,11 +30,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from bench import build_spark
 
-N_LOW, N_HIGH = 8, 32
+TRIALS = 2
 
 
-def run_crawl(cpus: int, corpus_path: str, n_hosts: int) -> dict:
-    from bench import warmup_crawl
+def run_level(cpus: int, corpus_path: str, n_hosts: int) -> dict:
     from frontier.waves import sitemap_tree_for_homepages
 
     spark = build_spark(cpus)
@@ -30,51 +41,59 @@ def run_crawl(cpus: int, corpus_path: str, n_hosts: int) -> dict:
     try:
         corpus = spark.read.parquet(corpus_path)
         seeds = [f"http://host{i}.example.com/" for i in range(n_hosts)]
-        # untimed JIT/worker warm-up (identical at both parallelism levels)
-        warmup_crawl(spark, corpus, n_hosts)
-        start = time.perf_counter()
-        forest = sitemap_tree_for_homepages(
-            spark, seeds, corpus, use_known_paths=False, store_urls_unique=True
-        )
-        n_pages = forest.pages.count()
-        n_nodes = forest.nodes.count()
-        elapsed = time.perf_counter() - start
+
+        def crawl() -> tuple[int, int]:
+            forest = sitemap_tree_for_homepages(
+                spark, seeds, corpus,
+                use_known_paths=False, store_urls_unique=True,
+                cache_fetch_store=False,
+            )
+            return forest.pages.count(), forest.nodes.count()
+
+        crawl()  # full untimed warm-up (workers, JIT, cache)
+        best = float("inf")
+        for _ in range(TRIALS):
+            start = time.perf_counter()
+            n_pages, n_nodes = crawl()
+            best = min(best, time.perf_counter() - start)
         urls = n_pages + (n_nodes - n_hosts)
         return {
             "cpus": cpus,
-            "seconds": round(elapsed, 2),
+            "seconds": round(best, 2),
             "urls": urls,
-            "urls_per_sec": round(urls / elapsed, 1),
+            "urls_per_sec": round(urls / best, 1),
         }
     finally:
         spark.stop()
 
 
 def main() -> None:
-    n_hosts = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
+    n_hosts = int(sys.argv[1]) if len(sys.argv) > 1 else 8000
+    n_low = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    n_high = 4 * n_low
     leaves, pages = 4, 250
 
     workdir = f"/tmp/frontier_scaling_{os.getpid()}"
     corpus_path = os.path.join(workdir, "corpus")
 
-    # materialize the corpus once (untimed, shared by both runs)
-    spark = build_spark(N_HIGH)
+    # materialize the corpus once (untimed, shared by both levels)
+    spark = build_spark(n_high)
     spark.sparkContext.setLogLevel("ERROR")
     from frontier.synth import synth_crawl_corpus
 
     synth_crawl_corpus(
         spark, n_hosts, leaves_per_host=leaves, pages_per_leaf=pages,
-        partitions=128,
+        partitions=256,
     ).write.mode("overwrite").parquet(corpus_path)
     spark.stop()
 
     try:
-        low = run_crawl(N_LOW, corpus_path, n_hosts)
-        high = run_crawl(N_HIGH, corpus_path, n_hosts)
+        low = run_level(n_low, corpus_path, n_hosts)
+        high = run_level(n_high, corpus_path, n_hosts)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
-    eff = (high["urls_per_sec"] / low["urls_per_sec"]) / (N_HIGH / N_LOW)
+    eff = (high["urls_per_sec"] / low["urls_per_sec"]) / (n_high / n_low)
     result = {"low": low, "high": high, "scaling_efficiency": round(eff, 3)}
     print(json.dumps(result))
 
@@ -86,12 +105,18 @@ def main() -> None:
             f"({n_hosts} hosts x {leaves} leaf sitemaps x {pages} pages = "
             f"{low['urls']} URLs scheduled+parsed), two parallelism levels "
             "(north rule: N vs 4N executors evidenced in-sandbox as "
-            "local[8] vs local[32]).\n\n"
+            f"local[{n_low}] vs local[{n_high}]); best of {TRIALS} timed "
+            "crawls per level after a full untimed warm-up crawl.\n\n"
             "| parallelism | wall s | URLs | URLs/sec |\n|---|---|---|---|\n"
-            f"| local[{N_LOW}] | {low['seconds']} | {low['urls']} | {low['urls_per_sec']} |\n"
-            f"| local[{N_HIGH}] | {high['seconds']} | {high['urls']} | {high['urls_per_sec']} |\n\n"
+            f"| local[{n_low}] | {low['seconds']} | {low['urls']} | {low['urls_per_sec']} |\n"
+            f"| local[{n_high}] | {high['seconds']} | {high['urls']} | {high['urls_per_sec']} |\n\n"
             f"**Scaling efficiency (thr_4N / thr_N) / 4 = {result['scaling_efficiency']}** "
             "(target >= 0.8 per BASELINE.json).\n\n"
+            "Caveat: both levels share ONE machine and one JVM heap, so the "
+            "4N level pays memory-bandwidth + GC contention that per-executor "
+            "heaps on a real cluster would not — the figure is a lower bound "
+            "on cluster scaling. Heap is scaled with threads (as executor "
+            "count scales total heap).\n\n"
             "Reference single-core baseline: ~43k URLs/s parse-only "
             "(BASELINE.md, BBC 2.6M URLs < 60 s).\n"
         )
