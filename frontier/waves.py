@@ -151,7 +151,9 @@ def _empty_pending(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame([], PENDING_SCHEMA)
 
 
-def prepare_fetches(fetches: DataFrame, cache: bool = True) -> DataFrame:
+def prepare_fetches(
+    fetches: DataFrame, cache: bool = True, resolve_redirects: bool = True
+) -> DataFrame:
     """Normalize a fetch store: final_url defaulted, 3xx chains resolved.
 
     The synthetic store plays the role of the live HTTP boundary
@@ -182,7 +184,11 @@ def prepare_fetches(fetches: DataFrame, cache: bool = True) -> DataFrame:
     if "body" not in cols:
         out = out.withColumn("body", F.lit(None).cast("binary"))
     out = out.select("url", "final_url", "status", "content_type", "body")
-    out = _resolve_redirects(out)
+    if resolve_redirects:
+        # emptiness probe = one full scan when there are no 3xx rows; pass
+        # resolve_redirects=False for a store known to be pre-resolved
+        # (e.g. an offline-resolved Iceberg store, or a synthetic corpus)
+        out = _resolve_redirects(out)
     if cache:
         out = out.persist(StorageLevel.MEMORY_AND_DISK)
     return out
@@ -633,7 +639,12 @@ def _assemble(
     )
     level0 = nodes.filter(F.col("level") == 0).withColumn("seq", root_child_rank)
     nodes = level0.unionByName(nodes.filter(F.col("level") != 0))
-    all_nodes = roots.unionByName(nodes).withColumn("depth", F.col("level") + 1)
+    # persist: the (small) nodes table is read by the page pass's leaf
+    # broadcast AND by every nodes-side action; without this the
+    # union-of-snapshots + window plan re-executes per consumer
+    all_nodes = (
+        roots.unionByName(nodes).withColumn("depth", F.col("level") + 1).persist()
+    )
 
     # LAZY page pass: page-kind leaves (tiny rows) re-join their store
     # bodies and stream through the flat-page kernel straight into whatever
@@ -641,7 +652,7 @@ def _assemble(
     # anywhere in the engine. The leaf side is broadcast (sitemap-node count
     # ≪ store size; at 10^10 scale swap for a shuffle join on url — the
     # plan shape is one scan either way).
-    leaves = nodes.filter(
+    leaves = all_nodes.filter(
         (F.col("kind").isin(*K.PAGE_KINDS)) & (F.col("n_pages") > 0)
     ).select(
         "seed",

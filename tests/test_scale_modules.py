@@ -83,3 +83,36 @@ def test_fetch_plan_salted_equals_unsalted(spark):
         "canonical_host", "page_url", "fetch_rank"
     )
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_filter_unseen_with_bloom_exactness(spark):
+    """Bloom prefilter + anti-join must equal the plain anti-join exactly,
+    at an fpp high enough that false positives genuinely occur."""
+    from frontier.dedup import build_bloom, filter_unseen_with_bloom
+
+    candidates = spark.createDataFrame(
+        [(f"http://c{i % 700}.com/p{i % 900}",) for i in range(3000)], "url string"
+    ).distinct()
+    seen = spark.createDataFrame(
+        [(f"http://c{i % 500}.com/p{i % 600}",) for i in range(2000)], "url string"
+    ).distinct()
+
+    got = sorted(
+        r.url
+        for r in filter_unseen_with_bloom(
+            candidates, seen, expected_urls=256, fpp=0.3
+        ).collect()
+    )
+    want = sorted(r.url for r in candidates.join(seen, "url", "left_anti").collect())
+    assert got == want
+
+    # the tight bloom must actually fire false positives on this input,
+    # otherwise the confirmation path was never exercised
+    bloom = build_bloom(seen, "url", 256, 0.3)
+    seen_urls = {r.url for r in seen.collect()}
+    fp = sum(
+        1
+        for r in candidates.collect()
+        if r.url not in seen_urls and bloom.might_contain(r.url)
+    )
+    assert fp > 0
