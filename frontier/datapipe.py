@@ -259,12 +259,16 @@ _register(
     ),
 )
 
-# per-host crawl telemetry aggregation
+# per-host crawl telemetry aggregation.  avg_chars is computed as an exact
+# integer SUM cast to DOUBLE then divided by an exact integer COUNT: both
+# engines perform the same IEEE-754 division on identical operands, so the
+# result is bit-exact across Spark and DuckDB (ROUND(AVG(...)) is not —
+# Spark rounds via BigDecimal HALF_UP, DuckDB rounds the double directly).
 _HOST_METRICS_SQL = """
 SELECT source,
        COUNT(*) AS n_docs,
-       SUM(n_chars) AS total_chars,
-       CAST(ROUND(AVG(n_chars), 4) AS DOUBLE) AS avg_chars,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
        COUNT(DISTINCT lang) AS n_langs
 FROM documents
 GROUP BY source
@@ -310,23 +314,36 @@ WITH with_gap AS (
 ),
 numbered AS (
     SELECT user_id, event_id, ts,
-           SUM(new_session) OVER (PARTITION BY user_id
-                                  ORDER BY ts, event_id
-                                  ROWS UNBOUNDED PRECEDING) AS session_no
+           CAST(SUM(new_session) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS session_no
     FROM with_gap
 )
 SELECT user_id, session_no, COUNT(*) AS n_events,
-       MIN(ts) AS session_start, MAX(ts) AS session_end
+       {EPOCH_MS_MIN} AS session_start, {EPOCH_MS_MAX} AS session_end
 FROM numbered
 GROUP BY user_id, session_no
 ORDER BY user_id, session_no
 """
+# Session bounds are emitted as microsecond-precision formatted STRINGS so the
+# driver's value hash sees identical scalars on both engines: the events table
+# carries naive (NTZ) timestamps, and string formatting is the only encoding
+# that is both timezone-independent and serialization-precision-independent
+# across Spark's pandas conversion and DuckDB's.
 _register(
     "sessionize",
     _sql_query(
-        _SESSION_SQL,
+        _SESSION_SQL.replace(
+            "{EPOCH_MS_MIN}", "date_format(MIN(ts), 'yyyy-MM-dd HH:mm:ss.SSSSSS')"
+        ).replace(
+            "{EPOCH_MS_MAX}", "date_format(MAX(ts), 'yyyy-MM-dd HH:mm:ss.SSSSSS')"
+        ),
         ("events",),
         "gap-based sessionization (Structured-Streaming analog in batch)",
+        oracle=_SESSION_SQL.replace(
+            "{EPOCH_MS_MIN}", "strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f')"
+        ).replace("{EPOCH_MS_MAX}", "strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f')"),
     ),
 )
 
