@@ -371,94 +371,164 @@ _register(
 )
 
 
-def _minhash_cte(words_expr: str, shingles_expr: str, unnest: str, str_type: str = 'STRING') -> str:
-    """Per-(doc, hash-seed) min-hash signature rows; band size 1, so each of
-    the signatures is its own LSH band."""
-    return f"""
-WITH toks AS (
-    SELECT doc_id, {words_expr} AS words FROM documents
-),
-shingled AS (
-    SELECT doc_id, {shingles_expr} AS shingles FROM toks
-),
-exploded AS (
-    SELECT DISTINCT doc_id, {unnest} AS shingle FROM shingled
-),
-sigs AS (
-    SELECT doc_id, j, MIN(md5(shingle || '#' || CAST(j AS {str_type}))) AS mh
-    FROM exploded
-    CROSS JOIN (SELECT 0 AS j UNION ALL SELECT 1 UNION ALL SELECT 2
-                UNION ALL SELECT 3 UNION ALL SELECT 4 UNION ALL SELECT 5
-                UNION ALL SELECT 6 UNION ALL SELECT 7) seeds
-    GROUP BY doc_id, j
+# MinHash scheme (engine-portable, integer-only hot path):
+#   * md5 is computed ONCE per distinct (doc, shingle); its hex digest is
+#     split into two 56-bit ints  h = md5[0:14), b = md5[14:28) | 1.
+#   * the 8 per-seed minhashes are Kirsch-Mitzenmacher combinations
+#     MIN(h + j*b) for j in 0..7 — pure 64-bit adds/multiplies (max value
+#     2^56 + 7*2^57 < 2^60, no overflow), no per-seed re-hashing and no
+#     32-byte hex-string min-aggregation (the round-1 design md5'd every
+#     shingle 8x and MIN'd hex strings: 73 s at sf0.1; this one is integer
+#     codegen end-to-end after a single md5 pass).
+#   * band-bucket size cap: a band bucket larger than _LSH_BUCKET_CAP is
+#     dropped on BOTH engines (deterministic recall tradeoff) — a degenerate
+#     bucket (empty docs, boilerplate) otherwise goes quadratic at scale.
+_LSH_BUCKET_CAP = 256
+
+_SPARK_SHINGLE_HASHES = (
+    "transform(array_distinct(shingles), s -> named_struct("
+    "'h', CAST(conv(substr(md5(s), 1, 14), 16, 10) AS BIGINT), "
+    "'b', CAST(conv(substr(md5(s), 15, 14), 16, 10) AS BIGINT) | CAST(1 AS BIGINT)))"
 )
-""".replace("{str_type}", str_type)
+
+_MH_HANDLES: dict[str, DataFrame] = {}
 
 
 def _mh_views(spark: SparkSession, sf_dir: str) -> None:
     """Register PERSISTED `mh_exploded` / `mh_sigs` temp views.
 
-    Spark inlines WITH-CTEs, so expressing the shingle → md5-minhash
-    pipeline as a CTE re-runs it once per reference (2× for the LSH band
-    join's self-join sides, 5× for the Jaccard verify) — measured 30 s at
-    sf0.1 against ~4 s with the intermediates persisted once. DuckDB
-    materializes the CTEs itself, so the oracles keep the plain SQL."""
+    Spark inlines WITH-CTEs, so expressing the shingle → minhash pipeline as
+    a CTE re-runs it once per reference (2x for the LSH band join's self-join
+    sides, 5x for the Jaccard verify); the intermediates are persisted once.
+    Previously-persisted handles are unpersisted first so repeated bench
+    invocations in one session do not accumulate cached blocks. DuckDB
+    materializes CTEs itself, so the oracles keep the plain SQL.
+
+    `mh_sigs` is built fully map-side: per-doc signature arrays via
+    array_min(transform(...)) — zero shuffle, one md5 pass per shingle.
+    """
+    for h in _MH_HANDLES.values():
+        h.unpersist()
+    _MH_HANDLES.clear()
     _load(spark, sf_dir, "documents")
-    exploded = spark.sql(f"""
-        SELECT DISTINCT doc_id, explode(shingles) AS shingle
+    # materialization boundary: the hs alias would otherwise be inlined into
+    # every downstream consumer and re-evaluated there. NO row filter here —
+    # a `WHERE size(hs) > 0` over the inlined expression re-evaluates the
+    # whole md5-transform pipeline pathologically (measured 16 s vs 1.7 s at
+    # sf0.1 for the same 5000-row materialization). Shingle-less docs keep an
+    # empty hs: array_min over it yields NULL minhashes, which wash out of
+    # every downstream equality join — same final rows as the oracle, where
+    # such docs simply have no sig rows.
+    hs_df = spark.sql(f"""
+        SELECT doc_id, {_SPARK_SHINGLE_HASHES} AS hs
         FROM (SELECT doc_id, {_SPARK_SHINGLES} AS shingles
-              FROM (SELECT doc_id, {_SPARK_WORDS} AS words FROM documents) t)
+              FROM (SELECT doc_id, {_SPARK_WORDS} AS words FROM documents) w) sh
     """).persist()
+    hs_df.createOrReplaceTempView("mh_hashed")
+    exploded = spark.sql(
+        "SELECT doc_id, x.h AS h FROM mh_hashed LATERAL VIEW explode(hs) ex AS x"
+    ).persist()
     exploded.createOrReplaceTempView("mh_exploded")
-    sigs = spark.sql("""
-        SELECT doc_id, j, MIN(md5(shingle || '#' || CAST(j AS STRING))) AS mh
-        FROM mh_exploded
-        CROSS JOIN (SELECT 0 AS j UNION ALL SELECT 1 UNION ALL SELECT 2
-                    UNION ALL SELECT 3 UNION ALL SELECT 4 UNION ALL SELECT 5
-                    UNION ALL SELECT 6 UNION ALL SELECT 7) seeds
-        GROUP BY doc_id, j
+    sigs = spark.sql(f"""
+        SELECT doc_id, e.sig.j AS j, e.sig.mh AS mh
+        FROM (
+            SELECT doc_id,
+                   transform(sequence(0, {_N_MINHASHES - 1}), j -> named_struct(
+                       'j', j,
+                       'mh', array_min(transform(hs, x -> x.h + CAST(j AS BIGINT) * x.b))
+                   )) AS sigs
+            FROM mh_hashed
+        ) s LATERAL VIEW explode(sigs) e AS sig
     """).persist()
     sigs.createOrReplaceTempView("mh_sigs")
+    _MH_HANDLES["mh_hashed"] = hs_df
+    _MH_HANDLES["mh_exploded"] = exploded
+    _MH_HANDLES["mh_sigs"] = sigs
 
 
-_MINHASH_FINAL = """
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM {sigs} a JOIN {sigs} b ON a.j = b.j AND a.mh = b.mh AND a.doc_id < b.doc_id
-ORDER BY doc_a, doc_b
+def _duck_mh_cte() -> str:
+    """Shared DuckDB CTE pipeline mirroring the Spark views bit-for-bit."""
+    seeds = " UNION ALL ".join(f"SELECT {j} AS j" if j == 0 else f"SELECT {j}"
+                               for j in range(_N_MINHASHES))
+    return f"""
+WITH toks AS (
+    SELECT doc_id, {_DUCK_WORDS} AS words FROM documents
+),
+shingled AS (
+    SELECT doc_id, {_DUCK_SHINGLES} AS shingles FROM toks
+),
+uniq AS (
+    SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM shingled
+),
+mh_exploded AS (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(shingle), 1, 14)) AS BIGINT) AS h,
+           CAST(('0x' || substr(md5(shingle), 15, 14)) AS BIGINT) | 1 AS b
+    FROM uniq
+),
+mh_sigs AS (
+    SELECT doc_id, j, MIN(h + j * b) AS mh
+    FROM mh_exploded CROSS JOIN ({seeds}) seeds
+    GROUP BY doc_id, j
+)
 """
+
+
+# LSH band join over capped buckets (band size 1: each signature is a band).
+_CANDIDATES_CTE = """
+buckets AS (
+    SELECT j, mh FROM mh_sigs
+    GROUP BY j, mh HAVING COUNT(*) BETWEEN 2 AND {cap}
+),
+inbucket AS (
+    SELECT s.doc_id, s.j, s.mh
+    FROM mh_sigs s JOIN buckets u ON s.j = u.j AND s.mh = u.mh
+),
+candidates AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM inbucket a JOIN inbucket b
+      ON a.j = b.j AND a.mh = b.mh AND a.doc_id < b.doc_id
+)
+"""
+
+_MINHASH_FINAL = (
+    "{prefix}" + _CANDIDATES_CTE
+    + "SELECT doc_a, doc_b FROM candidates ORDER BY doc_a, doc_b"
+)
 
 
 def _minhash_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     _mh_views(spark, sf_dir)
-    return spark.sql(_MINHASH_FINAL.format(sigs="mh_sigs"))
+    return spark.sql(
+        _MINHASH_FINAL.format(prefix="WITH ", cap=_LSH_BUCKET_CAP)
+    )
 
 
-_DUCK_MINHASH = _minhash_cte(
-    _DUCK_WORDS, _DUCK_SHINGLES, "unnest(shingles)", "VARCHAR"
-) + _MINHASH_FINAL.format(sigs="sigs")
 _register(
     "dedup_minhash_lsh",
     QueryDef(
         build=_minhash_build,
-        oracle=_DUCK_MINHASH,
-        doc="MinHash-LSH near-dup candidates: shingle → 8 minhashes → band join",
+        oracle=_duck_mh_cte() + ","
+        + _MINHASH_FINAL.format(prefix="", cap=_LSH_BUCKET_CAP),
+        doc="MinHash-LSH near-dup candidates: md5-once 56-bit shingle hashes "
+            "→ 8 Kirsch-Mitzenmacher minhashes → capped band join",
     ),
 )
 
 
-_JACCARD_FINAL = """
-WITH candidates AS (
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM {sigs} a JOIN {sigs} b ON a.j = b.j AND a.mh = b.mh AND a.doc_id < b.doc_id
-),
+# Jaccard verify joins on the 56-bit shingle hash h (8-byte join keys instead
+# of full shingle strings — same result on both engines since both derive h
+# from the same md5).
+_JACCARD_FINAL = (
+    "{prefix}" + _CANDIDATES_CTE + """,
 sizes AS (
-    SELECT doc_id, COUNT(*) AS n FROM {exploded} GROUP BY doc_id
+    SELECT doc_id, COUNT(*) AS n FROM mh_exploded GROUP BY doc_id
 ),
 inter AS (
     SELECT c.doc_a, c.doc_b, COUNT(*) AS overlap
     FROM candidates c
-    JOIN {exploded} ea ON ea.doc_id = c.doc_a
-    JOIN {exploded} eb ON eb.doc_id = c.doc_b AND eb.shingle = ea.shingle
+    JOIN mh_exploded ea ON ea.doc_id = c.doc_a
+    JOIN mh_exploded eb ON eb.doc_id = c.doc_b AND eb.h = ea.h
     GROUP BY c.doc_a, c.doc_b
 )
 SELECT i.doc_a, i.doc_b,
@@ -470,29 +540,20 @@ JOIN sizes sb ON sb.doc_id = i.doc_b
 WHERE CAST(i.overlap AS DOUBLE) / (sa.n + sb.n - i.overlap) >= 0.1
 ORDER BY doc_a, doc_b
 """
+)
 
 
 def _jaccard_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     _mh_views(spark, sf_dir)
-    return spark.sql(
-        _JACCARD_FINAL.format(sigs="mh_sigs", exploded="mh_exploded")
-    )
-
-
-def _jaccard_duck_sql() -> str:
-    base = _minhash_cte(_DUCK_WORDS, _DUCK_SHINGLES, "unnest(shingles)", "VARCHAR")
-    # splice the final query's CTE list onto the shared pipeline CTEs
-    final = _JACCARD_FINAL.format(sigs="sigs", exploded="exploded").replace(
-        "WITH candidates AS", ", candidates AS", 1
-    )
-    return base + final
+    return spark.sql(_JACCARD_FINAL.format(prefix="WITH ", cap=_LSH_BUCKET_CAP))
 
 
 _register(
     "dedup_ngram_jaccard",
     QueryDef(
         build=_jaccard_build,
-        oracle=_jaccard_duck_sql(),
+        oracle=_duck_mh_cte() + ","
+        + _JACCARD_FINAL.format(prefix="", cap=_LSH_BUCKET_CAP),
         doc="exact 3-gram Jaccard over LSH candidates (verify stage of near-dup)",
     ),
 )

@@ -31,6 +31,10 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
             if isinstance(v, Decimal):
                 return str(v)
             if isinstance(v, float):
+                # STRICT=1 → bit-exact float comparison (predicts the
+                # driver's value hash); default keeps 9-sig-digit slack.
+                if os.environ.get("STRICT"):
+                    return float(v).hex()
                 return f"{v:.9g}"
             if hasattr(v, "isoformat"):
                 return v.isoformat()
