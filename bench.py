@@ -100,7 +100,11 @@ def crawl_bench(spark, sf: float, workdir: str) -> tuple[float, int, int]:
         spark, n_hosts, leaves_per_host=leaves, pages_per_leaf=pages_per_leaf,
         partitions=4 * CPUS,
     ).write.mode("overwrite").parquet(corpus_path)
-    # store prep is once-per-store (offline-resolved in a real deployment)
+    # store prep is once-per-store (offline-resolved in a real deployment).
+    # cache=False deliberately: the columnar cache of decompressed bodies
+    # was measured 2.5x SLOWER end-to-end than re-scanning parquet through
+    # the OS page cache at sf0.1 (memory pressure + binary-column cache
+    # serialization dwarf the saved decompression).
     corpus = prepare_fetches(
         spark.read.parquet(corpus_path), cache=False, resolve_redirects=False
     )

@@ -220,6 +220,65 @@ _register(
     ),
 )
 
+# S2 retry resolution: an attempt-coded fetch log collapses to the row the
+# reference's retry loop returns (usp/helpers.py:151-195 + the
+# abstract_client.py:8-47 retryable-status whitelist). The Spark side runs
+# the ENGINE's resolve_attempts (the same code prepare_fetches applies to
+# attempt-coded stores); the oracle re-derives it in portable SQL. The
+# payload column encodes the attempt number, pinning exact row identity.
+_ATTEMPTS_SQL = """
+SELECT 'http://' || source || '.example.com/u' || CAST(doc_id AS {STR}) AS url,
+       CAST(a.attempt AS INTEGER) AS attempt,
+       CASE CAST((doc_id + a.attempt) % 7 AS INTEGER)
+            WHEN 0 THEN 200 WHEN 1 THEN 503 WHEN 2 THEN 429
+            WHEN 3 THEN 404 WHEN 4 THEN 500 WHEN 5 THEN 301 ELSE 520
+       END AS status,
+       'payload-' || CAST(a.attempt AS {STR}) AS payload
+FROM documents
+CROSS JOIN (SELECT 1 AS attempt UNION ALL SELECT 2 UNION ALL SELECT 3
+            UNION ALL SELECT 4 UNION ALL SELECT 5 UNION ALL SELECT 6
+            UNION ALL SELECT 7) a
+"""
+
+
+def _retry_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .retry import resolve_attempts
+
+    _load(spark, sf_dir, "documents")
+    attempts = spark.sql(_ATTEMPTS_SQL.replace("{STR}", "STRING"))
+    return resolve_attempts(attempts, retry_count=5).select(
+        "url", "status", "payload"
+    ).orderBy("url")
+
+
+def _retry_oracle() -> str:
+    from .retry import RETRYABLE_STATUSES
+
+    retryable = ", ".join(str(s) for s in sorted(RETRYABLE_STATUSES))
+    return f"""
+WITH attempts AS ({_ATTEMPTS_SQL.replace("{STR}", "VARCHAR")}),
+budgeted AS (SELECT * FROM attempts WHERE attempt <= 5),
+picks AS (
+    SELECT url,
+           COALESCE(MIN(CASE WHEN status NOT IN ({retryable}) THEN attempt END),
+                    MAX(attempt)) AS attempt
+    FROM budgeted GROUP BY url
+)
+SELECT b.url, b.status, b.payload
+FROM budgeted b JOIN picks p ON b.url = p.url AND b.attempt = p.attempt
+ORDER BY b.url
+"""
+
+
+_register(
+    "retry_resolve",
+    QueryDef(
+        build=_retry_build,
+        oracle=_retry_oracle(),
+        doc="S2 retry-on-retryable: attempt-coded store → effective fetch row",
+    ),
+)
+
 # D4 known-path exclusion as an anti-join: customers with no orders
 _ANTI_SQL = """
 SELECT c.c_custkey, c.c_name

@@ -1,8 +1,16 @@
 """S2/S3 — retry-on-retryable policy and error-as-data conversion.
 
-In the sandbox the fetch store is deterministic, so the retry loop is a pure
-policy function validated by unit tests; in a live deployment it wraps the
-per-host fetch stage inside the fetch UDF.
+Two forms of the same semantics (usp/helpers.py:151-195):
+
+- :func:`fetch_with_retry` — the imperative per-URL loop, for a live
+  fetcher inside a fetch UDF.
+- :func:`resolve_attempts` — the engine integration: an offline fetch store
+  may carry an ``attempt`` column (one row per fetch attempt, the way a
+  real crawl log records every try). The declarative resolution picks, per
+  URL, exactly the row the reference's retry loop would have returned:
+  the FIRST non-retryable attempt within the retry budget, else the LAST
+  budgeted attempt. ``prepare_fetches`` applies it automatically when the
+  column is present, so the wave engine crawls the effective store.
 """
 
 from __future__ import annotations
@@ -11,6 +19,8 @@ import time
 from dataclasses import dataclass
 from http import HTTPStatus
 from typing import Callable
+
+from pyspark.sql import DataFrame, functions as F
 
 #: Statuses worth retrying (usp/web_client/abstract_client.py:8-47):
 #: transient server/network conditions, rate limiting, and 400 (some servers
@@ -71,3 +81,35 @@ def fetch_with_retry(
             return result
         sleep(sleep_between_retries)
     return result
+
+
+def resolve_attempts(
+    fetches: DataFrame, retry_count: int = DEFAULT_RETRY_COUNT
+) -> DataFrame:
+    """Collapse an attempt-coded store to the row the retry loop returns.
+
+    Input columns: the usual store columns plus ``attempt`` (1-based try
+    number). Per URL: attempts beyond ``retry_count`` are never made; the
+    first attempt whose status is NOT retryable (success, redirect, or a
+    permanent error — exactly the complement of the
+    ``abstract_client.py:8-47`` whitelist) short-circuits the loop; if every
+    budgeted attempt is retryable, the last one's response is returned
+    (helpers.py:151-195 "the last response wins").
+
+    One aggregation on url (map-side combinable; only (url, attempt, status)
+    enter the shuffle — bodies stay put until the final semi-join, which AQE
+    broadcasts at fixture/bench sizes; at 10^10-URL scale both sides live
+    url-bucketed in the store, making the semi-join co-located). The
+    ``attempt`` column is dropped — downstream engine stages are unchanged.
+    """
+    statuses = F.lit(sorted(RETRYABLE_STATUSES))
+    budgeted = fetches.filter(F.col("attempt") <= retry_count)
+    terminal = ~F.array_contains(statuses, F.col("status"))
+    picks = budgeted.groupBy("url").agg(
+        F.min(F.when(terminal, F.col("attempt"))).alias("first_terminal"),
+        F.max("attempt").alias("last_budgeted"),
+    ).select(
+        "url",
+        F.coalesce("first_terminal", "last_budgeted").alias("attempt"),
+    )
+    return budgeted.join(picks, ["url", "attempt"], "semi").drop("attempt")

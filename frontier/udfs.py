@@ -23,6 +23,7 @@ declarative DataFrame plumbing (SURVEY.md §2.6 "UDF surface").
 from __future__ import annotations
 
 import datetime as _dt
+import os
 from http import HTTPStatus
 from typing import Any, Iterable, Iterator
 
@@ -214,7 +215,9 @@ class _Out:
         self.n += 1
 
 
-def process_pending_row(row: dict[str, Any], out: _Out) -> None:
+def process_pending_row(
+    row: dict[str, Any], out: _Out, pages: "_PageSink | None" = None
+) -> None:
     """Consume one pending row (+ its fetch result) → node/page/child rows."""
     base = row
 
@@ -249,9 +252,15 @@ def process_pending_row(row: dict[str, Any], out: _Out) -> None:
     text = decode_sitemap_body(
         final_url, row["content_type"], bytes(body), K.MAX_SITEMAP_BYTES
     )
-    doc = K.parse_sitemap_text(final_url, text, count_only=True)
+    # With a page sink attached, this is the ONLY expat pass over the body:
+    # page records go straight from the parser to the sink's parquet stream
+    # and never transit node rows or get re-parsed (count_only mode survives
+    # for sink-less callers).
+    doc = K.parse_sitemap_text(final_url, text, count_only=pages is None)
 
     out.node(base, final_url, doc.kind, doc.reason, doc.page_count)
+    if pages is not None and doc.pages:
+        pages.add_doc(base["seed"], final_url, base["path_key"], doc)
 
     child_level = row["level"] + 1
     child_parents = parent_urls + [final_url]
@@ -280,7 +289,7 @@ _PAGES_IN_COLUMNS = ["seed", "sitemap_url", "path_key", "content_type", "body"]
 
 
 class _PagesOut:
-    """Columnar accumulator for the flat page pass."""
+    """Columnar accumulator for flat page records."""
 
     __slots__ = tuple(f.name for f in PAGES_FLAT_SCHEMA.fields) + ("n",)
 
@@ -297,6 +306,76 @@ class _PagesOut:
         batch = pa.RecordBatch.from_arrays(arrays, schema=ARROW_PAGES_SCHEMA)
         self.__init__()
         return batch
+
+    def add_doc(self, seed: str, sitemap_url: str, path_key: str, doc) -> None:
+        """Flatten one parsed doc's page records (declaration order → seq)."""
+        for seq, rec in enumerate(doc.pages):
+            self.seed.append(seed)
+            self.sitemap_url.append(sitemap_url)
+            self.path_key.append(path_key)
+            self.seq.append(seq)
+            self.page_url.append(rec["url"])
+            self.priority.append(rec.get("priority", K.DEFAULT_PRIORITY))
+            lastmod, offset = _utc_and_offset(rec.get("last_modified"))
+            self.last_modified.append(lastmod)
+            self.last_modified_offset_seconds.append(offset)
+            self.change_frequency.append(rec.get("change_frequency"))
+            self.news_story.append(_news_struct(rec.get("news_story")))
+            self.images.append(rec.get("images"))
+            self.alternates.append(rec.get("alternates"))
+            self.n += 1
+
+
+class _PageSink:
+    """Streams page records to one parquet file per task, atomically.
+
+    The wave kernel writes pages here while it emits node/child rows through
+    the normal mapInArrow channel — the side-channel that makes the crawl a
+    single-expat-pass design. Records stream through a ``ParquetWriter`` in
+    ``_FLUSH_ROWS`` batches (bounded memory at any partition size) into a
+    dot-prefixed temp file (ignored by Spark's parquet reader if a task
+    dies mid-write), then one atomic rename publishes it; task retries /
+    speculative duplicates overwrite with identical bytes. The sink dir must
+    be on storage the driver session can read back (same machine in local
+    mode; a shared filesystem on a real cluster, like any checkpoint dir).
+    """
+
+    def __init__(self, directory: str, task_id: int) -> None:
+        import uuid
+
+        self._out = _PagesOut()
+        self._dir = directory
+        self._final = os.path.join(directory, f"part-{task_id:05d}.parquet")
+        self._tmp = os.path.join(directory, f".part-{task_id:05d}.{uuid.uuid4().hex}.tmp")
+        self._writer = None
+
+    def add_doc(self, seed: str, sitemap_url: str, path_key: str, doc) -> None:
+        self._out.add_doc(seed, sitemap_url, path_key, doc)
+        if self._out.n >= _FLUSH_ROWS:
+            self._write(self._out.flush())
+
+    def _write(self, batch: pa.RecordBatch) -> None:
+        import pyarrow.parquet as pq
+
+        if self._writer is None:
+            os.makedirs(self._dir, exist_ok=True)
+            self._writer = pq.ParquetWriter(self._tmp, ARROW_PAGES_SCHEMA)
+        self._writer.write_batch(batch)
+
+    def close(self) -> None:
+        if self._out.n:
+            self._write(self._out.flush())
+        if self._writer is not None:
+            self._writer.close()
+            os.replace(self._tmp, self._final)
+
+    def abort(self) -> None:
+        if self._writer is not None:
+            self._writer.close()
+            try:
+                os.remove(self._tmp)
+            except OSError:
+                pass
 
 
 def parse_pages(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -323,39 +402,54 @@ def parse_pages(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
                 sitemap_url, content_type, bytes(body or b""), K.MAX_SITEMAP_BYTES
             )
             doc = K.parse_sitemap_text(sitemap_url, text)
-            for seq, rec in enumerate(doc.pages):
-                out.seed.append(seed)
-                out.sitemap_url.append(sitemap_url)
-                out.path_key.append(path_key)
-                out.seq.append(seq)
-                out.page_url.append(rec["url"])
-                out.priority.append(rec.get("priority", K.DEFAULT_PRIORITY))
-                lastmod, offset = _utc_and_offset(rec.get("last_modified"))
-                out.last_modified.append(lastmod)
-                out.last_modified_offset_seconds.append(offset)
-                out.change_frequency.append(rec.get("change_frequency"))
-                out.news_story.append(_news_struct(rec.get("news_story")))
-                out.images.append(rec.get("images"))
-                out.alternates.append(rec.get("alternates"))
-                out.n += 1
-                if out.n >= _FLUSH_ROWS:
-                    yield out.flush()
-    if out.n:
-        yield out.flush()
-
-
-def parse_wave(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-    """mapInArrow kernel over (pending ⨝ fetches) rows."""
-    out = _Out()
-    for batch in batches:
-        names = batch.schema.names
-        cols = [
-            batch.column(names.index(c)).to_pylist() if c in names else [None] * batch.num_rows
-            for c in _IN_COLUMNS
-        ]
-        for values in zip(*cols):
-            process_pending_row(dict(zip(_IN_COLUMNS, values)), out)
+            out.add_doc(seed, sitemap_url, path_key, doc)
             if out.n >= _FLUSH_ROWS:
                 yield out.flush()
     if out.n:
         yield out.flush()
+
+
+def make_parse_wave(pages_dir: str | None):
+    """Build the mapInArrow kernel over (pending ⨝ fetches) rows.
+
+    With ``pages_dir``, full page records are side-written to one parquet
+    file per task under it (see :class:`_PageSink`) — one expat pass per
+    body. Without it, the kernel counts pages only (legacy lazy mode)."""
+
+    def parse_wave(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        sink = None
+        if pages_dir is not None:
+            from pyspark import TaskContext
+
+            ctx = TaskContext.get()
+            sink = _PageSink(pages_dir, ctx.partitionId() if ctx else 0)
+        out = _Out()
+        try:
+            for batch in batches:
+                names = batch.schema.names
+                cols = [
+                    batch.column(names.index(c)).to_pylist()
+                    if c in names
+                    else [None] * batch.num_rows
+                    for c in _IN_COLUMNS
+                ]
+                for values in zip(*cols):
+                    process_pending_row(dict(zip(_IN_COLUMNS, values)), out, sink)
+                    if out.n >= _FLUSH_ROWS:
+                        yield out.flush()
+            if out.n:
+                yield out.flush()
+        except BaseException:
+            if sink is not None:
+                sink.abort()
+            raise
+        else:
+            if sink is not None:
+                sink.close()
+
+    return parse_wave
+
+
+#: Sink-less kernel (page counts only) — the pre-sink surface, kept for
+#: callers that only need node/child metadata.
+parse_wave = make_parse_wave(None)

@@ -40,7 +40,7 @@ from .schemas import (
     path_segment,
 )
 from .textnorm import is_http_url, strip_url_to_homepage
-from .udfs import parse_pages, parse_wave
+from .udfs import make_parse_wave
 
 #: Well-known sitemap locations probed besides robots.txt
 #: (usp/tree.py:23-38 ``_UNPUBLISHED_SITEMAP_PATHS``).
@@ -64,6 +64,18 @@ KNOWN_SITEMAP_PATHS = frozenset(
 )
 
 RecurseFilter = Callable[[DataFrame], DataFrame]
+
+
+def _tz_aware(naive, offset_seconds):
+    """Rebuild the reference's offset-preserving datetime from the engine's
+    (UTC-naive instant, source offset) column pair — see schemas.py."""
+    import datetime as _dt
+
+    if naive is None or offset_seconds is None:
+        return naive
+    return naive.replace(tzinfo=_dt.timezone.utc).astimezone(
+        _dt.timezone(_dt.timedelta(seconds=offset_seconds))
+    )
 
 _NODE_COLS = [
     "seed",
@@ -92,6 +104,11 @@ class SitemapForest:
     nodes: DataFrame
     pages: DataFrame
     wave_metrics: DataFrame | None = None
+    #: directory holding the crawl's page parquet files (side-written by the
+    #: wave kernel); a temp dir owned by the forest unless the caller gave a
+    #: checkpoint_dir (then it lives under it and survives for resume)
+    pages_dir: str | None = None
+    _owns_pages_dir: bool = False
 
     def all_sitemaps(self) -> DataFrame:
         """Pre-order traversal (usp sitemap.py:405-413), roots excluded per
@@ -104,33 +121,66 @@ class SitemapForest:
         duplicates retained."""
         return self.pages.orderBy("seed", "path_key", "seq")
 
+    def unpersist(self, delete_pages: bool = True) -> None:
+        """Release the forest's resources: the cached nodes table, and (for
+        forests that own a temp page dir) the page parquet files. After this
+        the ``pages`` DataFrame is dead; long-lived sessions running many
+        crawls should call this when done with a forest."""
+        self.nodes.unpersist(blocking=False)
+        if delete_pages and self._owns_pages_dir and self.pages_dir:
+            import shutil
+
+            shutil.rmtree(self.pages_dir, ignore_errors=True)
+
+    close = unpersist
+
     def to_dict(self, with_pages: bool = True) -> list[dict]:
-        """Nested-dict export per seed — the reference ``to_dict`` sink
-        (usp/objects/sitemap.py:88-98, 271-279, 374-381). Collects to the
-        driver; meant for small trees (use the DataFrames at scale)."""
+        """Nested-dict export per seed — key/value parity with the reference
+        ``to_dict`` sink (usp/objects/sitemap.py:88-98, 175-179, 271-279,
+        374-381; usp/objects/page.py:441-455): node dicts carry ``url`` (+
+        ``reason`` for invalids, ``pages`` for page leaves, ``sub_sitemaps``
+        for indexes), page dicts carry url/priority/last_modified/
+        change_frequency/news_story/images with offset-aware datetimes
+        reconstructed from the ``*_offset_seconds`` columns. Collects to the
+        driver; meant for small trees (``to_json_tree`` scales)."""
         nodes = self.all_sitemaps().collect()
         pages = self.all_pages().collect() if with_pages else []
 
         pages_by_node: dict[tuple, list] = {}
         for p in pages:
+            story = None
+            if p.news_story:
+                story = {
+                    "title": p.news_story.title,
+                    "publish_date": _tz_aware(
+                        p.news_story.publish_date,
+                        p.news_story.publish_date_offset_seconds,
+                    ),
+                    "publication_name": p.news_story.publication_name,
+                    "publication_language": p.news_story.publication_language,
+                    "access": p.news_story.access,
+                    "genres": list(p.news_story.genres or []),
+                    "keywords": list(p.news_story.keywords or []),
+                    "stock_tickers": list(p.news_story.stock_tickers or []),
+                }
             pages_by_node.setdefault((p.seed, p.path_key), []).append(
                 {
                     "url": p.page_url,
                     "priority": p.priority,
-                    "last_modified": p.last_modified,
+                    "last_modified": _tz_aware(
+                        p.last_modified, p.last_modified_offset_seconds
+                    ),
                     "change_frequency": p.change_frequency,
-                    "news_story": p.news_story.asDict(recursive=True)
-                    if p.news_story
-                    else None,
                     "images": [i.asDict() for i in p.images] if p.images else None,
+                    "news_story": story,
                 }
             )
 
         by_key: dict[tuple, dict] = {}
         roots: list[dict] = []
         for n in nodes:
-            entry: dict = {"url": n.url, "kind": n.kind}
-            if n.reason is not None:
+            entry: dict = {"url": n.url}
+            if n.kind == K.KIND_INVALID:
                 entry["reason"] = n.reason
             if n.kind in K.PAGE_KINDS and with_pages:
                 entry["pages"] = pages_by_node.get((n.seed, n.path_key), [])
@@ -145,6 +195,15 @@ class SitemapForest:
                 if parent is not None:
                     parent.setdefault("sub_sitemaps", []).append(entry)
         return roots
+
+    def to_json_tree(self, with_pages: bool = True) -> DataFrame:
+        """Distributed nested export: one JSON document per seed with the
+        exact ``to_dict`` key layout, built bottom-up with per-depth
+        aggregations — page records never touch the driver (T5 at scale;
+        the reference's ``to_dict`` is driver-side only). Returns a
+        DataFrame ``(seed, json)``. Datetimes render as ISO-8601 with the
+        source UTC offset restored (naive when the source had no zone)."""
+        return _to_json_tree(self, with_pages)
 
 
 def _empty_pending(spark: SparkSession) -> DataFrame:
@@ -175,6 +234,12 @@ def prepare_fetches(
     """
     cols = dict.fromkeys(fetches.columns)
     out = fetches
+    if "attempt" in cols:
+        # S2: attempt-coded store → collapse to the row the reference's
+        # retry loop would return (usp/helpers.py:151-195); see retry.py
+        from .retry import resolve_attempts
+
+        out = resolve_attempts(out)
     if "final_url" not in cols:
         out = out.withColumn("final_url", F.col("url"))
     else:
@@ -248,6 +313,7 @@ class _WaveRunner:
         phase: str,
         resume: bool = False,
         store_urls_unique: bool = False,
+        pages_dir: str | None = None,
     ) -> None:
         self.spark = spark
         self.fetches = fetches
@@ -256,15 +322,34 @@ class _WaveRunner:
         self.phase = phase
         self.resume = resume
         self.store_urls_unique = store_urls_unique
+        self.pages_dir = pages_dir
         self.wave_outputs: list[DataFrame] = []
 
-    def _snapshot(self, df: DataFrame, wave: int) -> DataFrame:
+    def _wave_committed(self, wave: int) -> bool:
+        """True iff this wave's snapshot is committed and may be reused
+        (resume mode with a checkpoint dir only)."""
+        if not (self.checkpoint_dir and self.resume):
+            return False
+        return os.path.exists(
+            os.path.join(
+                self.checkpoint_dir, f"phase={self.phase}", f"wave={wave}", "_SUCCESS"
+            )
+        )
+
+    def _pages_wave_dir(self, wave: int) -> str | None:
+        if self.pages_dir is None:
+            return None
+        return os.path.join(self.pages_dir, f"phase={self.phase}", f"wave={wave}")
+
+    def _snapshot(self, df: DataFrame, wave: int, skip_recompute: bool) -> DataFrame:
         """Materialize one wave's parse output, truncating plan lineage.
 
         With a checkpoint dir this is a resumable parquet snapshot
         (north rule: per-wave snapshots + resumability) — with ``resume``,
-        an already-committed wave is read back instead of recomputed, so a
-        crashed crawl restarts from its last completed wave. Without a dir,
+        an already-committed wave is read back instead of recomputed
+        (``skip_recompute``), so a crashed crawl restarts from its last
+        completed wave; the wave's side-written page files survive with it
+        (they were complete before _SUCCESS appeared). Without a dir,
         localCheckpoint at DISK_ONLY: the on-heap memory store serializes
         concurrent block writes badly (measured 8× slower than DISK_ONLY at
         32 writer threads on a page-heavy wave — allocation/GC contention),
@@ -273,8 +358,7 @@ class _WaveRunner:
         """
         if self.checkpoint_dir:
             path = os.path.join(self.checkpoint_dir, f"phase={self.phase}", f"wave={wave}")
-            committed = os.path.join(path, "_SUCCESS")
-            if not (self.resume and os.path.exists(committed)):
+            if not skip_recompute:
                 df.write.mode("overwrite").parquet(path)
             return self.spark.read.schema(PARSE_OUT_SCHEMA).parquet(path)
         return df.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
@@ -298,8 +382,19 @@ class _WaveRunner:
             fetchable = pending.filter(F.col("blocked_reason").isNull())
             blocked = pending.filter(F.col("blocked_reason").isNotNull())
             joined = self._fetch_join(fetchable, blocked)
+            skip = self._wave_committed(wave)
+            pages_dir = self._pages_wave_dir(wave)
+            if pages_dir is not None and not skip:
+                # recomputing: clear stale page files (a previous run at a
+                # different partitioning would otherwise leave orphans that
+                # duplicate pages on read-back)
+                import shutil
+
+                shutil.rmtree(pages_dir, ignore_errors=True)
             parsed = self._snapshot(
-                joined.mapInArrow(parse_wave, PARSE_OUT_SCHEMA), wave
+                joined.mapInArrow(make_parse_wave(pages_dir), PARSE_OUT_SCHEMA),
+                wave,
+                skip,
             )
             if trace:
                 print(
@@ -420,11 +515,22 @@ class _WaveRunner:
             # per-wave dedup of the matched slice (wave-sized shuffle)
             # replaces a store-wide dropDuplicates that would shuffle every
             # body every wave; the semi-join keeps bodies out of the dedup
-            # exchange's build side
+            # exchange's build side. max_by over a stable tiebreak (not
+            # dropDuplicates, whose pick is partitioning-dependent) keeps
+            # the chosen row deterministic run-to-run when duplicate store
+            # URLs carry different bodies.
             wave_urls = fetchable.select("url").distinct()
-            matched = self.fetches.join(
-                F.broadcast(wave_urls), "url", "semi"
-            ).dropDuplicates(["url"])
+            matched = (
+                self.fetches.join(F.broadcast(wave_urls), "url", "semi")
+                .groupBy("url")
+                .agg(
+                    F.max_by(
+                        F.struct("final_url", "status", "content_type", "body"),
+                        F.struct("status", F.xxhash64("body"), "final_url"),
+                    ).alias("r")
+                )
+                .select("url", "r.final_url", "r.status", "r.content_type", "r.body")
+            )
             hits = matched.join(F.broadcast(fetchable), "url", "inner")
         null_fetch = [
             F.lit(None).cast("string").alias("final_url"),
@@ -497,9 +603,22 @@ def sitemap_tree_for_homepages(
         fetches = prepare_fetches(fetches, cache=cache_fetch_store)
     seeds = _seed_frame(spark, homepages, normalize_homepage_url)
 
+    # page sink root: the wave kernels side-write full page records here
+    # (one parquet file per task per wave) — `forest.pages` reads them back.
+    # Under the checkpoint dir when given (pages survive for resume),
+    # otherwise a temp dir the forest owns (forest.unpersist() removes it).
+    if checkpoint_dir:
+        pages_root = os.path.join(checkpoint_dir, "pages")
+        owns_pages = False
+    else:
+        import tempfile
+
+        pages_root = tempfile.mkdtemp(prefix="frontier-pages-")
+        owns_pages = True
+
     runner_a = _WaveRunner(
         spark, fetches, recurse_filter, checkpoint_dir, "robots", resume,
-        store_urls_unique,
+        store_urls_unique, pages_root,
     )
     if use_robots:
         pending0 = seeds.select(
@@ -532,7 +651,7 @@ def sitemap_tree_for_homepages(
 
     runner_b = _WaveRunner(
         spark, fetches, recurse_filter, checkpoint_dir, "known_paths", resume,
-        store_urls_unique,
+        store_urls_unique, pages_root,
     )
     if use_known_paths:
         import pandas as pd
@@ -580,12 +699,13 @@ def sitemap_tree_for_homepages(
         everything = everything.unionByName(extra)
 
     if cache_fetch_store and not fetches_prepared:
-        # wave outputs are snapshotted (lineage truncated), so the cached
-        # store is no longer referenced by the result DataFrames; a
-        # caller-prepared store is the caller's to unpersist
+        # wave outputs are snapshotted (lineage truncated) and pages were
+        # side-written to parquet during the waves, so NOTHING in the result
+        # forest references the cached store anymore; a caller-prepared
+        # store is the caller's to unpersist
         fetches.unpersist(blocking=False)
 
-    forest = _assemble(spark, seeds, everything, fetches, store_urls_unique)
+    forest = _assemble(spark, seeds, everything, pages_root, owns_pages)
     # per-wave fetch/parse telemetry (north rule: per-partition lineage +
     # metrics ride on every snapshot; this is the per-wave rollup)
     forest.wave_metrics = everything.groupBy("phase", "wave").agg(
@@ -604,12 +724,14 @@ def _assemble(
     spark: SparkSession,
     seeds: DataFrame,
     parse_out: DataFrame,
-    fetches: DataFrame,
-    store_urls_unique: bool = False,
+    pages_root: str,
+    owns_pages: bool,
 ) -> SitemapForest:
     """Build the final forest: drop invalid phase roots (tree.py:100-101,
-    125-126), add website roots, re-densify root-child seq, and wire the
-    LAZY page-extraction pass (see schemas.py PARSE_OUT_SCHEMA rationale)."""
+    125-126), add website roots, re-densify root-child seq, and wire
+    ``pages`` to the wave kernels' side-written parquet (see schemas.py
+    PARSE_OUT_SCHEMA rationale — pages never transit node rows and are
+    parsed exactly once)."""
     nodes = parse_out.filter(F.col("rec") == "node").select(*_NODE_COLS)
     # a root-level invalid result is dropped together with (nonexistent)
     # descendants; deeper invalids stay as tree nodes
@@ -646,32 +768,169 @@ def _assemble(
         roots.unionByName(nodes).withColumn("depth", F.col("level") + 1).persist()
     )
 
-    # LAZY page pass: page-kind leaves (tiny rows) re-join their store
-    # bodies and stream through the flat-page kernel straight into whatever
-    # consumes ``pages`` — no intermediate materialization of page records
-    # anywhere in the engine. The leaf side is broadcast (sitemap-node count
-    # ≪ store size; at 10^10 scale swap for a shuffle join on url — the
-    # plan shape is one scan either way).
-    leaves = all_nodes.filter(
-        (F.col("kind").isin(*K.PAGE_KINDS)) & (F.col("n_pages") > 0)
-    ).select(
-        "seed",
-        F.col("url").alias("sitemap_url"),
-        F.col("requested_url").alias("url"),
-        "path_key",
+    # pages = plain parquet scan of the wave kernels' side-written files —
+    # no join, no re-parse, no reference to the fetch store. Filters and
+    # column pruning push into the scan like any parquet read. Pages of
+    # dropped invalid ROOTS cannot exist (invalid nodes emit no pages), so
+    # no anti-join against dropped nodes is needed.
+    os.makedirs(pages_root, exist_ok=True)
+    pages = (
+        spark.read.schema(PAGES_FLAT_SCHEMA)
+        .option("recursiveFileLookup", "true")
+        .parquet(pages_root)
     )
-    bodies = fetches.select("url", "content_type", "body")
-    if not store_urls_unique:
-        # duplicate store urls → one body per node; dedup the (small) matched
-        # slice only, never the whole store (mirrors _fetch_join)
-        bodies = bodies.join(
-            F.broadcast(leaves.select("url").distinct()), "url", "semi"
-        ).dropDuplicates(["url"])
-    joined = bodies.join(F.broadcast(leaves), "url").select(
-        "seed", "sitemap_url", "path_key", "content_type", "body"
+    return SitemapForest(
+        nodes=all_nodes,
+        pages=pages,
+        pages_dir=pages_root,
+        _owns_pages_dir=owns_pages,
     )
-    pages = joined.mapInArrow(parse_pages, PAGES_FLAT_SCHEMA)
-    return SitemapForest(nodes=all_nodes, pages=pages)
+
+
+def _iso_with_offset(ts_col: str, off_col: str):
+    """ISO-8601 render of a (UTC-naive instant, offset) pair: the instant is
+    shifted back to source-local time and suffixed with ±HH:MM; a null
+    offset renders naive (the source had no zone)."""
+    shifted = F.col(ts_col) + F.expr(
+        f"make_interval(0, 0, 0, 0, 0, 0, coalesce({off_col}, 0))"
+    )
+    absoff = F.abs(F.col(off_col))
+    suffix = F.concat(
+        F.when(F.col(off_col) < 0, F.lit("-")).otherwise(F.lit("+")),
+        F.lpad(F.floor(absoff / 3600).cast("string"), 2, "0"),
+        F.lit(":"),
+        F.lpad(F.floor((absoff % 3600) / 60).cast("string"), 2, "0"),
+    )
+    fmt = "yyyy-MM-dd'T'HH:mm:ss"
+    return F.when(F.col(ts_col).isNull(), F.lit(None).cast("string")).otherwise(
+        F.when(
+            F.col(off_col).isNull(), F.date_format(F.col(ts_col), fmt)
+        ).otherwise(F.concat(F.date_format(shifted, fmt), suffix))
+    )
+
+
+_JSON_OPTS = {"ignoreNullFields": "false"}
+
+
+def _to_json_tree(forest: SitemapForest, with_pages: bool) -> DataFrame:
+    """Bottom-up nested JSON assembly (see SitemapForest.to_json_tree).
+
+    Per depth d (max → 0): render each node's own fields with ``to_json``
+    (correct escaping for free), then splice in the pre-rendered child-JSON
+    array (aggregated from depth d+1) and the page-JSON array before the
+    closing brace. Depth is bounded at 13, so this is ≤13 small joins/aggs
+    over node-metadata-sized rows; page JSON strings stay distributed."""
+    nodes = forest.nodes
+    parent_key = F.expr(
+        "CASE WHEN path_key LIKE '%.%' "
+        "THEN regexp_replace(path_key, '\\\\.[0-9]{7}$', '') ELSE '' END"
+    )
+
+    if with_pages:
+        story = F.when(
+            F.col("news_story").isNotNull(),
+            F.struct(
+                F.col("news_story.title").alias("title"),
+                _iso_with_offset(
+                    "news_story.publish_date",
+                    "news_story.publish_date_offset_seconds",
+                ).alias("publish_date"),
+                F.col("news_story.publication_name").alias("publication_name"),
+                F.col("news_story.publication_language").alias(
+                    "publication_language"
+                ),
+                F.col("news_story.access").alias("access"),
+                F.col("news_story.genres").alias("genres"),
+                F.col("news_story.keywords").alias("keywords"),
+                F.col("news_story.stock_tickers").alias("stock_tickers"),
+            ),
+        )
+        page_json = F.to_json(
+            F.struct(
+                F.col("page_url").alias("url"),
+                F.col("priority"),
+                _iso_with_offset(
+                    "last_modified", "last_modified_offset_seconds"
+                ).alias("last_modified"),
+                F.col("change_frequency"),
+                F.col("images"),
+                story.alias("news_story"),
+            ),
+            _JSON_OPTS,
+        )
+        pages_by_node = (
+            forest.pages.select("seed", "path_key", "seq", page_json.alias("pj"))
+            .groupBy("seed", "path_key")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("seq", "pj"))),
+                    lambda x: x["pj"],
+                ).alias("page_jsons")
+            )
+        )
+    else:
+        pages_by_node = None
+
+    max_depth = nodes.agg(F.max("depth")).first()[0] or 0
+    child_arrays: DataFrame | None = None  # (seed, path_key→parent, subs)
+    for d in range(max_depth, -1, -1):
+        lvl = nodes.filter(F.col("depth") == d)
+        base = F.to_json(
+            F.when(
+                F.col("kind") == K.KIND_INVALID,
+                F.struct(F.col("url"), F.col("reason")),
+            ).otherwise(F.struct(F.col("url"), F.lit(None).alias("reason"))),
+            _JSON_OPTS,
+        )
+        # strip the null-reason filler for non-invalid nodes
+        base = F.when(
+            F.col("kind") == K.KIND_INVALID, base
+        ).otherwise(F.regexp_replace(base, ',"reason":null}$', "}"))
+        open_obj = F.expr("substring(base_json, 1, length(base_json) - 1)")
+        lvl = lvl.withColumn("base_json", base)
+        if pages_by_node is not None:
+            lvl = lvl.join(pages_by_node, ["seed", "path_key"], "left")
+            pages_frag = F.when(
+                F.col("kind").isin(*K.PAGE_KINDS),
+                F.concat(
+                    F.lit(',"pages":['),
+                    F.array_join(F.coalesce("page_jsons", F.array()), ","),
+                    F.lit("]"),
+                ),
+            ).otherwise(F.lit(""))
+        else:
+            pages_frag = F.lit("")
+        if child_arrays is not None:
+            lvl = lvl.join(child_arrays, ["seed", "path_key"], "left")
+            subs_col = F.coalesce("subs", F.array())
+        else:
+            subs_col = F.array()
+        subs_frag = F.when(
+            F.col("kind").isin(*K.INDEX_KINDS),
+            F.concat(
+                F.lit(',"sub_sitemaps":['),
+                F.array_join(subs_col, ","),
+                F.lit("]"),
+            ),
+        ).otherwise(F.lit(""))
+        rendered = lvl.select(
+            "seed",
+            parent_key.alias("path_key"),
+            "seq",
+            F.concat(open_obj, pages_frag, subs_frag, F.lit("}")).alias("nj"),
+        )
+        if d == 0:
+            return rendered.select("seed", F.col("nj").alias("json"))
+        child_arrays = rendered.groupBy("seed", "path_key").agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("seq", "nj"))),
+                lambda x: x["nj"],
+            ).alias("subs")
+        )
+    # no nodes at depth 0 (empty forest): one empty doc per seed
+    return forest.nodes.sparkSession.createDataFrame(
+        [], "seed string, json string"
+    )
 
 
 def sitemap_from_str(content: str) -> K.ParsedDoc:

@@ -63,9 +63,10 @@ def _plan_of(df) -> str:
 
 
 def test_pages_pass_plan_shape(spark):
-    """The lazy page pass must join store bodies against a BROADCAST of the
-    (tiny) leaf-node side — never a shuffle exchange that would move payload
-    bodies across the cluster."""
+    """``forest.pages`` must be a plain parquet scan of the wave kernels'
+    side-written page files — no MapInArrow (no re-parse of bodies: the wave
+    pass is the single expat pass), no join, no shuffle. This is the
+    one-parse-per-body guarantee in plan form."""
     corpus = synth_crawl_corpus(spark, 4, leaves_per_host=2, pages_per_leaf=5)
     forest = sitemap_tree_for_homepages(
         spark,
@@ -75,10 +76,13 @@ def test_pages_pass_plan_shape(spark):
         store_urls_unique=True,
     )
     plan = _plan_of(forest.pages)
-    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
-    # no shuffle of the body-carrying store side anywhere in the page path
+    assert "Scan parquet" in plan
+    assert "MapInArrow" not in plan          # pages are never re-parsed
+    assert "Join" not in plan                # ...nor re-joined to the store
     assert "Exchange hashpartitioning" not in plan
-    assert "SortMergeJoin" not in plan
+    assert forest.pages.count() == 4 * 2 * 5
+    forest.unpersist()
+    assert not os.path.exists(forest.pages_dir)  # temp sink dir released
 
 
 def test_filter_pushdown_reaches_scan(spark, tmp_path):

@@ -48,3 +48,92 @@ def test_retryable_status_set():
         assert s in RETRYABLE_STATUSES
     for s in (401, 403, 404, 410, 200, 301):
         assert s not in RETRYABLE_STATUSES
+
+
+# --- engine integration: resolve_attempts + attempt-coded crawl ---------------
+
+
+def _attempts_df(spark, rows):
+    """rows: (url, attempt, status, body-str)."""
+    import pandas as pd
+
+    df = pd.DataFrame(rows, columns=["url", "attempt", "status", "body_s"])
+    sdf = spark.createDataFrame(df)
+    from pyspark.sql import functions as F
+
+    return sdf.select(
+        "url",
+        F.col("attempt").cast("int"),
+        F.col("status").cast("int"),
+        F.col("url").alias("final_url"),
+        F.lit("application/xml").alias("content_type"),
+        F.encode("body_s", "utf-8").alias("body"),
+    )
+
+
+def test_resolve_attempts_semantics(spark):
+    """Declarative resolution == fetch_with_retry row-for-row:
+    first-success wins, permanent error short-circuits, all-retryable
+    exhausts to the LAST budgeted attempt, attempts past the budget are
+    never taken."""
+    from frontier.retry import resolve_attempts
+
+    rows = [
+        # success on 3rd try after two retryables
+        ("http://a/", 1, 503, "a1"), ("http://a/", 2, 429, "a2"),
+        ("http://a/", 3, 200, "a3"), ("http://a/", 4, 200, "a4"),
+        # permanent 404 on attempt 1 short-circuits despite later 200
+        ("http://b/", 1, 404, "b1"), ("http://b/", 2, 200, "b2"),
+        # all retryable: last budgeted (5th) wins; 6th never attempted
+        ("http://c/", 1, 500, "c1"), ("http://c/", 2, 502, "c2"),
+        ("http://c/", 3, 503, "c3"), ("http://c/", 4, 520, "c4"),
+        ("http://c/", 5, 429, "c5"), ("http://c/", 6, 200, "c6"),
+        # 400 is retryable per the reference whitelist; 301 is terminal
+        ("http://d/", 1, 400, "d1"), ("http://d/", 2, 301, "d2"),
+    ]
+    out = {
+        r.url: (r.status, bytes(r.body).decode())
+        for r in resolve_attempts(_attempts_df(spark, rows)).collect()
+    }
+    assert out == {
+        "http://a/": (200, "a3"),
+        "http://b/": (404, "b1"),
+        "http://c/": (429, "c5"),
+        "http://d/": (301, "d2"),
+    }
+
+
+def test_crawl_over_attempt_coded_store(spark):
+    """End-to-end S2: prepare_fetches detects the attempt column and the
+    wave engine crawls the effective store — a robots.txt that succeeds on
+    retry 3 and a sitemap whose budget exhausts on retryables surfaces as
+    the invalid node the retry loop's LAST response produces."""
+    from frontier.waves import sitemap_tree_for_homepages
+
+    base = "http://retryhost.example.com/"
+    robots_ok = "User-agent: *\nSitemap: " + base + "sm.xml\n"
+    sm = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        f"<url><loc>{base}p1.html</loc></url></urlset>"
+    )
+    rows = [
+        (base + "robots.txt", 1, 503, ""),
+        (base + "robots.txt", 2, 429, ""),
+        (base + "robots.txt", 3, 200, robots_ok),
+        (base + "sm.xml", 1, 500, ""),
+        (base + "sm.xml", 2, 502, ""),
+        (base + "sm.xml", 3, 503, ""),
+        (base + "sm.xml", 4, 504, ""),
+        (base + "sm.xml", 5, 520, ""),
+        (base + "sm.xml", 6, 200, sm),  # out of budget — never reached
+    ]
+    forest = sitemap_tree_for_homepages(
+        spark, [base], _attempts_df(spark, rows), use_known_paths=False
+    )
+    nodes = {n.url: n for n in forest.nodes.collect()}
+    assert nodes[base + "robots.txt"].kind == "robots"
+    sm_node = nodes[base + "sm.xml"]
+    assert sm_node.kind == "invalid"
+    assert "520" in sm_node.reason
+    assert forest.pages.isEmpty()
