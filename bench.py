@@ -85,6 +85,7 @@ def warmup_crawl(spark, corpus, n_hosts: int) -> None:
         fetches_prepared=True,
     )
     forest.pages.count()
+    forest.unpersist()  # release caches + the warm-up's temp page files
 
 
 def crawl_bench(spark, sf: float, workdir: str) -> tuple[float, int, int]:
@@ -111,6 +112,10 @@ def crawl_bench(spark, sf: float, workdir: str) -> tuple[float, int, int]:
     seeds = [f"http://host{i}.example.com/" for i in range(n_hosts)]
 
     warmup_crawl(spark, corpus, n_hosts)
+    # flush the warm-up's dirty pages (page-sink parquet + snapshots):
+    # background writeback otherwise lands mid-timed-run and skews waves
+    # by multiples (measured 5.7 s vs 30 s for the identical wave-0 job)
+    os.sync()
 
     start = time.perf_counter()
     forest = sitemap_tree_for_homepages(
@@ -120,6 +125,7 @@ def crawl_bench(spark, sf: float, workdir: str) -> tuple[float, int, int]:
     n_pages = forest.pages.count()
     n_nodes = forest.nodes.count()
     elapsed = time.perf_counter() - start
+    forest.unpersist()
     # URLs processed = sitemap fetches (nodes minus synthetic roots) + page
     # records parsed — the unit BASELINE.md's throughput metric counts
     urls = n_pages + (n_nodes - n_hosts)

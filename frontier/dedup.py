@@ -4,15 +4,22 @@ The reference keeps no global visited set (only per-sitemap first-wins dedup
 and ancestor sets); at web scale re-fetching already-seen sitemap/page URLs
 across seeds and crawl rounds dominates cost. Design:
 
-- an exactness-safe two-stage filter: a Bloom filter broadcast to every
-  partition cheaply rejects definitely-new URLs, and only Bloom-positive
-  candidates are confirmed against the seen-set table with an anti-join —
-  Bloom false positives therefore never drop URLs, so the surviving set
-  equals the reference's semantics exactly;
-- the Bloom is built distributed (one partial bitmap per partition via
-  ``mapInPandas``, OR-reduced) using Kirsch-Mitzenmacher double hashing over
-  blake2b digests — salted-hash per north rule; at 10^10 keys shard the
-  bitmap by URL-hash range and broadcast per-shard;
+- an exactness-safe two-stage filter: a Bloom filter cheaply rejects
+  definitely-new URLs, and only Bloom-positive candidates are confirmed
+  against the seen-set table with an anti-join — Bloom false positives
+  therefore never drop URLs, so the surviving set equals the reference's
+  semantics exactly;
+- membership and build are fully VECTORIZED (pandas ``hash_array`` double
+  hashing + numpy bit ops over whole Arrow batches — no per-row Python);
+- two physical strategies, auto-selected by bitmap size:
+  * broadcast: one bitmap built distributed (per-partition partials,
+    OR-reduced) and broadcast — right while the bitmap fits comfortably
+    in executor memory;
+  * sharded: the bitmap is split by URL-hash range into ``n_shards``
+    independent bitmaps that live in a DataFrame and meet their candidate
+    rows through a co-grouped shuffle — NO driver collect, NO broadcast,
+    per-task memory = one shard. At 10^10 keys / 3% fpp (~9 GB of bitmap)
+    this is the only feasible layout;
 - the seen table is a compacted parquet/Iceberg table of distinct URLs,
   appended per crawl round (``record_seen``).
 """
@@ -27,6 +34,12 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+#: Above this bitmap size the broadcast strategy yields to sharding.
+BROADCAST_BITMAP_BYTES = 64 * 1024 * 1024
+
+#: Default per-shard bitmap target in the sharded strategy.
+SHARD_BITMAP_BYTES = 32 * 1024 * 1024
+
 
 def _bloom_params(expected: int, fpp: float) -> tuple[int, int]:
     m_bits = max(64, int(math.ceil(-expected * math.log(fpp) / (math.log(2) ** 2))))
@@ -35,15 +48,45 @@ def _bloom_params(expected: int, fpp: float) -> tuple[int, int]:
     return m_bits, min(k, 16)
 
 
-def _positions(url: str, m_bits: int, k: int, salt: bytes) -> np.ndarray:
-    digest = hashlib.blake2b(url.encode("utf-8"), digest_size=16, salt=salt).digest()
-    h1 = int.from_bytes(digest[:8], "little")
-    h2 = int.from_bytes(digest[8:], "little") | 1
-    return (h1 + np.arange(k, dtype=np.uint64) * np.uint64(h2)) % np.uint64(m_bits)
+def _hash_keys(salt: bytes) -> tuple[str, str]:
+    """Two independent 16-char keys for pandas' SipHash-based hash_array."""
+    return (
+        hashlib.blake2b(salt + b"#1", digest_size=8).hexdigest(),
+        hashlib.blake2b(salt + b"#2", digest_size=8).hexdigest(),
+    )
+
+
+def _hash2(urls, salt: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized double hash of a url array: two uint64 lanes from pandas'
+    C hash kernel (no per-row Python)."""
+    arr = np.asarray(urls, dtype=object)
+    k1, k2 = _hash_keys(salt)
+    h1 = pd.util.hash_array(arr, hash_key=k1, categorize=False)
+    h2 = pd.util.hash_array(arr, hash_key=k2, categorize=False) | np.uint64(1)
+    return h1, h2
+
+
+def _positions_many(
+    h1: np.ndarray, h2: np.ndarray, m_bits: int, k: int
+) -> np.ndarray:
+    """(n, k) Kirsch-Mitzenmacher bit positions."""
+    ks = np.arange(k, dtype=np.uint64)
+    return (h1[:, None] + ks[None, :] * h2[:, None]) % np.uint64(m_bits)
+
+
+def _set_bits(bits: np.ndarray, pos: np.ndarray) -> None:
+    flat = pos.reshape(-1)
+    np.bitwise_or.at(bits, flat // 8, (1 << (flat % 8)).astype(np.uint8))
+
+
+def _test_bits(bits: np.ndarray, pos: np.ndarray) -> np.ndarray:
+    """(n,) bool: all k bits set per row."""
+    hit = (bits[pos // 8] & (1 << (pos % 8)).astype(np.uint8)) != 0
+    return hit.all(axis=1)
 
 
 class BloomFilter:
-    """Minimal broadcastable Bloom over URL strings."""
+    """Minimal broadcastable Bloom over URL strings (vectorized probes)."""
 
     __slots__ = ("m_bits", "k", "salt", "bits")
 
@@ -53,25 +96,31 @@ class BloomFilter:
         self.salt = salt
         self.bits = bits  # uint8 bitmap of length m_bits // 8
 
+    def might_contain_many(self, urls) -> np.ndarray:
+        if len(urls) == 0:
+            return np.zeros(0, dtype=bool)
+        h1, h2 = _hash2(urls, self.salt)
+        return _test_bits(self.bits, _positions_many(h1, h2, self.m_bits, self.k))
+
     def might_contain(self, url: str) -> bool:
-        pos = _positions(url, self.m_bits, self.k, self.salt)
-        return bool(np.all(self.bits[pos // 8] & (1 << (pos % 8).astype(np.uint8))))
+        return bool(self.might_contain_many([url])[0])
 
 
 def build_bloom(
     df: DataFrame, url_col: str, expected: int, fpp: float, salt: bytes = b"frontier"
 ) -> BloomFilter:
     """Distributed Bloom build: per-partition partial bitmaps OR-reduced.
-    Driver holds only one bitmap per partition transiently."""
+    Driver holds one bitmap per partition transiently — use the sharded
+    strategy instead once the bitmap outgrows broadcast size."""
     m_bits, k = _bloom_params(expected, fpp)
     n_bytes = m_bits // 8
 
     def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bits = np.zeros(n_bytes, dtype=np.uint8)
         for batch in batches:
-            for url in batch[url_col]:
-                pos = _positions(url, m_bits, k, salt)
-                np.bitwise_or.at(bits, pos // 8, (1 << (pos % 8)).astype(np.uint8))
+            if len(batch):
+                h1, h2 = _hash2(batch[url_col].to_numpy(), salt)
+                _set_bits(bits, _positions_many(h1, h2, m_bits, k))
         yield pd.DataFrame({"bits": [bits.tobytes()]})
 
     parts = df.select(url_col).mapInPandas(partial, "bits binary").collect()
@@ -81,39 +130,112 @@ def build_bloom(
     return BloomFilter(m_bits, k, salt, merged)
 
 
+def _shard_col(url_col: str, n_shards: int):
+    """JVM-side shard assignment (codegen xxhash64) — decoupled from the
+    Python-side in-shard bit hashing, which is fine for a Bloom."""
+    return F.pmod(F.xxhash64(F.col(url_col), F.lit(1337)), F.lit(n_shards)).cast(
+        "int"
+    )
+
+
+def build_bloom_shards(
+    seen: DataFrame,
+    url_col: str,
+    expected: int,
+    fpp: float,
+    n_shards: int,
+    salt: bytes = b"frontier",
+) -> DataFrame:
+    """Sharded build → DataFrame ``(shard int, bits binary)``: each shard's
+    bitmap is built by the tasks owning that hash range. Nothing is
+    collected; per-task memory is one shard bitmap."""
+    m_bits, k = _bloom_params(max(1, expected // n_shards), fpp)
+    n_bytes = m_bits // 8
+
+    def build_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        bits = np.zeros(n_bytes, dtype=np.uint8)
+        if len(pdf):
+            h1, h2 = _hash2(pdf[url_col].to_numpy(), salt)
+            _set_bits(bits, _positions_many(h1, h2, m_bits, k))
+        return pd.DataFrame(
+            {"shard": [int(pdf["shard"].iloc[0])], "bits": [bits.tobytes()]}
+        )
+
+    return (
+        seen.select(url_col, _shard_col(url_col, n_shards).alias("shard"))
+        .groupBy("shard")
+        .applyInPandas(build_group, "shard int, bits binary")
+    )
+
+
 def filter_unseen_with_bloom(
     candidates: DataFrame,
     seen: DataFrame,
     url_col: str = "url",
     expected_urls: int = 1_000_000,
     fpp: float = 0.03,
+    n_shards: int | None = None,
+    salt: bytes = b"frontier",
 ) -> DataFrame:
     """Rows of ``candidates`` whose URL is NOT in ``seen`` — the exactness-safe
     two-stage filter (Bloom prefilter, anti-join confirmation of Bloom
     positives). Result is provably identical to a plain anti-join: Bloom
     negatives are definitely-new (no false negatives), positives are
     confirmed exactly. Only the ~fpp x |candidates| + true-duplicate slice
-    ever touches the seen table."""
-    spark = candidates.sparkSession
-    bloom = build_bloom(seen, url_col, expected_urls, fpp)
-    bloom_bc = spark.sparkContext.broadcast(bloom)
+    ever touches the seen table.
+
+    Strategy: with ``n_shards`` (or when the bitmap exceeds
+    BROADCAST_BITMAP_BYTES) the sharded co-group path runs — candidates
+    shuffle once on the url-hash shard to meet their shard's bitmap; no
+    bitmap ever reaches the driver or a broadcast. Otherwise one bitmap is
+    built and broadcast, and candidates stay in place."""
+    m_bits, k = _bloom_params(expected_urls, fpp)
+    if n_shards is None and m_bits // 8 > BROADCAST_BITMAP_BYTES:
+        n_shards = max(1, math.ceil((m_bits // 8) / SHARD_BITMAP_BYTES))
+
     out_schema = candidates.schema
-
-    def flag(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        bf = bloom_bc.value
-        for batch in batches:
-            out = batch.copy()
-            out["_maybe_seen"] = (
-                batch[url_col].map(bf.might_contain).astype(bool)
-            )
-            yield out
-
     from pyspark.sql.types import BooleanType, StructField, StructType
 
     flagged_schema = StructType(
         list(out_schema.fields) + [StructField("_maybe_seen", BooleanType())]
     )
-    flagged = candidates.mapInPandas(flag, flagged_schema)
+
+    if n_shards is not None:
+        shards = build_bloom_shards(
+            seen, url_col, expected_urls, fpp, n_shards, salt
+        )
+        sm_bits, sk = _bloom_params(max(1, expected_urls // n_shards), fpp)
+
+        def probe_group(cand: pd.DataFrame, bits_pdf: pd.DataFrame) -> pd.DataFrame:
+            cand = cand.drop(columns=["shard"])
+            if not len(cand):
+                return cand.assign(_maybe_seen=np.zeros(0, dtype=bool))
+            if not len(bits_pdf):  # shard holds no seen urls at all
+                return cand.assign(_maybe_seen=False)
+            bits = np.frombuffer(bits_pdf["bits"].iloc[0], dtype=np.uint8)
+            h1, h2 = _hash2(cand[url_col].to_numpy(), salt)
+            flags = _test_bits(bits, _positions_many(h1, h2, sm_bits, sk))
+            return cand.assign(_maybe_seen=flags)
+
+        flagged = (
+            candidates.withColumn("shard", _shard_col(url_col, n_shards))
+            .groupBy("shard")
+            .cogroup(shards.groupBy("shard"))
+            .applyInPandas(probe_group, flagged_schema)
+        )
+    else:
+        bloom = build_bloom(seen, url_col, expected_urls, fpp, salt)
+        bloom_bc = candidates.sparkSession.sparkContext.broadcast(bloom)
+
+        def flag(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            bf = bloom_bc.value
+            for batch in batches:
+                yield batch.assign(
+                    _maybe_seen=bf.might_contain_many(batch[url_col].to_numpy())
+                )
+
+        flagged = candidates.mapInPandas(flag, flagged_schema)
+
     fresh = flagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
     suspects = flagged.filter(F.col("_maybe_seen")).drop("_maybe_seen")
     confirmed_new = suspects.join(

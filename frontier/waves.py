@@ -211,7 +211,7 @@ def _empty_pending(spark: SparkSession) -> DataFrame:
 
 
 def prepare_fetches(
-    fetches: DataFrame, cache: bool = True, resolve_redirects: bool = True
+    fetches: DataFrame, cache: bool = False, resolve_redirects: bool = True
 ) -> DataFrame:
     """Normalize a fetch store: final_url defaulted, 3xx chains resolved.
 
@@ -220,17 +220,21 @@ def prepare_fetches(
     ``final_url`` is the Location target; resolution follows the chain the
     way ``requests`` does transparently, recording the last hop's URL as the
     response URL (consumed by the redirect-cycle check,
-    fetch_parse.py:164-173).
+    fetch_parse.py:164-173). Resolution is body-free: the emptiness probe
+    and the chain walk read metadata columns only, and only the (small)
+    redirect mapping is ever broadcast — safe to leave on against a 100 TB
+    store.
 
     URL uniqueness is NOT enforced here — a global ``dropDuplicates`` would
     shuffle every payload body in the store on every wave. Duplicates are
     dropped per wave on the (tiny) matched slice in ``_fetch_join`` instead.
 
-    ``cache`` persists the prepared store so the ≤13 wave jobs don't re-run
-    the scan + redirect plan each time. Right for fixture/benchmark-sized
-    stores; pass ``cache=False`` for a real 100 TB store, where the per-wave
-    broadcast semi-join against a partition-pruned Iceberg scan is the
-    correct (and only feasible) plan.
+    Defaults are the scale-safe path: ``cache=False`` leaves the scan
+    plan untouched (per-wave broadcast semi-joins against a partition-pruned
+    store — the only feasible plan at 100 TB; also measured FASTER than the
+    columnar cache at bench scale, where decompressed-body caching costs
+    more in memory pressure than it saves in IO). Opt into ``cache=True``
+    only for small stores consumed by many actions.
     """
     cols = dict.fromkeys(fetches.columns)
     out = fetches
@@ -266,39 +270,58 @@ def _is_redirect():
 def _resolve_redirects(fetches: DataFrame, max_hops: int = 10) -> DataFrame:
     """Rewrite 3xx rows to their ultimate target's response.
 
-    The redirect subset is assumed broadcastable (sitemap redirects are rare);
-    at true 10^10 scale pre-resolve offline and skip this (rows arrive with
-    2xx/4xx only, which short-circuits below without extra jobs).
+    Body-free by construction (the round-1 version broadcast the whole
+    terminal store, bodies included, once per hop): the chain walk runs
+    entirely over the (url, final_url) METADATA of the redirect subset —
+    assumed broadcastable, sitemap redirects are rare — producing a small
+    (src → landing) mapping. The payload-carrying store is then scanned
+    exactly once more, with the mapping broadcast onto it; bodies never
+    enter an exchange. At true 10^10 scale pre-resolve offline and skip
+    this (rows arrive with 2xx/4xx only, which short-circuits below at the
+    cost of one status-column-only probe).
     """
     redirects = fetches.filter(_is_redirect())
-    if redirects.isEmpty():
+    if redirects.select("url").isEmpty():
         return fetches
     terminal = fetches.filter(~_is_redirect())
 
-    # chain state: requested url -> current hop target
-    chain = redirects.select("url", F.col("final_url").alias("hop"))
-    resolved = None
+    redirect_meta = redirects.select("url", "final_url")
+    terminal_urls = terminal.select("url")
+    # chain state: requested url -> current hop target (metadata only)
+    chain = redirect_meta.select("url", F.col("final_url").alias("hop"))
+    mapping = None  # (src url, landing url)
     for _ in range(max_hops):
         landed = chain.join(
-            F.broadcast(terminal.withColumnRenamed("url", "hop")).drop("final_url"),
-            "hop",
-        ).select(
-            "url",
-            F.col("hop").alias("final_url"),
-            "status",
-            "content_type",
-            "body",
-        )
-        resolved = landed if resolved is None else resolved.unionByName(landed)
+            F.broadcast(terminal_urls.withColumnRenamed("url", "hop")), "hop"
+        ).select("url", F.col("hop").alias("landing"))
+        mapping = landed if mapping is None else mapping.unionByName(landed)
         chain = chain.join(
-            F.broadcast(redirects.select(F.col("url").alias("hop"), "final_url")),
+            F.broadcast(
+                redirect_meta.select(F.col("url").alias("hop"), "final_url")
+            ),
             "hop",
         ).select("url", F.col("final_url").alias("hop"))
         if chain.isEmpty():
             break
+    if mapping is None:
+        return terminal
+    # one body-carrying scan: terminal rows relabeled under their redirect
+    # sources ride along with the originals; only `mapping` is broadcast
+    srcs = mapping.select(
+        F.col("url").alias("src_url"), F.col("landing").alias("t_url")
+    )
+    relabeled = terminal.join(
+        F.broadcast(srcs), terminal["url"] == srcs["t_url"]
+    ).select(
+        F.col("src_url").alias("url"),
+        F.col("t_url").alias("final_url"),
+        "status",
+        "content_type",
+        "body",
+    )
     # chains that never land (loops / missing targets) simply drop out and
     # behave as 404s downstream, matching the mock fallback matcher
-    return terminal.unionByName(resolved) if resolved is not None else terminal
+    return terminal.unionByName(relabeled)
 
 
 class _WaveRunner:
@@ -585,7 +608,7 @@ def sitemap_tree_for_homepages(
     recurse_filter: RecurseFilter | None = None,
     checkpoint_dir: str | None = None,
     resume: bool = False,
-    cache_fetch_store: bool = True,
+    cache_fetch_store: bool = False,
     store_urls_unique: bool = False,
     fetches_prepared: bool = False,
 ) -> SitemapForest:
@@ -951,3 +974,59 @@ def unfetched_children(doc: K.ParsedDoc) -> list[dict]:
         {"url": child, "kind": K.KIND_INVALID, "reason": "Un-fetched child sitemap"}
         for child in doc.children
     ]
+
+
+_FROM_STR_URL = "http://usp-local-dummy.local/"
+
+
+def sitemap_forest_from_str(spark: SparkSession, content: str) -> SitemapForest:
+    """Spark surface of the reference ``sitemap_from_str`` (usp/tree.py:
+    133-142, tests/tree/test_from_str.py): parse ONE payload with recursion
+    disabled and return a one-root :class:`SitemapForest` — an index's
+    children surface as invalid 'Un-fetched child sitemap' nodes, a pages
+    payload's records land in ``forest.pages``. Content is a single local
+    string, so rows are built driver-side; the forest then composes with
+    every DataFrame consumer (all_pages, to_dict, to_json_tree, CLI)."""
+    from .udfs import _news_struct, _utc_and_offset
+
+    doc = K.parse_sitemap_text(_FROM_STR_URL, content)
+    seed = _FROM_STR_URL
+
+    node_schema = (
+        "seed string, url string, requested_url string, parent_url string, "
+        "seq int, level int, lineage array<int>, path_key string, "
+        "kind string, reason string, n_pages int, depth int"
+    )
+    nodes = [
+        (seed, seed, seed, None, 0, -1, [], "", doc.kind, doc.reason,
+         len(doc.pages), 0)
+    ]
+    for entry in unfetched_children(doc):
+        i = len(nodes) - 1
+        nodes.append(
+            (seed, entry["url"], None, seed, i, 0, [i], path_segment(i),
+             entry["kind"], entry["reason"], 0, 1)
+        )
+    nodes_df = spark.createDataFrame(nodes, node_schema)
+
+    page_rows = []
+    for seq, rec in enumerate(doc.pages):
+        lastmod, offset = _utc_and_offset(rec.get("last_modified"))
+        page_rows.append(
+            {
+                "seed": seed,
+                "sitemap_url": seed,
+                "path_key": "",
+                "seq": seq,
+                "page_url": rec["url"],
+                "priority": rec.get("priority", K.DEFAULT_PRIORITY),
+                "last_modified": lastmod,
+                "last_modified_offset_seconds": offset,
+                "change_frequency": rec.get("change_frequency"),
+                "news_story": _news_struct(rec.get("news_story")),
+                "images": rec.get("images"),
+                "alternates": rec.get("alternates"),
+            }
+        )
+    pages_df = spark.createDataFrame(page_rows, PAGES_FLAT_SCHEMA)
+    return SitemapForest(nodes=nodes_df, pages=pages_df)

@@ -30,11 +30,16 @@ def _stub_version(name: str) -> str:
     return _orig_version(name)
 
 
+# patch is scoped to the reference import only and ALWAYS restored —
+# leaving it installed would fabricate versions for any 'sitemap'
+# distribution other tests resolve in the same session
 _md.version = _stub_version
-if "/root/reference" not in sys.path:
-    sys.path.insert(0, "/root/reference")
-
-usp_tree = pytest.importorskip("usp.tree")
+try:
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    usp_tree = pytest.importorskip("usp.tree")
+finally:
+    _md.version = _orig_version
 from usp.objects.sitemap import (  # noqa: E402
     AbstractIndexSitemap,
     AbstractPagesSitemap,

@@ -102,3 +102,55 @@ def test_filter_pushdown_reaches_scan(spark, tmp_path):
     assert "PushedFilters: [" in plan and "status" in plan.split("PushedFilters")[1][:120]
     read_schema = plan.split("ReadSchema")[1][:160]
     assert "body" not in read_schema  # pruned: 2-column projection reads 2 columns
+
+
+def test_prepare_fetches_default_plan_scale_safe(spark, tmp_path):
+    """Naive-caller defaults must be the 100-TB-safe path: no columnar cache
+    of the store (cache=False default), and for a 3xx-free store the
+    prepared frame is the plain scan. With redirects present, resolution
+    broadcasts only url metadata — the body-carrying scan never sits under
+    a BroadcastExchange."""
+    from frontier.synth import synth_crawl_corpus
+    from frontier.waves import prepare_fetches
+
+    path = str(tmp_path / "store")
+    synth_crawl_corpus(spark, 3, leaves_per_host=1, pages_per_leaf=5).write.parquet(
+        path
+    )
+    prepared = prepare_fetches(spark.read.parquet(path))  # defaults
+    plan = _plan_of(prepared)
+    assert "InMemoryRelation" not in plan and "InMemoryTableScan" not in plan
+
+    # redirect store: metadata-only broadcasts
+    import pandas as pd
+
+    from frontier.schemas import FETCHES_SCHEMA
+
+    rows = pd.DataFrame(
+        [
+            ("http://h/a", "http://h/b", 301, None, None),
+            ("http://h/b", None, 200, "text/xml", b"<urlset/>"),
+        ],
+        columns=["url", "final_url", "status", "content_type", "body"],
+    )
+    rpath = str(tmp_path / "rstore")
+    spark.createDataFrame(rows, FETCHES_SCHEMA).write.parquet(rpath)
+    resolved = prepare_fetches(spark.read.parquet(rpath))
+    # every BroadcastExchange SUBTREE must be body-free (indentation-scoped
+    # walk of the physical plan tree: children render deeper-indented)
+    tree = resolved._jdf.queryExecution().executedPlan().toString()
+    lines = tree.splitlines()
+    checked = 0
+    for i, line in enumerate(lines):
+        if "BroadcastExchange" not in line:
+            continue
+        checked += 1
+        indent = len(line) - len(line.lstrip(" +-:*("))
+        for sub in lines[i + 1:]:
+            if len(sub) - len(sub.lstrip(" +-:*(")) <= indent:
+                break
+            assert "body" not in sub, f"body under BroadcastExchange: {sub}"
+    assert checked > 0  # redirect resolution does broadcast (metadata only)
+    got = {r.url: (r.final_url, r.status) for r in resolved.collect()}
+    assert got["http://h/a"] == ("http://h/b", 200)
+    assert got["http://h/b"] == ("http://h/b", 200)

@@ -116,3 +116,93 @@ def test_filter_unseen_with_bloom_exactness(spark):
         if r.url not in seen_urls and bloom.might_contain(r.url)
     )
     assert fp > 0
+
+
+def test_filter_unseen_sharded_10m_keys(spark):
+    """Sharded strategy (R8 at scale): 10^7 seen keys split across 8
+    hash-range shards, candidates meeting their shard's bitmap through the
+    co-grouped shuffle — no driver collect, no broadcast — and the result
+    still equals the plain anti-join exactly."""
+    from frontier.dedup import build_bloom_shards, filter_unseen_with_bloom
+
+    n_seen = 10_000_000
+    seen = spark.range(n_seen).selectExpr(
+        "concat('http://h', CAST(id % 100000 AS STRING), '.com/p', "
+        "CAST(id AS STRING)) AS url"
+    )
+    # candidates: half collide with seen ids, half are fresh
+    candidates = spark.range(200_000).selectExpr(
+        "concat('http://h', CAST((id * 97) % 100000 AS STRING), '.com/p', "
+        "CAST(id * 97 + (id % 2) * 30000000 AS STRING)) AS url"
+    ).distinct()
+
+    got = filter_unseen_with_bloom(
+        candidates, seen, expected_urls=n_seen, fpp=0.03, n_shards=8
+    )
+    want = candidates.join(seen, "url", "left_anti")
+    assert got.count() == want.count()
+    assert got.join(want, "url", "left_anti").isEmpty()
+
+    # shard layout sanity: 8 bitmaps, none empty at this fill
+    shards = build_bloom_shards(seen, "url", n_seen, 0.03, 8).collect()
+    assert len(shards) == 8
+    assert all(any(b != 0 for b in bytes(r.bits)) for r in shards)
+
+
+def _load_embeddings(spark, sf_dir="/root/testdata/sf0.001"):
+    spark.read.parquet(f"{sf_dir}/embeddings.parquet").createOrReplaceTempView(
+        "embeddings"
+    )
+
+
+def test_embed_neardup_band_knobs(spark):
+    """Multi-band sign-LSH knobs: more bands can only ADD candidate pairs
+    (OR-amplification), and a tiny bucket cap can only REMOVE them — the
+    documented large-n tuning direction (more bits -> smaller buckets,
+    more bands -> recovered recall)."""
+    from frontier.datapipe import _dot_spark, _embed_neardup_sql, _norm_spark
+
+    _load_embeddings(spark)
+    elem = lambda k: f"element_at(embedding, {k})"
+
+    def pairs(**kw):
+        return {
+            (r.vec_a, r.vec_b)
+            for r in spark.sql(
+                _embed_neardup_sql(elem, _dot_spark, _norm_spark, **kw)
+            ).collect()
+        }
+
+    one_band = pairs(n_bands=1, bits_per_band=8, bucket_cap=100000)
+    four_band = pairs(n_bands=4, bits_per_band=8, bucket_cap=100000)
+    assert one_band <= four_band and len(four_band) > 0
+
+    capped = pairs(n_bands=4, bits_per_band=8, bucket_cap=3)
+    assert capped <= four_band
+
+
+def test_ivf_probe_knobs(spark):
+    """IVF knobs: probing more lists can only improve each query's top-k
+    (recall knob); with k = every vector its own centroid the search is
+    still well-formed."""
+    from frontier.datapipe import _dot_spark, _ivf_sql, _norm_spark
+
+    _load_embeddings(spark)
+
+    def hits(**kw):
+        return {
+            (r.q_id, r.neighbor_id): r.cosine
+            for r in spark.sql(_ivf_sql(_dot_spark, _norm_spark, **kw)).collect()
+        }
+
+    probe1 = hits(n_centroids=8, n_probes=1)
+    probe4 = hits(n_centroids=8, n_probes=4)
+    # per query, the multi-probe best-cosine is >= the single-probe one
+    best1, best4 = {}, {}
+    for (q, _), c in probe1.items():
+        best1[q] = max(best1.get(q, -2.0), c)
+    for (q, _), c in probe4.items():
+        best4[q] = max(best4.get(q, -2.0), c)
+    assert set(best1) <= set(best4)
+    assert all(best4[q] >= best1[q] for q in best1)
+    assert hits(n_centroids=32, n_probes=2)  # larger-k configuration runs
