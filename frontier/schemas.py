@@ -83,17 +83,18 @@ PENDING_SCHEMA = T.StructType(
 # --- unified parse-stage output (one mapInArrow pass per wave) -----------------
 #
 # The wave loop moves ONLY frontier metadata. Page records do NOT cross the
-# wave boundary at all — the wave parse records just their COUNT
-# (``n_pages``), and the full page records are extracted lazily at the end
-# by a second streaming pass over the (already-identified) leaf bodies
-# (PAGES_FLAT_SCHEMA below). Rationale, measured at local[32] on a 2M-page
-# corpus: packing pages onto node rows made every node row a ~50 KB
-# humongous JVM allocation, and materializing + re-reading those rows
-# through per-wave snapshots cost 8-15× the parse itself in GC + disk churn.
-# Metadata-only waves keep snapshots in the kilobyte range regardless of
-# page volume; the page pass streams straight into its consumer (count /
-# sort / sink) with zero intermediate materialization — the Spark analogue
-# of the reference's out-of-core pages (usp sitemap.py:227-230).
+# wave boundary at all — the wave kernel side-writes them straight to a
+# per-wave parquet page sink from inside the Python worker (udfs._PageSink)
+# and the node row carries just their COUNT (``n_pages``). Rationale,
+# measured at local[32] on a 2M-page corpus: packing pages onto node rows
+# made every node row a ~50 KB humongous JVM allocation, and materializing
+# + re-reading those rows through per-wave snapshots cost 8-15x the parse
+# itself in GC + disk churn; a lazy re-parse pass (round 1) fixed that but
+# ran expat twice over every leaf body. The sink design parses each body
+# exactly once, page records never transit the JVM row path at all, and
+# ``forest.pages`` is a plain parquet scan (PAGES_FLAT_SCHEMA below) — the
+# Spark analogue of the reference's out-of-core pages
+# (usp sitemap.py:227-230).
 
 PARSE_OUT_SCHEMA = T.StructType(
     [

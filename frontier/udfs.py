@@ -359,7 +359,13 @@ class _PageSink:
 
         if self._writer is None:
             os.makedirs(self._dir, exist_ok=True)
-            self._writer = pq.ParquetWriter(self._tmp, ARROW_PAGES_SCHEMA)
+            # zstd: ~3-5x smaller files than snappy on text-heavy page
+            # records — the sink's disk writeback is what bounds crawl
+            # throughput once parse runs on many cores, so bytes written
+            # is the knob that matters
+            self._writer = pq.ParquetWriter(
+                self._tmp, ARROW_PAGES_SCHEMA, compression="zstd"
+            )
         self._writer.write_batch(batch)
 
     def close(self) -> None:

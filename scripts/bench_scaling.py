@@ -54,9 +54,12 @@ def run_level_once(cpus: int, corpus_path: str, n_hosts: int) -> dict:
                 use_known_paths=False, store_urls_unique=True,
                 fetches_prepared=True,
             )
-            return forest.pages.count(), forest.nodes.count()
+            counts = forest.pages.count(), forest.nodes.count()
+            forest.unpersist()  # release caches + temp page-sink files
+            return counts
 
         crawl()  # full untimed warm-up (workers, JIT, cache)
+        os.sync()  # flush warm-up writeback out of the timed window
         start = time.perf_counter()
         n_pages, n_nodes = crawl()
         seconds = time.perf_counter() - start
@@ -72,7 +75,8 @@ def main() -> None:
     n_high = 4 * n_low
     leaves, pages = 4, 250
 
-    workdir = f"/tmp/frontier_scaling_{os.getpid()}"
+    import bench as _bench
+    workdir = os.path.join(_bench.SCRATCH or "/tmp", f"frontier_scaling_{os.getpid()}")
     corpus_path = os.path.join(workdir, "corpus")
 
     # materialize the corpus once (untimed, shared by both levels)
