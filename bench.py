@@ -110,15 +110,25 @@ def crawl_bench(spark, sf: float, workdir: str) -> tuple[float, int, int]:
     """Materialize the corpus + warm up (untimed), then time the crawl.
     Returns (seconds, urls_processed, pages)."""
     from frontier.synth import synth_crawl_corpus
-    from frontier.waves import prepare_fetches, sitemap_tree_for_homepages
+    from frontier.waves import (
+        cluster_fetch_store,
+        prepare_fetches,
+        sitemap_tree_for_homepages,
+    )
 
     n_hosts = max(8, int(20000 * sf))
     leaves, pages_per_leaf = 4, 250
     corpus_path = os.path.join(workdir, "corpus")
-    synth_crawl_corpus(
-        spark, n_hosts, leaves_per_host=leaves, pages_per_leaf=pages_per_leaf,
-        partitions=4 * CPUS,
-    ).write.mode("overwrite").parquet(corpus_path)
+    # suffix-clustered store layout (one-time, offline in a real deployment):
+    # waves prune to their own buckets, so the robots/index waves stop
+    # paying the full store's body-column decompress
+    cluster_fetch_store(
+        synth_crawl_corpus(
+            spark, n_hosts, leaves_per_host=leaves,
+            pages_per_leaf=pages_per_leaf, partitions=4 * CPUS,
+        ),
+        corpus_path,
+    )
     # store prep is once-per-store (offline-resolved in a real deployment).
     # cache=False deliberately: the columnar cache of decompressed bodies
     # was measured 2.5x SLOWER end-to-end than re-scanning parquet through

@@ -65,6 +65,35 @@ KNOWN_SITEMAP_PATHS = frozenset(
 
 RecurseFilter = Callable[[DataFrame], DataFrame]
 
+#: Cap on Arrow batch bytes entering the parse kernel. Spark's default
+#: batching is row-count-based (10k rows/batch): with ~60 KB sitemap bodies
+#: that is ~600 MB per batch — per task — and the resulting humongous
+#: JVM/off-heap allocations measured 3-4x slower end-to-end (kernel page
+#: management dominates; sys-time 45-65%). 16 MB keeps a 32-task stage's
+#: in-flight batches in the hundreds of MB and is far above any metadata
+#: row's size, so thin-row stages are unaffected.
+_ARROW_BATCH_BYTES = str(16 * 1024 * 1024)
+
+
+class _arrow_byte_batches:
+    """Scoped override of spark.sql.execution.arrow.maxBytesPerBatch."""
+
+    def __init__(self, spark: SparkSession) -> None:
+        self.spark = spark
+
+    def __enter__(self) -> None:
+        conf = self.spark.conf
+        key = "spark.sql.execution.arrow.maxBytesPerBatch"
+        self._key = key
+        self._prev = conf.get(key, None)
+        conf.set(key, _ARROW_BATCH_BYTES)
+
+    def __exit__(self, *exc) -> None:
+        if self._prev is None:
+            self.spark.conf.unset(self._key)
+        else:
+            self.spark.conf.set(self._key, self._prev)
+
 
 def _tz_aware(naive, offset_seconds):
     """Rebuild the reference's offset-preserving datetime from the engine's
@@ -210,6 +239,63 @@ def _empty_pending(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame([], PENDING_SCHEMA)
 
 
+#: Partition column of a suffix-clustered fetch store (cluster_fetch_store).
+FETCH_BUCKET_COL = "url_bucket"
+#: Fixed bucket count — part of the store format, NOT a tunable: the probe
+#: side must reproduce the store's bucketing from the URL alone, so the
+#: modulus cannot vary per store. 64 directories is coarse enough for any
+#: store size (each holds arbitrarily many files) and fine enough that a
+#: homogeneous wave prunes ~63/64 of unrelated payload bytes.
+N_FETCH_BUCKETS = 64
+#: Suffix window the bucket hashes. Crawl waves are homogeneous in URL *path
+#: suffix* (every robots.txt probe ends "robots.txt", index waves end
+#: ".xml"/".xml.gz" variants), so hashing the last 12 characters clusters
+#: rows the same wave will want into the same partitions.
+_FETCH_BUCKET_SUFFIX = 12
+
+
+def fetch_bucket(url_col):
+    """Suffix-cluster bucket of a URL: hash of its last 12 characters, mod 64.
+
+    A pure column expression, so the wave loop can recompute it on the probe
+    side and statically prune store partitions — the mechanism that lets a
+    robots.txt wave against a 100 TB store read kilobytes instead of
+    scanning every payload body (parquet reads whole row groups per
+    projected column; without directory-level pruning, every wave pays the
+    full body-column decompress of the store)."""
+    return F.pmod(
+        F.xxhash64(F.substring(F.reverse(url_col), 1, _FETCH_BUCKET_SUFFIX)),
+        F.lit(N_FETCH_BUCKETS),
+    ).cast("int")
+
+
+def cluster_fetch_store(
+    fetches: DataFrame, path: str, mode: str = "overwrite"
+) -> DataFrame:
+    """Materialize a fetch store clustered for wave-pruned scans.
+
+    Writes ``path`` partitioned by ``url_bucket`` (URL-suffix hash bucket,
+    see ``fetch_bucket``), sorted by ``url`` within files (row-group min/max
+    stats stay tight for future finer pruning). The wave loop detects the
+    ``url_bucket`` column on any store and pre-filters the scan to the
+    current wave's buckets — a directory-level partition prune, the only
+    scan-avoidance mechanism that needs no literal predicates and works at
+    any wave size. One-time cost: a full shuffle of the store, amortized
+    over every wave of every crawl that reads it (a crawl is ≤ 26 scans).
+
+    Returns the read-back DataFrame.
+    """
+    (
+        fetches.withColumn(FETCH_BUCKET_COL, fetch_bucket(F.col("url")))
+        .repartition(F.col(FETCH_BUCKET_COL))
+        .sortWithinPartitions("url")
+        .write.mode(mode)
+        .partitionBy(FETCH_BUCKET_COL)
+        .parquet(path)
+    )
+    return fetches.sparkSession.read.parquet(path)
+
+
 def prepare_fetches(
     fetches: DataFrame, cache: bool = False, resolve_redirects: bool = True
 ) -> DataFrame:
@@ -252,7 +338,12 @@ def prepare_fetches(
         out = out.withColumn("content_type", F.lit(None).cast("string"))
     if "body" not in cols:
         out = out.withColumn("body", F.lit(None).cast("binary"))
-    out = out.select("url", "final_url", "status", "content_type", "body")
+    keep = ["url", "final_url", "status", "content_type", "body"]
+    if FETCH_BUCKET_COL in cols:
+        # suffix-clustered store (cluster_fetch_store): the partition column
+        # rides along so the wave loop can prune scans per wave
+        keep.append(FETCH_BUCKET_COL)
+    out = out.select(*keep)
     if resolve_redirects:
         # emptiness probe = one full scan when there are no 3xx rows; pass
         # resolve_redirects=False for a store known to be pre-resolved
@@ -285,22 +376,29 @@ def _resolve_redirects(fetches: DataFrame, max_hops: int = 10) -> DataFrame:
         return fetches
     terminal = fetches.filter(~_is_redirect())
 
-    redirect_meta = redirects.select("url", "final_url")
+    # a clustered store's bucket is keyed on the REQUESTED url (the join
+    # key), so relabeled rows must carry the 3xx source row's bucket, not
+    # the landing row's — propagate it through the chain walk
+    has_bucket = FETCH_BUCKET_COL in fetches.columns
+    bucket_cols = [FETCH_BUCKET_COL] if has_bucket else []
+    redirect_meta = redirects.select("url", "final_url", *bucket_cols)
     terminal_urls = terminal.select("url")
     # chain state: requested url -> current hop target (metadata only)
-    chain = redirect_meta.select("url", F.col("final_url").alias("hop"))
+    chain = redirect_meta.select(
+        "url", F.col("final_url").alias("hop"), *bucket_cols
+    )
     mapping = None  # (src url, landing url)
     for _ in range(max_hops):
         landed = chain.join(
             F.broadcast(terminal_urls.withColumnRenamed("url", "hop")), "hop"
-        ).select("url", F.col("hop").alias("landing"))
+        ).select("url", F.col("hop").alias("landing"), *bucket_cols)
         mapping = landed if mapping is None else mapping.unionByName(landed)
         chain = chain.join(
             F.broadcast(
                 redirect_meta.select(F.col("url").alias("hop"), "final_url")
             ),
             "hop",
-        ).select("url", F.col("final_url").alias("hop"))
+        ).select("url", F.col("final_url").alias("hop"), *bucket_cols)
         if chain.isEmpty():
             break
     if mapping is None:
@@ -308,7 +406,9 @@ def _resolve_redirects(fetches: DataFrame, max_hops: int = 10) -> DataFrame:
     # one body-carrying scan: terminal rows relabeled under their redirect
     # sources ride along with the originals; only `mapping` is broadcast
     srcs = mapping.select(
-        F.col("url").alias("src_url"), F.col("landing").alias("t_url")
+        F.col("url").alias("src_url"),
+        F.col("landing").alias("t_url"),
+        *(F.col(c).alias(f"src_{c}") for c in bucket_cols),
     )
     relabeled = terminal.join(
         F.broadcast(srcs), terminal["url"] == srcs["t_url"]
@@ -318,6 +418,7 @@ def _resolve_redirects(fetches: DataFrame, max_hops: int = 10) -> DataFrame:
         "status",
         "content_type",
         "body",
+        *(F.col(f"src_{c}").alias(c) for c in bucket_cols),
     )
     # chains that never land (loops / missing targets) simply drop out and
     # behave as 404s downstream, matching the mock fallback matcher
@@ -387,6 +488,10 @@ class _WaveRunner:
         return df.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
 
     def run(self, pending: DataFrame) -> None:
+        with _arrow_byte_batches(self.spark):
+            self._run(pending)
+
+    def _run(self, pending: DataFrame) -> None:
         import sys
         import time
 
@@ -531,9 +636,26 @@ class _WaveRunner:
            body-free branch; store misses never enter the parse stage at all
            (see ``_miss_nodes``).
         """
+        store = self.fetches
+        if FETCH_BUCKET_COL in store.columns:
+            # suffix-clustered store: statically prune to the buckets this
+            # wave's URLs hash into (directory-level partition pruning — the
+            # scan never opens unrelated buckets' files, so a homogeneous
+            # wave like the robots probe reads ~1/64 of the store's payload
+            # bytes). fetchable is checkpointed small, so the distinct-agg
+            # collect is one tiny driver action per wave, bounded by depth.
+            wave_buckets = [
+                r[0]
+                for r in fetchable.select(fetch_bucket(F.col("url")).alias("b"))
+                .distinct()
+                .collect()
+            ]
+            store = store.filter(
+                F.col(FETCH_BUCKET_COL).isin(wave_buckets)
+            ).drop(FETCH_BUCKET_COL)
         if self.store_urls_unique:
             # one broadcast, one join: scan → hash-probe pending → parse
-            hits = self.fetches.join(F.broadcast(fetchable), "url", "inner")
+            hits = store.join(F.broadcast(fetchable), "url", "inner")
         else:
             # per-wave dedup of the matched slice (wave-sized shuffle)
             # replaces a store-wide dropDuplicates that would shuffle every
@@ -544,7 +666,7 @@ class _WaveRunner:
             # URLs carry different bodies.
             wave_urls = fetchable.select("url").distinct()
             matched = (
-                self.fetches.join(F.broadcast(wave_urls), "url", "semi")
+                store.join(F.broadcast(wave_urls), "url", "semi")
                 .groupBy("url")
                 .agg(
                     F.max_by(

@@ -83,11 +83,15 @@ def main() -> None:
     spark = build_spark(n_high)
     spark.sparkContext.setLogLevel("ERROR")
     from frontier.synth import synth_crawl_corpus
+    from frontier.waves import cluster_fetch_store
 
-    synth_crawl_corpus(
-        spark, n_hosts, leaves_per_host=leaves, pages_per_leaf=pages,
-        partitions=256,
-    ).write.mode("overwrite").parquet(corpus_path)
+    cluster_fetch_store(
+        synth_crawl_corpus(
+            spark, n_hosts, leaves_per_host=leaves, pages_per_leaf=pages,
+            partitions=256,
+        ),
+        corpus_path,
+    )
     spark.stop()
 
     best: dict[int, dict] = {}

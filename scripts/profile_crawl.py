@@ -22,12 +22,20 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     from frontier.synth import synth_crawl_corpus
-    from frontier.waves import prepare_fetches, sitemap_tree_for_homepages
+    from frontier.waves import (
+        cluster_fetch_store,
+        prepare_fetches,
+        sitemap_tree_for_homepages,
+    )
 
     if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
-        synth_crawl_corpus(
-            spark, n_hosts, leaves_per_host=4, pages_per_leaf=250, partitions=256
-        ).write.mode("overwrite").parquet(corpus_path)
+        cluster_fetch_store(
+            synth_crawl_corpus(
+                spark, n_hosts, leaves_per_host=4, pages_per_leaf=250,
+                partitions=256,
+            ),
+            corpus_path,
+        )
 
     corpus = prepare_fetches(
         spark.read.parquet(corpus_path), cache=False, resolve_redirects=False
