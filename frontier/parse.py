@@ -521,10 +521,21 @@ class _ExpatDriver:
         self._assume_sitemap_ns = False
         self._text = ""
         self._text_open = False
+        # canonicalization cache: a document has a handful of distinct
+        # qnames but millions of elements — the per-event string work in
+        # _canon_compute was ~25% of kernel CPU before memoization
+        self._canon_cache: dict = {}
 
     # -- namespace canonicalization (fetch_parse.py:480-536) --
 
     def _canon(self, raw_name: str) -> str:
+        name = self._canon_cache.get(raw_name)
+        if name is None:
+            name = self._canon_compute(raw_name)
+            self._canon_cache[raw_name] = name
+        return name
+
+    def _canon_compute(self, raw_name: str) -> str:
         ns, _, local = raw_name.rpartition(_NS_SEP)
         if raw_name.count(_NS_SEP) > 1:
             raise SitemapParseError(f"ambiguous namespace in {raw_name!r}")
@@ -538,8 +549,10 @@ class _ExpatDriver:
             return f"video:{local}"
         if local in ("urlset", "sitemapindex"):
             # root without the expected xmlns → recover, and treat every
-            # later unmatched tag as sitemap-namespaced
+            # later unmatched tag as sitemap-namespaced; cached plain-name
+            # canonicalizations predate the flip, so drop them
             self._assume_sitemap_ns = True
+            self._canon_cache.clear()
             return f"sitemap:{local}"
         if self._assume_sitemap_ns:
             return f"sitemap:{local}"
@@ -566,7 +579,9 @@ class _ExpatDriver:
 
     def _on_end(self, raw_name: str) -> None:
         name = self._canon(raw_name)
-        text = self._flush_text()
+        text = self._text  # inlined _flush_text (hot path)
+        self._text = ""
+        self._text_open = False
         if self.collector is None:
             raise SitemapParseError("element end before any root element")
         self.collector.on_end(name, text)

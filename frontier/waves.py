@@ -29,6 +29,8 @@ import os
 from dataclasses import dataclass
 from typing import Callable, Iterable, Sequence
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -64,6 +66,40 @@ KNOWN_SITEMAP_PATHS = frozenset(
 )
 
 RecurseFilter = Callable[[DataFrame], DataFrame]
+
+#: Per-URL recursion predicate, the reference's ``recurse_callback``
+#: (usp/tree.py:48, usp/fetch_parse.py:275-283): called once per candidate
+#: child with (url, recursion_level, parent_urls); return False to skip
+#: fetching that sub-sitemap. The child is dropped entirely (it does not
+#: appear in the forest), matching tests/tree/test_opts.py:29-43.
+RecurseCallback = Callable[[str, int, set], bool]
+
+
+def recurse_callback_filter(callback: RecurseCallback) -> RecurseFilter:
+    """Adapt a per-URL predicate to the engine's DataFrame-level hook.
+
+    The predicate is arbitrary Python, so it runs as an Arrow-batched pandas
+    UDF over the wave's *children slice only* — a thin metadata frame (url,
+    level, parents), never bodies — which keeps the slow path off the
+    dominant data even at full scale.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("boolean")
+    def _keep(url: pd.Series, level: pd.Series, parents: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                bool(callback(u, int(lv), set(ps) if ps is not None else set()))
+                for u, lv, ps in zip(url, level, parents)
+            ]
+        )
+
+    def _filter(children: DataFrame) -> DataFrame:
+        return children.filter(
+            _keep(F.col("child_url"), F.col("level"), F.col("parent_urls"))
+        )
+
+    return _filter
 
 #: Cap on Arrow batch bytes entering the parse kernel. Spark's default
 #: batching is row-count-based (10k rows/batch): with ~60 KB sitemap bodies
@@ -728,6 +764,7 @@ def sitemap_tree_for_homepages(
     extra_known_paths: Iterable[str] = (),
     normalize_homepage_url: bool = True,
     recurse_filter: RecurseFilter | None = None,
+    recurse_callback: RecurseCallback | None = None,
     checkpoint_dir: str | None = None,
     resume: bool = False,
     cache_fetch_store: bool = False,
@@ -746,6 +783,18 @@ def sitemap_tree_for_homepages(
     """
     if not fetches_prepared:
         fetches = prepare_fetches(fetches, cache=cache_fetch_store)
+    if recurse_callback is not None:
+        # reference applies the list callback to the candidate list first,
+        # then the per-URL predicate to each survivor (fetch_parse.py:345-363)
+        url_filter = recurse_callback_filter(recurse_callback)
+        if recurse_filter is None:
+            recurse_filter = url_filter
+        else:
+            list_filter = recurse_filter
+
+            def recurse_filter(children: DataFrame) -> DataFrame:
+                return url_filter(list_filter(children))
+
     seeds = _seed_frame(spark, homepages, normalize_homepage_url)
 
     # page sink root: the wave kernels side-write full page records here

@@ -220,3 +220,70 @@ def test_recurse_filter_hook(spark):
     nodes = forest.all_sitemaps().collect()
     assert [n.url for n in nodes if n.depth == 2] == [f"{BASE}/keep.xml"]
     assert [p.page_url for p in forest.all_pages().collect()] == [f"{BASE}/a.html"]
+
+
+def test_recurse_callback_per_url(spark):
+    """Per-URL recurse_callback (usp/tree.py:48; tests/tree/test_opts.py:29-43):
+    predicate gets (url, recursion_level, parent_urls); False drops the child
+    entirely — it never appears in the forest."""
+    import re
+
+    rows = [
+        robots_row(f"{BASE}/pages.xml", f"{BASE}/news_index_1.xml"),
+        _row(f"{BASE}/pages.xml", urlset_body(f"{BASE}/about.html"), XML_CT),
+        _row(
+            f"{BASE}/news_index_1.xml",
+            index_body(f"{BASE}/news_1.xml", f"{BASE}/news_2.xml"),
+            XML_CT,
+        ),
+        _row(f"{BASE}/news_1.xml", urlset_body(f"{BASE}/news/a.html"), XML_CT),
+        _row(f"{BASE}/news_2.xml", urlset_body(f"{BASE}/news/b.html"), XML_CT),
+    ]
+
+    seen: list[tuple[str, int]] = []
+
+    def callback(url: str, recursion_level: int, parent_urls: set) -> bool:
+        # signature parity with the reference; parents must include robots.txt
+        assert isinstance(parent_urls, set)
+        if recursion_level >= 2:
+            assert any(u.endswith("robots.txt") for u in parent_urls)
+        return re.search(r"news_\d+\.xml$", url) is None or "index" in url
+
+    forest = crawl(
+        spark, rows, use_known_paths=False, recurse_callback=callback
+    )
+    urls = sorted(n.url for n in forest.all_sitemaps().collect())
+    # root + robots + pages + news_index_1 survive; news_1/news_2 are dropped
+    assert urls == [
+        f"{BASE}/",
+        f"{BASE}/news_index_1.xml",
+        f"{BASE}/pages.xml",
+        f"{BASE}/robots.txt",
+    ]
+    assert [p.page_url for p in forest.all_pages().collect()] == [
+        f"{BASE}/about.html"
+    ]
+    forest.unpersist()
+
+
+def test_recurse_callback_composes_with_list_filter(spark):
+    """Both hooks given → list filter first, then the per-URL predicate
+    (fetch_parse.py order: recurse_list_callback, then recurse_callback)."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        robots_row(f"{BASE}/a.xml", f"{BASE}/b.xml", f"{BASE}/c.xml"),
+        _row(f"{BASE}/a.xml", urlset_body(f"{BASE}/1.html"), XML_CT),
+        _row(f"{BASE}/b.xml", urlset_body(f"{BASE}/2.html"), XML_CT),
+        _row(f"{BASE}/c.xml", urlset_body(f"{BASE}/3.html"), XML_CT),
+    ]
+    forest = crawl(
+        spark,
+        rows,
+        use_known_paths=False,
+        recurse_filter=lambda df: df.filter(~F.col("child_url").contains("/b.xml")),
+        recurse_callback=lambda url, level, parents: "/c.xml" not in url,
+    )
+    urls = sorted(n.url for n in forest.all_sitemaps().collect())
+    assert urls == [f"{BASE}/", f"{BASE}/a.xml", f"{BASE}/robots.txt"]
+    forest.unpersist()
