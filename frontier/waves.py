@@ -323,10 +323,25 @@ def cluster_fetch_store(
     """
     (
         fetches.withColumn(FETCH_BUCKET_COL, fetch_bucket(F.col("url")))
-        .repartition(F.col(FETCH_BUCKET_COL))
+        # second repartition key fans each bucket out over ~8 writer tasks →
+        # ~8 files per bucket directory. One-file buckets cap a wave's scan
+        # at the file's row-group count — fatal for small-body waves (a
+        # robots wave's whole bucket can be a single sub-2MB row group, so
+        # the entire wave would parse 1-wide regardless of cluster size).
+        .repartition(
+            F.col(FETCH_BUCKET_COL), F.pmod(F.xxhash64("url"), F.lit(8))
+        )
         .sortWithinPartitions("url")
         .write.mode(mode)
         .partitionBy(FETCH_BUCKET_COL)
+        # Small row groups are what make bucket files SPLITTABLE: parquet
+        # scans split on row-group boundaries only, so the default 128 MB
+        # groups cap a bucket file's scan parallelism at size/128MB tasks —
+        # a homogeneous wave (all bodies in a handful of buckets) then
+        # parses ~4-wide regardless of cluster size. 2 MB compressed groups
+        # keep every wave's scan as wide as the executor count while still
+        # amortizing footer/stats overhead.
+        .option("parquet.block.size", str(2 * 1024 * 1024))
         .parquet(path)
     )
     return fetches.sparkSession.read.parquet(path)

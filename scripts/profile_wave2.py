@@ -94,11 +94,34 @@ def main() -> None:
         .agg(F.count("*"))
         .collect(),
     )
-    sinkless = make_parse_wave(None)
+    def timed_kernel(pages_dir):
+        inner = make_parse_wave(pages_dir)
+
+        def kernel(batches):
+            t0 = time.perf_counter()
+            c0 = time.process_time()
+            rows = 0
+
+            def counting():
+                nonlocal rows
+                for b in batches:
+                    rows += b.num_rows
+                    yield b
+
+            yield from inner(counting())
+            print(
+                f"[task] rows={rows} cpu={time.process_time() - c0:.2f} "
+                f"wall={time.perf_counter() - t0:.2f}",
+                file=sys.stderr,
+                flush=True,
+            )
+
+        return kernel
+
     t(
         "parse",
         lambda: joined()
-        .mapInArrow(sinkless, PARSE_OUT_SCHEMA)
+        .mapInArrow(timed_kernel(None), PARSE_OUT_SCHEMA)
         .agg(F.sum("n_pages"))
         .collect(),
     )
