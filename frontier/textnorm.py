@@ -9,6 +9,7 @@ row-batch-wise from inside Arrow UDFs.
 from __future__ import annotations
 
 import datetime as _dt
+import functools as _functools
 import gzip as _gzip
 import html as _html
 import io as _io
@@ -63,12 +64,18 @@ def html_unescape_strip(value: str | None) -> str | None:
     return value
 
 
+@_functools.lru_cache(maxsize=65536)
 def parse_iso8601_date(date_string: str) -> _dt.datetime | None:
     """ISO-8601 → datetime; graceful fallback to the general dateutil parser.
 
     Behavior of usp/helpers.py:104-129 on Python >= 3.11: ``fromisoformat``
     first, then ``dateutil.parser.parse``, unparseable → None. The source
     UTC offset is preserved in ``tzinfo`` (naive stays naive).
+
+    Cached: sitemap lastmod stamps repeat heavily within a crawl (sites emit
+    one generation timestamp across many pages); the returned datetime is
+    immutable, so sharing is safe. Raises on empty input BEFORE caching
+    matters (falsy guard below).
     """
     if not date_string:
         raise ValueError("empty date string")

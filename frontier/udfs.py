@@ -23,6 +23,7 @@ declarative DataFrame plumbing (SURVEY.md §2.6 "UDF surface").
 from __future__ import annotations
 
 import datetime as _dt
+import functools as _functools
 import os
 from http import HTTPStatus
 from typing import Any, Iterable, Iterator
@@ -76,9 +77,12 @@ def status_message(status: int | None) -> str:
     return f"{status} {phrase}"
 
 
+@_functools.lru_cache(maxsize=65536)
 def _utc_and_offset(value: _dt.datetime | None):
     """Split an (optionally tz-aware) datetime into a UTC-naive instant plus
-    the source offset in seconds (None for naive input) — see schemas.py."""
+    the source offset in seconds (None for naive input) — see schemas.py.
+    Cached (datetimes are hashable+immutable): lastmod stamps repeat heavily
+    within a crawl, and astimezone/replace allocate on every call."""
     if value is None:
         return None, None
     if value.tzinfo is None:
