@@ -411,8 +411,11 @@ class _FeedCollectorBase:
             pub = html_unescape_strip(raw.get("pubdate"))
             if pub:
                 pub = self.date_parser(pub)
-            else:
-                pub = None
+            # NOT coerced to None when falsy: a set-but-empty date survives
+            # as "" in the reference (fetch_parse.py:1139-1141, 1270-1272 —
+            # html_unescape_strip passes falsy input through); the Arrow
+            # boundary maps any falsy date to a NULL timestamp (udfs.py
+            # _utc_and_offset)
             pages.append(
                 _page_record(
                     url=link,

@@ -83,7 +83,9 @@ def _utc_and_offset(value: _dt.datetime | None):
     the source offset in seconds (None for naive input) — see schemas.py.
     Cached (datetimes are hashable+immutable): lastmod stamps repeat heavily
     within a crawl, and astimezone/replace allocate on every call."""
-    if value is None:
+    if not value:
+        # None, or the RSS/Atom set-but-empty-date quirk ("" — see
+        # parse.py _FeedCollectorBase.result); datetimes are always truthy
         return None, None
     if value.tzinfo is None:
         return value, None

@@ -342,6 +342,94 @@ def test_fuzz_urlset_differential(doc):
     assert_same(doc)
 
 
+_rfc2822_pool = st.sampled_from(
+    [
+        "Thu, 17 Dec 2009 12:04:56 GMT",
+        "Thu, 17 Dec 2009 12:04:56 +0200",
+        "17 Dec 2009 12:04:56",
+        "not a date",
+        "",
+    ]
+)
+
+
+@st.composite
+def _rss_doc(draw):
+    n = draw(st.integers(min_value=0, max_value=4))
+    parts = [
+        '<?xml version="1.0" encoding="UTF-8"?>\n',
+        "<rss version=\"2.0\"><channel><title>T</title>"
+        f"<link>{BASE}/</link>",
+    ]
+    for i in range(n):
+        parts.append("<item>")
+        if draw(st.booleans()):
+            link = draw(st.one_of(st.just(f"{BASE}/i{i}.html"), _url_text))
+            parts.append(f"<link>{link}</link>")
+        if draw(st.booleans()):
+            parts.append(f"<title>{draw(_url_text)}</title>")
+        if draw(st.booleans()):
+            parts.append(f"<pubDate>{draw(_rfc2822_pool)}</pubDate>")
+        parts.append("</item>")
+    parts.append("</channel></rss>")
+    doc = "".join(parts)
+    if draw(st.booleans()):
+        cut = draw(st.integers(min_value=len(parts[0]), max_value=len(doc)))
+        doc = doc[:cut]
+    return doc
+
+
+@settings(max_examples=100, deadline=None)
+@given(_rss_doc())
+def test_fuzz_rss_differential(doc):
+    """P11 RSS 2.0 extraction vs the reference parser, incl. truncation."""
+    assert_same(doc)
+
+
+@st.composite
+def _atom_doc(draw):
+    n = draw(st.integers(min_value=0, max_value=4))
+    ns = draw(st.sampled_from(["http://www.w3.org/2005/Atom", ""]))
+    xmlns = f' xmlns="{ns}"' if ns else ""
+    parts = [
+        '<?xml version="1.0" encoding="UTF-8"?>\n',
+        f"<feed{xmlns}><title>T</title>",
+    ]
+    for i in range(n):
+        parts.append("<entry>")
+        # link precedence: rel=alternate > no-rel > (rel=self ignored)
+        for rel in draw(
+            st.lists(
+                st.sampled_from(["alternate", "self", None]),
+                max_size=3,
+            )
+        ):
+            href = draw(st.one_of(st.just(f"{BASE}/e{i}.html"), _url_text))
+            rel_attr = f' rel="{rel}"' if rel else ""
+            parts.append(f'<link{rel_attr} href="{href}"/>')
+        if draw(st.booleans()):
+            parts.append(f"<title>{draw(_url_text)}</title>")
+        if draw(st.booleans()):
+            parts.append(f"<published>{draw(_scalar) or ''}</published>")
+        if draw(st.booleans()):
+            parts.append(f"<updated>{draw(_scalar) or ''}</updated>")
+        parts.append("</entry>")
+    parts.append("</feed>")
+    doc = "".join(parts)
+    if draw(st.booleans()):
+        cut = draw(st.integers(min_value=len(parts[0]), max_value=len(doc)))
+        doc = doc[:cut]
+    return doc
+
+
+@settings(max_examples=100, deadline=None)
+@given(_atom_doc())
+def test_fuzz_atom_differential(doc):
+    """P12 Atom extraction vs the reference parser: link-rel precedence,
+    0.3/1.0 namespace presence, truncation recovery."""
+    assert_same(doc)
+
+
 @settings(max_examples=75, deadline=None)
 @given(
     st.text(
