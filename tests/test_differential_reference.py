@@ -430,6 +430,47 @@ def test_fuzz_atom_differential(doc):
     assert_same(doc)
 
 
+_robots_line = st.one_of(
+    st.builds(lambda u: f"Sitemap: {u}", st.one_of(st.just(f"{BASE}/s.xml"), _url_text)),
+    st.builds(lambda u: f"sitemap:{u}", _url_text),
+    st.builds(lambda u: f"SiTeMaP :  {u} ", _url_text),
+    st.just("User-agent: *"),
+    st.just("Disallow: /private"),
+    st.just(""),
+    st.builds(lambda t: f"# {t}", _url_text),
+    _url_text,
+)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(_robots_line, max_size=8), st.booleans())
+def test_fuzz_robots_differential(lines, bom):
+    """P2 robots.txt Sitemap: directive extraction vs the reference —
+    case-insensitive directive, whitespace, comments, junk lines."""
+    doc = "\r\n".join(lines)
+    if bom:
+        doc = "﻿" + doc
+    assert_same(doc)
+
+
+_plain_line = st.one_of(
+    st.just(f"{BASE}/page.html"),
+    st.just(f" {BASE}/padded.html "),
+    st.just("ftp://not-http.example.com/x"),
+    st.just("no scheme at all"),
+    _url_text,
+    st.just(""),
+)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(_plain_line, max_size=8))
+def test_fuzz_plaintext_differential(lines):
+    """P3 plain-text sitemap extraction vs the reference — URL-per-line
+    with validation, padding, non-HTTP schemes, junk."""
+    assert_same("\n".join(lines))
+
+
 @settings(max_examples=75, deadline=None)
 @given(
     st.text(
