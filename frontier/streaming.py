@@ -162,6 +162,91 @@ def host_window_metrics(
     )
 
 
+#: Per-host dedup state: 64-bit hashes of URLs this host has already emitted.
+FIRST_SEEN_STATE_SCHEMA = T.StructType(
+    [T.StructField("seen", T.ArrayType(T.LongType()))]
+)
+
+FIRST_SEEN_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("fetch_ts", T.TimestampType()),
+    ]
+)
+
+
+def _url_hash64(url: str) -> int:
+    import hashlib
+
+    return int.from_bytes(
+        hashlib.blake2b(url.encode("utf-8"), digest_size=8).digest(),
+        "big",
+        signed=True,
+    )
+
+
+def stream_first_seen(
+    fetches: DataFrame, state_timeout_ms: int | None = None
+) -> DataFrame:
+    """Streaming URL-seen filter: emit each URL the FIRST time it appears,
+    across micro-batches — the R8 seen-set (dedup.py) as a custom stateful
+    operator via ``applyInPandasWithState``.
+
+    State is keyed by host (the same partitioning axis as the batch
+    politeness scheduler, so hot hosts don't serialize unrelated state) and
+    holds 64-bit URL hashes. Pass ``state_timeout_ms`` to expire idle hosts'
+    state (processing-time timeout) on continuously-running queries; the
+    default leaves timeouts off because this PySpark build wedges an
+    ``availableNow`` drain when ProcessingTimeTimeout is configured
+    (observed: the final microbatch never completes). At 10^10-URL scale,
+    long-lived membership belongs to the batch engine's sharded bloom +
+    dedup-table compaction (frontier.dedup); this operator covers the
+    streaming window in front of it, exactly like the reference's in-process
+    ``parent_urls``/seen guard covers one crawl.
+    """
+    import pandas as pd
+
+    def dedup(key, pdf_iter, state):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        seen = set(state.get[0]) if state.exists else set()
+        n0 = len(seen)
+        out = []
+        for pdf in pdf_iter:
+            for url, ts in zip(pdf["url"], pdf["fetch_ts"]):
+                h = _url_hash64(url)
+                if h not in seen:
+                    seen.add(h)
+                    out.append((key[0], url, ts))
+        if len(seen) != n0 or not state.exists:
+            state.update((list(seen),))
+        if state_timeout_ms is not None:
+            state.setTimeoutDuration(state_timeout_ms)
+        yield pd.DataFrame(out, columns=["host", "url", "fetch_ts"])
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    with_host = fetches.withColumn(
+        "host", F.parse_url(F.col("url"), F.lit("HOST"))
+    )
+    # "update" mode: each emitted row is final (a first occurrence is never
+    # revised), and append-mode FlatMapGroupsWithState buffers group output
+    # against the (absent) event-time watermark — measured to wedge an
+    # availableNow drain entirely. Consumers pair this with
+    # ``outputMode("update")`` on the sink.
+    return with_host.groupBy("host").applyInPandasWithState(
+        dedup,
+        FIRST_SEEN_OUT_SCHEMA,
+        FIRST_SEEN_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_timeout_ms is not None
+        else GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_available_now(
     df: DataFrame, checkpoint_dir: str, query_name: str, output_mode: str = "append"
 ):

@@ -84,3 +84,61 @@ def test_stream_parse_and_metrics(spark, tmp_path):
     later = m[("h1.example.com", t0 + dt.timedelta(minutes=2))]
     assert later.n_pages == 2
     assert m[("h2.example.com", t0)].n_children == 1
+
+
+def test_stream_first_seen_dedup_across_batches(spark, tmp_path):
+    """applyInPandasWithState seen-set: a URL is emitted only on its first
+    appearance, even when the repeat arrives in a LATER micro-batch
+    (maxFilesPerTrigger=1 forces one file per batch)."""
+    import datetime as dt
+
+    from frontier.streaming import stream_first_seen
+
+    landing = str(tmp_path / "landing_fs")
+    t0 = dt.datetime(2025, 6, 1, 12, 0, 0)
+    # file 1: two urls on h1, one on h2 (h1 has an in-batch duplicate)
+    _land(
+        spark,
+        landing,
+        [
+            ("http://h1.example.com/a.xml", None, 200, None, None, t0),
+            ("http://h1.example.com/a.xml", None, 200, None, None, t0),
+            ("http://h1.example.com/b.xml", None, 200, None, None, t0),
+            ("http://h2.example.com/a.xml", None, 200, None, None, t0),
+        ],
+    )
+    # file 2: cross-batch duplicates + one genuinely new url
+    _land(
+        spark,
+        landing,
+        [
+            ("http://h1.example.com/a.xml", None, 200, None, None,
+             t0 + dt.timedelta(minutes=1)),
+            ("http://h2.example.com/a.xml", None, 200, None, None,
+             t0 + dt.timedelta(minutes=1)),
+            ("http://h2.example.com/new.xml", None, 200, None, None,
+             t0 + dt.timedelta(minutes=1)),
+        ],
+    )
+
+    stream = (
+        spark.readStream.schema(STREAM_FETCH_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing)
+    )
+    run_available_now(
+        stream_first_seen(stream),
+        str(tmp_path / "ck_fs"),
+        "first_seen_sink",
+        output_mode="update",
+    )
+    got = sorted(
+        (r.host, r.url)
+        for r in spark.sql("SELECT * FROM first_seen_sink").collect()
+    )
+    assert got == [
+        ("h1.example.com", "http://h1.example.com/a.xml"),
+        ("h1.example.com", "http://h1.example.com/b.xml"),
+        ("h2.example.com", "http://h2.example.com/a.xml"),
+        ("h2.example.com", "http://h2.example.com/new.xml"),
+    ]
