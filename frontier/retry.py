@@ -104,7 +104,13 @@ def resolve_attempts(
     """
     statuses = F.lit(sorted(RETRYABLE_STATUSES))
     budgeted = fetches.filter(F.col("attempt") <= retry_count)
-    terminal = ~F.array_contains(statuses, F.col("status"))
+    # a NULL status ("no response") is terminal: FetchResult.retryable is
+    # False for status=None, so the imperative loop returns immediately —
+    # without the isNull branch, ~array_contains(NULL) is NULL and the row
+    # silently falls through to last_budgeted instead
+    terminal = F.col("status").isNull() | ~F.array_contains(
+        statuses, F.col("status")
+    )
     picks = budgeted.groupBy("url").agg(
         F.min(F.when(terminal, F.col("attempt"))).alias("first_terminal"),
         F.max("attempt").alias("last_budgeted"),

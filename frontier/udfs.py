@@ -78,11 +78,21 @@ def status_message(status: int | None) -> str:
 
 
 @_functools.lru_cache(maxsize=65536)
+def _utc_naive_cached(wall_clock: _dt.datetime, offset_seconds: int):
+    """Cached UTC conversion keyed on (naive wall clock, source offset).
+
+    The key must include the offset explicitly: tz-aware datetimes at the
+    same *instant* but different offsets (10:00+02:00 vs 08:00+00:00) hash
+    and compare equal, so caching on the datetime alone would return a stale
+    offset and break to_dict/to_json_tree offset round-tripping."""
+    return wall_clock - _dt.timedelta(seconds=offset_seconds)
+
+
 def _utc_and_offset(value: _dt.datetime | None):
     """Split an (optionally tz-aware) datetime into a UTC-naive instant plus
     the source offset in seconds (None for naive input) — see schemas.py.
-    Cached (datetimes are hashable+immutable): lastmod stamps repeat heavily
-    within a crawl, and astimezone/replace allocate on every call."""
+    Lastmod stamps repeat heavily within a crawl, so the arithmetic is
+    cached on the collision-free (wall clock, offset) key above."""
     if not value:
         # None, or the RSS/Atom set-but-empty-date quirk ("" — see
         # parse.py _FeedCollectorBase.result); datetimes are always truthy
@@ -90,10 +100,10 @@ def _utc_and_offset(value: _dt.datetime | None):
     if value.tzinfo is None:
         return value, None
     offset = value.utcoffset()
-    return (
-        value.astimezone(_dt.timezone.utc).replace(tzinfo=None),
-        int(offset.total_seconds()) if offset is not None else None,
-    )
+    if offset is None:
+        return value.replace(tzinfo=None), None
+    seconds = int(offset.total_seconds())
+    return _utc_naive_cached(value.replace(tzinfo=None), seconds), seconds
 
 
 def _news_struct(story: dict[str, Any] | None):

@@ -531,3 +531,28 @@ def test_sitemap_from_str_index_children_unfetched():
     kids = unfetched_children(doc)
     assert [k["url"] for k in kids] == [f"{BASE}/a.xml", f"{BASE}/b.xml"]
     assert all(k["reason"] == "Un-fetched child sitemap" for k in kids)
+
+
+def test_utc_and_offset_same_instant_different_offsets():
+    """Regression: same-instant tz-aware datetimes with different offsets hash
+    equal, so a datetime-keyed cache returned a stale offset (ADVICE r2)."""
+    import datetime as dt
+
+    from frontier.udfs import _utc_and_offset
+
+    plus2 = dt.datetime(2024, 1, 1, 10, 0, tzinfo=dt.timezone(dt.timedelta(hours=2)))
+    utc = dt.datetime(2024, 1, 1, 8, 0, tzinfo=dt.timezone.utc)
+    assert plus2 == utc  # the collision precondition
+    got_plus2 = _utc_and_offset(plus2)
+    got_utc = _utc_and_offset(utc)
+    assert got_plus2 == (dt.datetime(2024, 1, 1, 8, 0), 7200)
+    assert got_utc == (dt.datetime(2024, 1, 1, 8, 0), 0)
+    # and reversed query order, against a fresh cache
+    from frontier.udfs import _utc_naive_cached
+
+    _utc_naive_cached.cache_clear()
+    assert _utc_and_offset(utc) == (dt.datetime(2024, 1, 1, 8, 0), 0)
+    assert _utc_and_offset(plus2) == (dt.datetime(2024, 1, 1, 8, 0), 7200)
+    # naive input passes through untouched
+    naive = dt.datetime(2024, 1, 1, 8, 0)
+    assert _utc_and_offset(naive) == (naive, None)

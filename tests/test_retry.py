@@ -137,3 +137,23 @@ def test_crawl_over_attempt_coded_store(spark):
     assert sm_node.kind == "invalid"
     assert "520" in sm_node.reason
     assert forest.pages.isEmpty()
+
+
+def test_resolve_attempts_null_status_is_terminal(spark):
+    """A NULL status ("no response") must short-circuit like the imperative
+    loop (FetchResult.retryable is False for None) — ADVICE r2."""
+    from frontier.retry import resolve_attempts
+
+    rows = [
+        # attempt 1: retryable 503; attempt 2: null status (terminal);
+        # attempt 3: would win only if null were wrongly treated retryable
+        ("http://h/x", 1, 503, b"a"),
+        ("http://h/x", 2, None, b"b"),
+        ("http://h/x", 3, 200, b"c"),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, attempt int, status int, body binary"
+    )
+    got = resolve_attempts(df).collect()
+    assert len(got) == 1
+    assert got[0].status is None and bytes(got[0].body) == b"b"
