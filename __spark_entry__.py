@@ -3,9 +3,12 @@
 ``entry`` runs the flagship crawl (reference ``sitemap_tree_for_homepage``,
 usp/tree.py:42-130, re-expressed as DataFrame waves). ``queries`` exposes each
 implemented operator from SURVEY.md §2 plus the training-data pipeline ops;
-``oracle_sql`` carries the DuckDB-equivalent SQL for everything
-SQL-expressible (the crawl itself is rows-only-checked: its input is a fetch
-store built inside the query, not a testdata view).
+``oracle_sql`` carries the DuckDB-equivalent SQL for everything — including
+the crawl surface (constructive oracles: the flagship golden tree is pinned
+as VALUES against the reference's own expected rows,
+/root/reference/tests/tree/test_basic.py:122-133; the multi-host crawl and
+the media operators are derived in closed form from their deterministic
+synthesized inputs).
 """
 
 from __future__ import annotations
@@ -14,7 +17,7 @@ import os
 import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -23,6 +26,7 @@ from frontier.synth import (
     TEST_BASE_URL,
     reference_site_fetches,
     synth_crawl_corpus,
+    synth_media_payloads,
 )
 from frontier.waves import sitemap_tree_for_homepages
 
@@ -48,43 +52,133 @@ def entry(spark: SparkSession) -> DataFrame:
     return _flagship(spark)
 
 
+def _render_lastmod(pages: DataFrame) -> DataFrame:
+    """Gate projection: last_modified and priority as formatted strings.
+
+    The engine stores UTC-naive instants; naive datetimes round-trip
+    through Spark's session-TZ interpretation + date_format rendering
+    unchanged, so the string is the UTC wall clock on any session TZ —
+    the only encoding whose value hash is identical across Spark's pandas
+    conversion and DuckDB's (same rationale as sessionize's bounds).
+    Priority likewise: DuckDB's pandas conversion coerces DECIMAL to
+    float64 while Spark keeps Decimal, so both sides render the scaled
+    string ('0.80')."""
+    return pages.withColumn(
+        "last_modified",
+        F.date_format("last_modified", "yyyy-MM-dd HH:mm:ss"),
+    ).withColumn("priority", F.col("priority").cast("string"))
+
+
+def _flagship_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _render_lastmod(_flagship(spark))
+
+
+# The 6 golden rows of the reference mini-site crawl, pinned verbatim from
+# the reference's own expectations (/root/reference/tests/tree/test_basic.py:
+# 122-133 via tests/tree/base.py fixtures): about/contact from
+# sitemap_pages.xml (invalid changefreq→always, invalid priority→0.5),
+# foo/bar from sitemap_news_1.xml, bar (cross-sitemap duplicate retained)
+# and baz from sitemap_news_2.xml; lastmod 2009-12-17T12:04:56+02:00 →
+# 10:04:56 UTC.
+_B = "http://test_ultimate-sitemap-parser.com"
+_FLAGSHIP_ORACLE = f"""
+SELECT * FROM (VALUES
+  ('{_B}/', '{_B}/sitemap_pages.xml', '{_B}/about.html',
+   '0.80', '2009-12-17 10:04:56', 'monthly'),
+  ('{_B}/', '{_B}/sitemap_pages.xml', '{_B}/contact.html',
+   '0.50', '2009-12-17 10:04:56', 'always'),
+  ('{_B}/', '{_B}/sitemap_news_1.xml', '{_B}/news/foo.html',
+   '0.50', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+  ('{_B}/', '{_B}/sitemap_news_1.xml', '{_B}/news/bar.html',
+   '0.50', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+  ('{_B}/', '{_B}/sitemap_news_2.xml', '{_B}/news/bar.html',
+   '0.50', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+  ('{_B}/', '{_B}/sitemap_news_2.xml', '{_B}/news/baz.html',
+   '0.50', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR))
+) t(seed, sitemap_url, page_url, priority, last_modified, change_frequency)
+"""
+
+
 def _frontier_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-host crawl over the deterministic synthetic corpus; rows-only
-    check (the fetch store is synthesized, not a DuckDB view)."""
+    """Multi-host crawl over the deterministic synthetic corpus
+    (synth_crawl_corpus(8, 2, 25): robots → index → leaf urlsets per host);
+    the oracle reconstructs the expected 400-page set in closed form from
+    the generator's host×leaf×page grid."""
     n_hosts = 8
     corpus = synth_crawl_corpus(spark, n_hosts, leaves_per_host=2, pages_per_leaf=25)
     seeds = [f"http://host{i}.example.com/" for i in range(n_hosts)]
     forest = sitemap_tree_for_homepages(
         spark, seeds, corpus, use_known_paths=False
     )
-    return forest.all_pages().select(*_PAGE_COLS)
+    return _render_lastmod(forest.all_pages().select(*_PAGE_COLS))
+
+
+# Closed-form reconstruction of synth_crawl_corpus(8, 2, 25)'s page grid
+# (frontier/synth.py _leaf_body): key = (leaf*7919 + page*104729) % 100000;
+# stamp/changefreq/priority are pure functions of key.
+_CRAWL_ORACLE = """
+WITH grid AS (
+  SELECT h.h, l.j, p.i, (l.j * 7919 + p.i * 104729) % 100000 AS key
+  FROM (SELECT unnest(generate_series(0, 7)) AS h) h,
+       (SELECT unnest(generate_series(0, 1)) AS j) l,
+       (SELECT unnest(generate_series(0, 24)) AS i) p
+)
+SELECT
+  'http://host' || h || '.example.com/' AS seed,
+  'http://host' || h || '.example.com/leaf_' || j || '.xml' AS sitemap_url,
+  'http://host' || h || '.example.com/p' || j || '_' || i || '.html'
+    AS page_url,
+  CAST(CAST((key % 10) / 10.0 AS DECIMAL(3,2)) AS VARCHAR) AS priority,
+  printf('2025-%02d-%02d %02d:00:00',
+         1 + key % 12, 1 + key % 28, key % 24) AS last_modified,
+  (['always','hourly','daily','weekly','monthly','yearly','never'])[key % 7 + 1]
+    AS change_frequency
+FROM grid
+"""
 
 
 def _media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing over documents-as-binary (decode stubbed;
-    rows-only check — hashing/dims are not DuckDB-expressible)."""
-    from pyspark.sql import functions as F
-
+    """REAL image-header parsing (PNG IHDR / GIF screen descriptor / BMP DIB
+    / JPEG SOF) over spec-correct synthesized image payloads; the oracle
+    derives the expected format/dims/sizes in closed form from the
+    synth_media_payloads contract."""
     from frontier.multimodal import extract_media_metadata
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    media = docs.select(
-        F.col("doc_id"), F.encode("text", "utf-8").alias("payload")
+    media = synth_media_payloads(docs)
+    return (
+        extract_media_metadata(media)
+        .select("doc_id", "media_type", "n_bytes", "width", "height", "n_frames")
+        .orderBy("doc_id")
     )
-    return extract_media_metadata(media).orderBy("doc_id")
+
+
+# synth_media_payloads: fmt = [png,gif,bmp,jpeg][doc_id%4], header sizes
+# [57,14,54,21] + up-to-64-byte text filler, dims 1+doc_id%640 ×
+# 1+(doc_id*7)%480 — the parser under test must read these back from the
+# actual file headers.
+_MEDIA_META_ORACLE = """
+SELECT doc_id,
+       (['png','gif','bmp','jpeg'])[doc_id % 4 + 1] AS media_type,
+       CAST(([57,14,54,21])[doc_id % 4 + 1]
+            + least(64, strlen(coalesce(text, ''))) AS BIGINT) AS n_bytes,
+       CAST(1 + doc_id % 640 AS INT) AS width,
+       CAST(1 + (doc_id * 7) % 480 AS INT) AS height,
+       CAST(1 AS INT) AS n_frames
+FROM documents
+ORDER BY doc_id
+"""
 
 
 def _media_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import functions as F
-
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return docs.select(F.col("doc_id"), F.encode("text", "utf-8").alias("payload"))
 
 
 def _media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image resize plumbing (stub transform; rows-only check)."""
-    from pyspark.sql import functions as F
-
+    """Image resize plumbing (stub transform, a pure function of
+    sha256(payload) + target dims — the oracle recomputes the resized
+    payload's sha256 from sha256(text) alone)."""
     from frontier.multimodal import resize_images
 
     out = resize_images(_media_payloads(spark, sf_dir), 224, 224)
@@ -93,8 +187,24 @@ def _media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# resize stub: payload = repeat(hex(sha256(in)) || ':224x224', k),
+# k = 1 + min(bytes, 4096) // 72 (72 = 64 hex chars + len(':224x224')).
+_MEDIA_RESIZE_ORACLE = """
+SELECT doc_id,
+       CAST(224 AS INT) AS width,
+       CAST(224 AS INT) AS height,
+       sha256(repeat(sha256(coalesce(text, '')) || ':224x224',
+                     1 + least(strlen(coalesce(text, '')), 4096) // 72))
+         AS payload_sha
+FROM documents
+ORDER BY doc_id
+"""
+
+
 def _media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame sampling plumbing (stub sampler; rows-only check)."""
+    """Video frame sampling plumbing (stub sampler; frame count and frame
+    payloads are pure functions of sha256(payload), re-derived by the
+    oracle)."""
     from frontier.multimodal import sample_video_frames
 
     out = sample_video_frames(_media_payloads(spark, sf_dir), every_n=2)
@@ -103,17 +213,53 @@ def _media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Media feature extraction into the ANN embedding contract
-    (stub embedder; rows-only check)."""
-    from pyspark.sql import functions as F
+# frames stub: n_frames = 1 + hashbyte2 % 8 (hex chars 5-6), sampled every 2
+# → ceil(n/2) frames; frame payload = hex || ':frame:' || (idx*2).
+_MEDIA_FRAMES_ORACLE = """
+WITH base AS (
+  SELECT doc_id, sha256(coalesce(text, '')) AS h,
+         1 + ('0x' || substr(sha256(coalesce(text, '')), 5, 2))::INT % 8
+           AS n_frames
+  FROM documents
+), expanded AS (
+  SELECT doc_id, h,
+         unnest(generate_series(0, (n_frames + 1) // 2 - 1)) AS frame_idx
+  FROM base
+)
+SELECT doc_id,
+       CAST(frame_idx AS INT) AS frame_idx,
+       sha256(h || ':frame:' || (frame_idx * 2)) AS frame_sha256
+FROM expanded
+ORDER BY doc_id, frame_idx
+"""
 
+
+def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media feature extraction into the ANN embedding contract (stub
+    embedder: component i = hash byte i / 256, an exact dyadic rational —
+    the squared norm is bit-exact across engines, no rounding slack)."""
     from frontier.multimodal import extract_media_features
 
     out = extract_media_features(_media_payloads(spark, sf_dir), dim=16)
     return out.select(
-        "doc_id", F.round(F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x * x), 4).alias("sq_norm")
+        "doc_id",
+        F.aggregate(
+            "embedding", F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")
+        ).alias("sq_norm"),
     ).orderBy("doc_id")
+
+
+# embedding[i] = byte i of sha256 / 256 → sq_norm = sum(b_i^2) / 65536,
+# exact in both engines (dyadic rationals, integer numerators < 2^21).
+_MEDIA_FEATURES_ORACLE = """
+SELECT doc_id,
+       list_sum(list_transform(generate_series(0, 15),
+         i -> ('0x' || substr(sha256(coalesce(text, '')), 2*i + 1, 2))::BIGINT
+              * ('0x' || substr(sha256(coalesce(text, '')), 2*i + 1, 2))::BIGINT
+       )) / 65536.0 AS sq_norm
+FROM documents
+ORDER BY doc_id
+"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -121,7 +267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         name: qd.build for name, qd in REGISTRY.items()
     }
     out["frontier_crawl"] = _frontier_crawl
-    out["flagship_tree"] = lambda spark, sf_dir: _flagship(spark)
+    out["flagship_tree"] = _flagship_gate
     out["media_metadata"] = _media_metadata
     out["media_resize"] = _media_resize
     out["media_frames"] = _media_frames
@@ -130,4 +276,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: qd.oracle for name, qd in REGISTRY.items() if qd.oracle}
+    out = {name: qd.oracle for name, qd in REGISTRY.items() if qd.oracle}
+    out["flagship_tree"] = _FLAGSHIP_ORACLE
+    out["frontier_crawl"] = _CRAWL_ORACLE
+    out["media_metadata"] = _MEDIA_META_ORACLE
+    out["media_resize"] = _MEDIA_RESIZE_ORACLE
+    out["media_frames"] = _MEDIA_FRAMES_ORACLE
+    out["media_features"] = _MEDIA_FEATURES_ORACLE
+    return out

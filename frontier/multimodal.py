@@ -2,16 +2,21 @@
 with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
 The Spark-side machinery (schemas, batch shapes, partitioning, UDF
-signatures) is real and tested; the actual media decoding is STUBBED — the
-image/audio libraries are not in this container — behind
-``decode_image_stub``, which derives deterministic fake properties from the
-bytes. Swap ``decode_image_stub`` for a Pillow/ffmpeg call in a real
-deployment; nothing else changes.
+signatures) is real and tested. Image *header* parsing (format sniff +
+width/height for PNG/GIF/BMP/JPEG) is REAL — pure-stdlib byte parsing, no
+image library needed. Pixel-level decode / resize / frame extraction /
+embedding ARE STUBBED — those genuinely need Pillow/ffmpeg, absent from
+this container — behind deterministic fakes whose outputs are pure
+functions of ``sha256(payload)``, so the pipelines are testable end to end
+and oracle-checkable from SQL. Swap the stub callables for real
+Pillow/pyav/CLIP calls in a deployment; nothing else changes.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from typing import Callable, Iterator
 
 import pandas as pd
@@ -30,12 +35,139 @@ MEDIA_META_SCHEMA = T.StructType(
     ]
 )
 
+#: JPEG start-of-frame markers that carry dimensions (SOF0-3,5-7,9-11,13-15;
+#: DNL/DHP and non-SOF 0xC4/0xC8/0xCC excluded).
+_JPEG_SOF_MARKERS = frozenset(
+    range(0xC0, 0xD0)
+) - {0xC4, 0xC8, 0xCC}
+
+
+def parse_image_header(payload: bytes) -> dict | None:
+    """REAL image header parse: format + dimensions from the container
+    header, pure stdlib byte reads (no image library, no pixel decode).
+
+    Supports PNG (IHDR chunk), GIF 87a/89a (logical screen descriptor),
+    BMP (BITMAPINFOHEADER / BITMAPCOREHEADER), and JPEG (first SOF segment
+    scan). Returns ``{"media_type", "width", "height", "n_frames"}`` or
+    ``None`` when the payload is not a recognized image (caller decides the
+    fallback). ``n_frames`` is 1: these are still-image containers (animated
+    GIF frame counting would need a full block walk; out of header scope).
+    Never raises on truncated/garbage bytes — malformed payloads are data,
+    not errors, same policy as the parse kernel.
+    """
+    try:
+        if payload.startswith(b"\x89PNG\r\n\x1a\n") and len(payload) >= 24:
+            if payload[12:16] == b"IHDR":
+                w, h = struct.unpack(">II", payload[16:24])
+                return {"media_type": "png", "width": w, "height": h, "n_frames": 1}
+            return None
+        if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
+            w, h = struct.unpack("<HH", payload[6:10])
+            return {"media_type": "gif", "width": w, "height": h, "n_frames": 1}
+        if payload.startswith(b"BM") and len(payload) >= 26:
+            dib_size = struct.unpack("<I", payload[14:18])[0]
+            if dib_size >= 40:
+                w, h = struct.unpack("<ii", payload[18:26])
+            elif dib_size == 12:  # BITMAPCOREHEADER
+                w, h = struct.unpack("<HH", payload[18:22])
+            else:
+                return None
+            return {
+                "media_type": "bmp",
+                "width": abs(w),
+                # negative height = top-down row order, not a negative size
+                "height": abs(h),
+                "n_frames": 1,
+            }
+        if payload.startswith(b"\xff\xd8"):
+            pos = 2
+            n = len(payload)
+            while pos + 4 <= n:
+                if payload[pos] != 0xFF:
+                    return None  # desynced marker stream
+                marker = payload[pos + 1]
+                if marker == 0xFF:  # fill byte
+                    pos += 1
+                    continue
+                if marker in _JPEG_SOF_MARKERS:
+                    if pos + 9 > n:
+                        return None
+                    h, w = struct.unpack(">HH", payload[pos + 5 : pos + 9])
+                    return {
+                        "media_type": "jpeg",
+                        "width": w,
+                        "height": h,
+                        "n_frames": 1,
+                    }
+                if 0xD0 <= marker <= 0xD9 or marker == 0x01:
+                    pos += 2  # standalone marker (RST/SOI/EOI/TEM)
+                    continue
+                seg_len = struct.unpack(">H", payload[pos + 2 : pos + 4])[0]
+                if seg_len < 2:
+                    return None
+                pos += 2 + seg_len
+            return None
+    except (struct.error, IndexError):
+        return None
+    return None
+
+
+def build_image_payload(
+    fmt: str, width: int, height: int, filler: bytes = b""
+) -> bytes:
+    """Construct a minimal VALID image file of ``fmt`` with the given
+    dimensions (test/synth builder for the header parsers; real files in
+    the sense that the headers are spec-correct — PNG chunk CRCs included —
+    while pixel data is placeholder ``filler`` bytes).
+
+    Deterministic sizes (header bytes + len(filler)): png 57, gif 14,
+    bmp 54, jpeg 21 — the media_metadata oracle's closed-form n_bytes.
+    """
+    if fmt == "png":
+        ihdr = struct.pack(">II", width, height) + b"\x08\x06\x00\x00\x00"
+        idat = filler
+
+        def chunk(tag: bytes, data: bytes) -> bytes:
+            return (
+                struct.pack(">I", len(data))
+                + tag
+                + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+            )
+
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", idat)
+            + chunk(b"IEND", b"")
+        )
+    if fmt == "gif":
+        return (
+            b"GIF89a"
+            + struct.pack("<HH", width, height)
+            + b"\x00\x00\x00"  # flags, bg color, aspect
+            + filler
+            + b"\x3b"  # trailer
+        )
+    if fmt == "bmp":
+        body = filler
+        dib = struct.pack(
+            "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0
+        )
+        header = b"BM" + struct.pack("<IHHI", 14 + 40 + len(body), 0, 0, 54)
+        return header + dib + body
+    if fmt == "jpeg":
+        sof0 = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, height, width, 1) + b"\x01\x11\x00"
+        com = b"\xff\xfe" + struct.pack(">H", 2 + len(filler)) + filler
+        return b"\xff\xd8" + sof0 + com + b"\xff\xd9"
+    raise ValueError(f"unknown format {fmt!r}")
+
 
 def decode_image_stub(payload: bytes) -> dict:
-    """STUB decode: deterministic fake dimensions derived from a content
-    hash. Replace with a real decoder (PIL.Image.open etc.) in production —
-    NotImplementedError semantics are modeled as deterministic fakes so the
-    pipeline is testable end to end."""
+    """STUB decode fallback for non-image payloads: deterministic fake
+    dimensions derived from a content hash. Real image headers never reach
+    this (``parse_image_header`` handles them); replace with a full decoder
+    (PIL.Image.open etc.) in production."""
     digest = hashlib.sha256(payload).digest()
     return {
         "width": 64 + digest[0] * 8,
@@ -51,9 +183,11 @@ def extract_media_metadata(
 ) -> DataFrame:
     """``(doc_id, payload binary)`` → typed metadata rows.
 
-    One Arrow batch at a time; payload bytes never leave the executor. At
-    scale, partition the input by storage locality — the stage is
-    embarrassingly parallel and shuffle-free.
+    PNG/GIF/BMP/JPEG headers are parsed for REAL (``parse_image_header``);
+    unrecognized payloads fall back to ``decode`` (stub by default) with
+    ``media_type`` as their type label. One Arrow batch at a time; payload
+    bytes never leave the executor. At scale, partition the input by
+    storage locality — the stage is embarrassingly parallel, shuffle-free.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -61,11 +195,12 @@ def extract_media_metadata(
             rows = []
             for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
                 blob = bytes(payload) if payload is not None else b""
-                meta = decode(blob)
+                meta = parse_image_header(blob)
+                if meta is None:
+                    meta = {"media_type": media_type, **decode(blob)}
                 rows.append(
                     {
                         "doc_id": int(doc_id),
-                        "media_type": media_type,
                         "n_bytes": len(blob),
                         "sha256": hashlib.sha256(blob).hexdigest(),
                         **meta,
@@ -100,10 +235,16 @@ RESIZED_SCHEMA = T.StructType(
 
 
 def resize_image_stub(payload: bytes, width: int, height: int) -> bytes:
-    """STUB resize: deterministic bytes derived from (content, target dims).
-    Replace with PIL ``Image.resize`` + re-encode in production."""
-    seed = hashlib.sha256(payload + f"{width}x{height}".encode()).digest()
-    return seed * (1 + min(len(payload), 4096) // len(seed))
+    """STUB resize: deterministic ASCII bytes, a pure function of
+    ``sha256(payload)`` and the target dims — ``repeat(hex ":WxH", k)``
+    with k scaling in the input size, so output size tracks input size the
+    way a re-encode roughly would. ASCII (not raw digest bytes) on purpose:
+    the media_resize oracle recomputes ``sha256`` of this payload in DuckDB,
+    whose ``sha256`` takes VARCHAR only. Replace with PIL ``Image.resize``
+    + re-encode in production."""
+    core = hashlib.sha256(payload).hexdigest() + f":{width}x{height}"
+    reps = 1 + min(len(payload), 4096) // len(core)
+    return (core * reps).encode("ascii")
 
 
 def resize_images(
@@ -151,13 +292,15 @@ FRAME_SCHEMA = T.StructType(
 
 
 def sample_frames_stub(payload: bytes, every_n: int) -> list[bytes]:
-    """STUB frame sampler: deterministic per-index frame payloads, count
-    derived from the content hash (1..8 frames before sampling). Replace
-    with an ffmpeg/pyav keyframe extractor in production."""
-    digest = hashlib.sha256(payload).digest()
-    n_frames = 1 + digest[2] % 8
+    """STUB frame sampler: deterministic per-index ASCII frame payloads
+    (``"<hex>:frame:<idx>"``), count derived from content-hash byte 2
+    (1..8 frames before sampling) — every field re-derivable from
+    ``sha256(payload)`` in SQL, which is what the media_frames oracle does.
+    Replace with an ffmpeg/pyav keyframe extractor in production."""
+    hexd = hashlib.sha256(payload).hexdigest()
+    n_frames = 1 + int(hexd[4:6], 16) % 8
     return [
-        hashlib.sha256(payload + idx.to_bytes(4, "little")).digest()
+        f"{hexd}:frame:{idx}".encode("ascii")
         for idx in range(0, n_frames, max(1, every_n))
     ]
 
@@ -205,17 +348,18 @@ FEATURE_SCHEMA = T.StructType(
 
 
 def embed_media_stub(payload: bytes, dim: int) -> list[float]:
-    """STUB feature extractor: deterministic unit-norm pseudo-embedding from
-    the content hash. Replace with a CLIP/ViT forward pass in production —
-    the (doc_id, array<float>) contract feeds ann_cosine_topk / ann_ivf_topk
-    unchanged."""
-    import numpy as np
-
+    """STUB feature extractor: deterministic pseudo-embedding — component i
+    is content-hash byte i divided by 256. Every component is an exact
+    dyadic rational (b·2⁻⁸, exactly representable in float32), so sums of
+    squares are bit-exact across engines — that is what makes the
+    media_features oracle a hash-exact SQL check rather than an
+    approximate one. Replace with a CLIP/ViT forward pass in production —
+    the (doc_id, array<float>) contract feeds ann_cosine_topk /
+    ann_ivf_topk unchanged."""
     digest = hashlib.sha256(payload).digest()
-    rng = np.random.default_rng(int.from_bytes(digest[:8], "little"))
-    vec = rng.standard_normal(dim).astype("float32")
-    vec /= max(float(np.linalg.norm(vec)), 1e-12)
-    return [float(x) for x in vec]
+    while len(digest) < dim:
+        digest += hashlib.sha256(digest).digest()
+    return [digest[i] / 256.0 for i in range(dim)]
 
 
 def extract_media_features(

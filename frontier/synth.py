@@ -352,3 +352,43 @@ def synth_crawl_corpus(
     return spark.range(0, n_hosts, numPartitions=n_parts).mapInPandas(
         build, FETCHES_SCHEMA
     )
+
+
+# --- synthetic image payloads (media_metadata oracle input) --------------------
+
+
+def synth_media_payloads(docs: DataFrame) -> DataFrame:
+    """``documents`` → ``(doc_id, payload binary)`` of REAL minimal image
+    files (spec-correct PNG/GIF/BMP/JPEG headers via
+    :func:`frontier.multimodal.build_image_payload`), with closed-form
+    dimensions so a SQL oracle can derive the expected parse:
+
+        fmt    = [png, gif, bmp, jpeg][doc_id % 4]
+        width  = 1 + doc_id % 640
+        height = 1 + (doc_id * 7) % 480
+        filler = first 64 UTF-8 bytes of ``text`` (pixel-data placeholder)
+
+    Shuffle-free mapInPandas; construction is synth/test harness, the
+    header *parsing* downstream is the operator under test."""
+    from .multimodal import build_image_payload
+
+    fmts = ["png", "gif", "bmp", "jpeg"]
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            payloads = []
+            for doc_id, text in zip(batch["doc_id"], batch["text"]):
+                i = int(doc_id)
+                filler = (text or "").encode("utf-8")[:64]
+                payloads.append(
+                    build_image_payload(
+                        fmts[i % 4], 1 + i % 640, 1 + (i * 7) % 480, filler
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": batch["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        build, "doc_id long, payload binary"
+    )

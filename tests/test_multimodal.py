@@ -71,7 +71,107 @@ def test_extract_media_features(spark):
     assert len(out) == 6
     for r in out:
         assert len(r.embedding) == 16
-        norm = sum(x * x for x in r.embedding) ** 0.5
-        assert abs(norm - 1.0) < 1e-3
+        assert all(0.0 <= x < 1.0 for x in r.embedding)
     payload = b"vid-0"
     assert out[0].embedding == embed_media_stub(payload, 16)
+    # components are hash bytes / 256 (exact dyadic rationals; the
+    # media_features oracle recomputes the squared norm from SQL)
+    digest = hashlib.sha256(payload).digest()
+    assert out[0].embedding == [digest[i] / 256.0 for i in range(16)]
+    # dim > 32 extends the digest chain deterministically
+    long = embed_media_stub(payload, 48)
+    assert long[:32] == [b / 256.0 for b in digest]
+
+
+# --- real image header parsing (PNG/GIF/BMP/JPEG, pure stdlib) ---------------
+
+
+def test_parse_image_header_roundtrip():
+    from frontier.multimodal import build_image_payload, parse_image_header
+
+    for fmt in ("png", "gif", "bmp", "jpeg"):
+        for w, h in [(1, 1), (123, 45), (640, 480), (5000, 3)]:
+            payload = build_image_payload(fmt, w, h, b"pixels" * 3)
+            meta = parse_image_header(payload)
+            assert meta == {
+                "media_type": fmt,
+                "width": w,
+                "height": h,
+                "n_frames": 1,
+            }, (fmt, w, h, meta)
+
+
+def test_parse_image_header_edge_cases():
+    import struct
+
+    from frontier.multimodal import build_image_payload, parse_image_header
+
+    # BMP top-down rows encode a negative height; dimension is its magnitude
+    bmp = bytearray(build_image_payload("bmp", 10, 20))
+    bmp[22:26] = struct.pack("<i", -20)
+    assert parse_image_header(bytes(bmp)) == {
+        "media_type": "bmp", "width": 10, "height": 20, "n_frames": 1,
+    }
+    # JPEG with APP0/JFIF segment before SOF0 (the common layout)
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof = build_image_payload("jpeg", 77, 88)[2:]
+    assert parse_image_header(b"\xff\xd8" + app0 + sof) == {
+        "media_type": "jpeg", "width": 77, "height": 88, "n_frames": 1,
+    }
+    # garbage / truncated payloads return None, never raise
+    for junk in (
+        b"",
+        b"BM",
+        b"\x89PNG\r\n\x1a\n",
+        b"\x89PNG\r\n\x1a\n" + b"\x00" * 8 + b"XXXX" + b"\x00" * 8,
+        b"\xff\xd8\xff",
+        b"\xff\xd8" + b"\x00" * 40,
+        b"GIF89a\x01",
+        b"plain text, not an image",
+    ):
+        assert parse_image_header(junk) is None, junk
+
+
+def test_extract_media_metadata_real_headers(spark):
+    from frontier.multimodal import build_image_payload
+
+    rows = [
+        (0, build_image_payload("png", 320, 200, b"f" * 10)),
+        (1, build_image_payload("gif", 16, 9)),
+        (2, build_image_payload("bmp", 800, 600, b"zz")),
+        (3, build_image_payload("jpeg", 1920, 1080)),
+        (4, b"not an image at all"),
+    ]
+    media = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in extract_media_metadata(media).collect()}
+    assert (got[0].media_type, got[0].width, got[0].height) == ("png", 320, 200)
+    assert (got[1].media_type, got[1].width, got[1].height) == ("gif", 16, 9)
+    assert (got[2].media_type, got[2].width, got[2].height) == ("bmp", 800, 600)
+    assert (got[3].media_type, got[3].width, got[3].height) == ("jpeg", 1920, 1080)
+    # non-image falls back to the deterministic stub under the given label
+    assert got[4].media_type == "image"
+    stub = decode_image_stub(b"not an image at all")
+    assert (got[4].width, got[4].height, got[4].n_frames) == (
+        stub["width"], stub["height"], stub["n_frames"],
+    )
+
+
+def test_synth_media_payloads_contract(spark):
+    """The oracle's closed form: fmt/dims/sizes derive from doc_id/text."""
+    from frontier.multimodal import parse_image_header
+    from frontier.synth import synth_media_payloads
+
+    docs = spark.createDataFrame(
+        [(i, "word " * (i + 1)) for i in range(8)], "doc_id long, text string"
+    )
+    out = {r.doc_id: bytes(r.payload) for r in synth_media_payloads(docs).collect()}
+    fmts = ["png", "gif", "bmp", "jpeg"]
+    hdr = {"png": 57, "gif": 14, "bmp": 54, "jpeg": 21}
+    for i in range(8):
+        meta = parse_image_header(out[i])
+        fmt = fmts[i % 4]
+        assert meta["media_type"] == fmt
+        assert meta["width"] == 1 + i % 640
+        assert meta["height"] == 1 + (i * 7) % 480
+        text_bytes = min(64, len("word " * (i + 1)))
+        assert len(out[i]) == hdr[fmt] + text_bytes
