@@ -162,9 +162,15 @@ def host_window_metrics(
     )
 
 
-#: Per-host dedup state: 64-bit hashes of URLs this host has already emitted.
+#: Per-host dedup state: a FIXED-SIZE bloom bitmap + insert counter. The
+#: bitmap never grows, so a micro-batch costs O(batch + bitmap), not
+#: O(all-history) — the round-2 hash-list state grew without bound and was
+#: rewritten wholesale every batch.
 FIRST_SEEN_STATE_SCHEMA = T.StructType(
-    [T.StructField("seen", T.ArrayType(T.LongType()))]
+    [
+        T.StructField("bloom", T.BinaryType()),
+        T.StructField("n_inserted", T.LongType()),
+    ]
 )
 
 FIRST_SEEN_OUT_SCHEMA = T.StructType(
@@ -175,19 +181,26 @@ FIRST_SEEN_OUT_SCHEMA = T.StructType(
     ]
 )
 
+#: Default per-host bloom size: 2^20 bits = 128 KiB. With k=4 hashes this
+#: holds ~100k URLs per host at <1% false-drop; size per expected per-host
+#: URL count via ``bloom_bits``.
+_DEFAULT_BLOOM_BITS = 1 << 20
+_BLOOM_K = 4
 
-def _url_hash64(url: str) -> int:
-    import hashlib
 
-    return int.from_bytes(
-        hashlib.blake2b(url.encode("utf-8"), digest_size=8).digest(),
-        "big",
-        signed=True,
-    )
+def bloom_bits_for(expected_urls: int, fp_rate: float = 0.01) -> int:
+    """Bits for a per-host first-seen bloom at the target false-drop rate
+    (rounded up to a power of two; standard m = -n·ln(p)/ln(2)^2)."""
+    import math
+
+    m = int(-expected_urls * math.log(fp_rate) / (math.log(2) ** 2)) or 1
+    return 1 << max(10, m.bit_length())
 
 
 def stream_first_seen(
-    fetches: DataFrame, state_timeout_ms: int | None = None
+    fetches: DataFrame,
+    state_timeout_ms: int | None = None,
+    bloom_bits: int = _DEFAULT_BLOOM_BITS,
 ) -> DataFrame:
     """Streaming URL-seen filter: emit each URL the FIRST time it appears,
     across micro-batches — the R8 seen-set (dedup.py) as a custom stateful
@@ -195,36 +208,101 @@ def stream_first_seen(
 
     State is keyed by host (the same partitioning axis as the batch
     politeness scheduler, so hot hosts don't serialize unrelated state) and
-    holds 64-bit URL hashes. Pass ``state_timeout_ms`` to expire idle hosts'
-    state (processing-time timeout) on continuously-running queries; the
-    default leaves timeouts off because this PySpark build wedges an
-    ``availableNow`` drain when ProcessingTimeTimeout is configured
-    (observed: the final microbatch never completes). At 10^10-URL scale,
-    long-lived membership belongs to the batch engine's sharded bloom +
-    dedup-table compaction (frontier.dedup); this operator covers the
-    streaming window in front of it, exactly like the reference's in-process
-    ``parent_urls``/seen guard covers one crawl.
+    is a FIXED-SIZE bloom bitmap (``bloom_bits`` bits, default 128 KiB/host)
+    probed and set with vectorized double hashing — the same
+    ``pandas.util.hash_array`` scheme as the batch ``frontier.dedup`` bloom.
+    Consequences, stated plainly:
+
+    - per-micro-batch cost is O(batch rows + bitmap bytes) and per-host
+      state size is CONSTANT for the life of the query (asserted by test
+      via the state-store reader) — a long-running stream cannot grow it;
+    - membership is one-sided: duplicates are NEVER emitted twice, but a
+      genuinely new URL can be falsely dropped once the host's bloom
+      saturates — probability ≈ (1 - e^(-k·n/m))^k per URL (k=4, n URLs
+      inserted, m bits; <1% until ~m/10 URLs). Size with
+      :func:`bloom_bits_for`. The round-2 64-bit hash-list state had the
+      same one-sidedness (hash collisions false-drop at ~n²/2^65) with
+      unbounded growth; the bloom makes the tradeoff explicit and tunable.
+
+    Exactness at 10^10-URL scale belongs to the batch engine's sharded
+    bloom + anti-join compaction (frontier.dedup); this operator covers the
+    streaming window in front of it, exactly like the reference's
+    in-process ``parent_urls``/seen guard covers one crawl.
+
+    Pass ``state_timeout_ms`` to expire idle hosts' state (processing-time
+    timeout) on continuously-running queries. Timeouts require a
+    processing-time trigger; an ``availableNow`` drain with
+    ProcessingTimeTimeout wedges on this PySpark build (the final
+    micro-batch never completes — see tests/test_streaming.py's pinned
+    repro) so pair ``state_timeout_ms`` with ``trigger(processingTime=…)``
+    and leave it ``None`` for drains.
     """
+    import numpy as np
     import pandas as pd
+
+    from .dedup import _hash2
+
+    n_bytes = bloom_bits // 8
+    mask = bloom_bits - 1
+    assert bloom_bits & mask == 0, "bloom_bits must be a power of two"
 
     def dedup(key, pdf_iter, state):
         if state.hasTimedOut:
             state.remove()
             return
-        seen = set(state.get[0]) if state.exists else set()
-        n0 = len(seen)
+        if state.exists:
+            bloom = np.frombuffer(state.get[0], dtype=np.uint8).copy()
+            n_inserted = int(state.get[1])
+        else:
+            bloom = np.zeros(n_bytes, dtype=np.uint8)
+            n_inserted = 0
         out = []
         for pdf in pdf_iter:
-            for url, ts in zip(pdf["url"], pdf["fetch_ts"]):
-                h = _url_hash64(url)
-                if h not in seen:
-                    seen.add(h)
-                    out.append((key[0], url, ts))
-        if len(seen) != n0 or not state.exists:
-            state.update((list(seen),))
+            if not len(pdf):
+                continue
+            urls = pdf["url"]
+            h1, h2 = _hash2(urls.to_numpy(dtype=object), b"stream-first-seen")
+            # vectorized k-probe: new iff ANY of the k bits is unset
+            is_new = np.zeros(len(pdf), dtype=bool)
+            positions = []
+            for i in range(_BLOOM_K):
+                pos = (h1 + np.uint64(i) * h2) & np.uint64(mask)
+                positions.append(pos)
+                bit = (bloom[pos >> np.uint64(3)] >> (pos & np.uint64(7)).astype(np.uint8)) & 1
+                is_new |= bit == 0
+            # exact within-chunk first-wins (bits are set only after the
+            # whole chunk's probe, so intra-chunk dupes need the pandas
+            # dedup; cross-chunk dupes hit the already-set bits)
+            first_in_chunk = ~urls.duplicated().to_numpy()
+            is_new &= first_in_chunk
+            for pos in positions:
+                np.bitwise_or.at(
+                    bloom,
+                    pos >> np.uint64(3),
+                    np.left_shift(
+                        np.uint8(1), (pos & np.uint64(7)).astype(np.uint8)
+                    ),
+                )
+            n_inserted += int(is_new.sum())
+            if is_new.any():
+                sel = pdf.loc[is_new, ["url", "fetch_ts"]]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "host": key[0],
+                            "url": sel["url"].to_numpy(),
+                            "fetch_ts": sel["fetch_ts"].to_numpy(),
+                        }
+                    )
+                )
+        state.update((bloom.tobytes(), n_inserted))
         if state_timeout_ms is not None:
             state.setTimeoutDuration(state_timeout_ms)
-        yield pd.DataFrame(out, columns=["host", "url", "fetch_ts"])
+        yield (
+            pd.concat(out, ignore_index=True)
+            if out
+            else pd.DataFrame(columns=["host", "url", "fetch_ts"])
+        )
 
     from pyspark.sql.streaming.state import GroupStateTimeout
 

@@ -142,3 +142,105 @@ def test_stream_first_seen_dedup_across_batches(spark, tmp_path):
         ("h2.example.com", "http://h2.example.com/a.xml"),
         ("h2.example.com", "http://h2.example.com/new.xml"),
     ]
+
+
+def test_stream_first_seen_state_stays_flat(spark, tmp_path):
+    """The per-host bloom state is a FIXED-SIZE bitmap: after many
+    micro-batches of new URLs, the state store holds one row per host whose
+    bloom is exactly bloom_bits/8 bytes — a long-running stream cannot grow
+    it (round-2 verdict #3)."""
+    from frontier.streaming import read_fetch_stream, stream_first_seen
+
+    landing = str(tmp_path / "landing_flat")
+    ck = str(tmp_path / "ck_flat")
+    t0 = dt.datetime(2025, 6, 1, 12, 0, 0)
+    bloom_bits = 1 << 13  # 1 KiB per host, plenty for 120 keys at k=4
+    # 6 files -> 6 micro-batches (maxFilesPerTrigger=1 below), 20 NEW urls
+    # per batch on h1 plus a repeat of batch 0's urls on every later batch
+    for b in range(6):
+        urls = [f"http://h1.example.com/{b}_{i}.xml" for i in range(20)]
+        if b > 0:
+            urls += [f"http://h1.example.com/0_{i}.xml" for i in range(20)]
+        _land(spark, landing, [(u, None, 200, None, None, t0) for u in urls])
+
+    stream = (
+        spark.readStream.schema(STREAM_FETCH_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    run_available_now(
+        stream_first_seen(stream, bloom_bits=bloom_bits),
+        ck,
+        "flat_sink",
+        output_mode="update",
+    )
+    emitted = [r.url for r in spark.sql("SELECT url FROM flat_sink").collect()]
+    assert len(emitted) == 120  # every new url exactly once, repeats dropped
+    assert len(set(emitted)) == 120
+
+    state = spark.read.format("statestore").load(ck).collect()
+    assert len(state) == 1  # one row per host, however many batches ran
+    row = state[0]
+    assert row.key.host == "h1.example.com"
+    assert len(bytes(row.value.groupState.bloom)) == bloom_bits // 8
+    assert row.value.groupState.n_inserted == 120
+
+
+def test_stream_first_seen_timeout_expires_state(spark, tmp_path):
+    """State expiry on a processing-time trigger: an idle host's bloom is
+    removed after state_timeout_ms, so a later repeat of its URL re-emits.
+    (The availableNow + ProcessingTimeTimeout combination is wedged on this
+    build — the drain re-triggers micro-batches forever, observed 30+
+    epochs in 60 s — so timeouts are exercised on the processingTime
+    trigger they are designed for; see stream_first_seen's docstring.)"""
+    import time
+
+    from frontier.streaming import read_fetch_stream, stream_first_seen
+
+    landing = str(tmp_path / "landing_ttl")
+    ck = str(tmp_path / "ck_ttl")
+    t0 = dt.datetime(2025, 6, 1, 12, 0, 0)
+    _land(spark, landing, [("http://h1.example.com/x.xml", None, 200, None, None, t0)])
+
+    q = (
+        stream_first_seen(read_fetch_stream(spark, landing), state_timeout_ms=2000)
+        .writeStream.format("memory")
+        .queryName("ttl_sink")
+        .outputMode("update")
+        .option("checkpointLocation", ck)
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+
+    def wait_for(pred, deadline_s=90):
+        end = time.monotonic() + deadline_s
+        while time.monotonic() < end:
+            if pred():
+                return True
+            time.sleep(0.5)
+        return False
+
+    def count(url):
+        return spark.sql(
+            f"SELECT count(*) AS c FROM ttl_sink WHERE url = '{url}'"
+        ).first().c
+
+    try:
+        assert wait_for(lambda: count("http://h1.example.com/x.xml") == 1)
+        time.sleep(3)  # let h1's 2 s timeout lapse with no h1 data
+        # a batch with OTHER-host data fires the hasTimedOut path for h1
+        _land(
+            spark, landing,
+            [("http://h2.example.com/y.xml", None, 200, None, None, t0)],
+        )
+        assert wait_for(lambda: count("http://h2.example.com/y.xml") == 1)
+        # h1's state is gone -> the same URL is 'first seen' again
+        _land(
+            spark, landing,
+            [("http://h1.example.com/x.xml", None, 200, None, None, t0)],
+        )
+        assert wait_for(lambda: count("http://h1.example.com/x.xml") == 2), (
+            "timed-out host state was not expired; URL not re-emitted"
+        )
+    finally:
+        q.stop()
