@@ -128,6 +128,12 @@ def cmd_ls(args: argparse.Namespace) -> int:
             "seq",
             F.concat(F.expr("repeat('\\t', depth + 1)"), page_url).alias("line"),
         )
+        # ordering caveat: (path_key, is_page, seq) prints a node's pages
+        # BEFORE its sub-sitemap subtree (children's 'P.0000000' sorts after
+        # pages at 'P'), while the reference's _output_sitemap_nested prints
+        # sub_sitemaps first. Unobservable today — no parser emits a node
+        # carrying both pages and children — but if one ever does, the sort
+        # key must place is_page=1 rows after descendant path_keys.
         rows = (
             nodes.unionByName(pages)
             .orderBy("seed", "path_key", "is_page", "seq")

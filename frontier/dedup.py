@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+import os
 from typing import Iterator
 
 import numpy as np
@@ -295,10 +296,35 @@ class UrlSeenSet:
 
     def compact(self) -> None:
         """Rewrite the table as a single distinct snapshot (periodic
-        compaction per the north rule)."""
+        compaction per the north rule).
+
+        Crash-safe on a rename-atomic filesystem: the snapshot is written
+        to a temp sibling, the live table is swapped out via two renames
+        (old → trash, tmp → live), and the trash + any leftover temp dirs
+        from earlier crashed compactions are removed last. A crash between
+        the renames leaves either the old or the new table readable at
+        ``self.path`` — never a half-overwritten mix (the previous
+        implementation overwrote the live path in place and left the temp
+        dir behind). On object stores without atomic rename, compact into
+        an Iceberg/Delta table instead — this class models that dedup
+        table locally."""
         seen = self._seen_table()
         if seen is None:
             return
-        tmp = self.path.rstrip("/") + "__compact"
+        import shutil
+        import uuid
+
+        base = self.path.rstrip("/")
+        tmp = f"{base}__compact-{uuid.uuid4().hex[:8]}"
+        trash = f"{base}__trash-{uuid.uuid4().hex[:8]}"
         seen.select("url").distinct().write.mode("overwrite").parquet(tmp)
-        self.spark.read.parquet(tmp).write.mode("overwrite").parquet(self.path)
+        os.rename(base, trash)
+        os.rename(tmp, base)
+        shutil.rmtree(trash, ignore_errors=True)
+        # sweep leftovers of compactions that crashed before their cleanup
+        parent, name = os.path.split(base)
+        for entry in os.listdir(parent or "."):
+            if entry.startswith(name + "__compact-") or entry.startswith(
+                name + "__trash-"
+            ):
+                shutil.rmtree(os.path.join(parent, entry), ignore_errors=True)

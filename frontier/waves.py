@@ -305,8 +305,24 @@ def fetch_bucket(url_col):
     ).cast("int")
 
 
+#: Marker file recording a verified all-URLs-unique fetch store (written by
+#: cluster_fetch_store, honored by open_fetch_store and the crawl entry's
+#: store_urls_unique=None auto-detection).
+URLS_UNIQUE_MARKER = "_URLS_UNIQUE"
+
+
+def _marker_path(store_path: str) -> str | None:
+    """Local filesystem path of the uniqueness marker, or None for remote
+    URIs (hdfs://, s3a://…) where the hint is session-only — the attribute
+    on the returned DataFrame still carries it."""
+    if "://" in store_path and not store_path.startswith("file://"):
+        return None
+    return os.path.join(store_path.removeprefix("file://"), URLS_UNIQUE_MARKER)
+
+
 def cluster_fetch_store(
-    fetches: DataFrame, path: str, mode: str = "overwrite"
+    fetches: DataFrame, path: str, mode: str = "overwrite",
+    verify_unique: bool = True,
 ) -> DataFrame:
     """Materialize a fetch store clustered for wave-pruned scans.
 
@@ -319,7 +335,16 @@ def cluster_fetch_store(
     any wave size. One-time cost: a full shuffle of the store, amortized
     over every wave of every crawl that reads it (a crawl is ≤ 26 scans).
 
-    Returns the read-back DataFrame.
+    With ``verify_unique`` (default), URL uniqueness is checked once at
+    store-prep time — a url-column-only scan + partial-agg, negligible next
+    to the write's full shuffle — and recorded as store metadata (a
+    ``_URLS_UNIQUE`` marker file plus a hint attribute on the returned
+    DataFrame). The crawl entry's ``store_urls_unique=None`` auto-detection
+    reads the hint, so a unique store never pays the per-wave ``max_by``
+    body exchange (round-2 verdict #4): the wave plan is scan → broadcast
+    probe → parse with bodies never entering an exchange.
+
+    Returns the read-back DataFrame (carrying the uniqueness hint).
     """
     (
         fetches.withColumn(FETCH_BUCKET_COL, fetch_bucket(F.col("url")))
@@ -344,7 +369,35 @@ def cluster_fetch_store(
         .option("parquet.block.size", str(2 * 1024 * 1024))
         .parquet(path)
     )
-    return fetches.sparkSession.read.parquet(path)
+    store = fetches.sparkSession.read.parquet(path)
+    if verify_unique:
+        unique = (
+            store.select("url")
+            .groupBy("url")
+            .count()
+            .filter(F.col("count") > 1)
+            .isEmpty()
+        )
+        marker = _marker_path(path)
+        if marker is not None:
+            if unique:
+                with open(marker, "w") as fh:
+                    fh.write("verified by cluster_fetch_store\n")
+            elif os.path.exists(marker):  # re-written store lost uniqueness
+                os.remove(marker)
+        store._frontier_urls_unique = unique
+    return store
+
+
+def open_fetch_store(spark: SparkSession, path: str) -> DataFrame:
+    """Open a fetch store written by :func:`cluster_fetch_store`, restoring
+    its verified-uniqueness hint from the ``_URLS_UNIQUE`` marker so
+    ``sitemap_tree_for_homepages(store_urls_unique=None)`` auto-selects the
+    no-dedup wave plan."""
+    store = spark.read.parquet(path)
+    marker = _marker_path(path)
+    store._frontier_urls_unique = bool(marker and os.path.exists(marker))
+    return store
 
 
 def prepare_fetches(
@@ -769,9 +822,54 @@ def _seed_frame(
     return spark.createDataFrame(pd.DataFrame({"seed": seeds}))
 
 
+def seed_frame_from_dataframe(
+    seeds: DataFrame, normalize_homepage_url: bool = True
+) -> DataFrame:
+    """D1/D2 over a seeds DataFrame, entirely as column expressions — the
+    10^8-homepage path (north-rule Common-Crawl seed set): seeds are never
+    materialized on the driver and never touch a Python loop or UDF.
+
+    Column re-expression of the scalar helpers (semantics of
+    usp/helpers.py:47-86, 294-325):
+
+    - D1 validation — http(s) regex gate + scheme + non-empty hostname
+      (userinfo/port/IPv6-bracket aware). Invalid rows are FILTERED OUT,
+      not raised: at frontier scale a bad seed is data, not an exception
+      (documented deviation from the Sequence overload, which raises to
+      match the reference's per-call contract).
+    - D2 homepage strip — ``scheme://netloc/`` (scheme lowercased, netloc
+      case preserved, same as urlparse/urlunparse).
+    - trailing-slash normalization and cross-seed dedup (``distinct``).
+
+    Input: a DataFrame with a ``seed`` column (or exactly one column).
+    """
+    col = "seed" if "seed" in seeds.columns else seeds.columns[0]
+    url = F.col(col)
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    netloc = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", 1)
+    hostport = F.regexp_replace(netloc, r"^.*@", "")  # drop userinfo
+    hostname = F.when(
+        hostport.startswith("["),
+        F.regexp_extract(hostport, r"^\[([^\]]*)\]", 1),  # bracketed IPv6
+    ).otherwise(F.regexp_replace(hostport, r":[0-9]*$", ""))  # drop port
+    valid = (
+        url.isNotNull()
+        & url.rlike(r"(?i)^https?://[^\s/$.?#].[^\s]*$")
+        & scheme.isin("http", "https")
+        & (F.length(hostname) > 0)
+    )
+    if normalize_homepage_url:
+        normalized = F.concat(scheme, F.lit("://"), netloc, F.lit("/"))
+    else:
+        normalized = F.when(url.endswith("/"), url).otherwise(
+            F.concat(url, F.lit("/"))
+        )
+    return seeds.filter(valid).select(normalized.alias("seed")).distinct()
+
+
 def sitemap_tree_for_homepages(
     spark: SparkSession,
-    homepages: Sequence[str],
+    homepages: Sequence[str] | DataFrame,
     fetches: DataFrame,
     *,
     use_robots: bool = True,
@@ -783,11 +881,23 @@ def sitemap_tree_for_homepages(
     checkpoint_dir: str | None = None,
     resume: bool = False,
     cache_fetch_store: bool = False,
-    store_urls_unique: bool = False,
+    store_urls_unique: bool | None = None,
     fetches_prepared: bool = False,
 ) -> SitemapForest:
     """Flagship entry: the reference ``sitemap_tree_for_homepage``
     (usp/tree.py:42-130) generalized to many seeds in one distributed run.
+
+    ``homepages`` is either a small in-process ``Sequence[str]`` (validated
+    driver-side, raising on a bad URL like the reference) or a seeds
+    ``DataFrame`` — the 10^8-seed path, where D1/D2 run as column
+    expressions (:func:`seed_frame_from_dataframe`) and invalid seeds are
+    filtered, never collected.
+
+    ``store_urls_unique=None`` (default) auto-detects: a store written by
+    :func:`cluster_fetch_store` / opened by :func:`open_fetch_store`
+    carries a verified uniqueness hint, and a unique store skips the
+    per-wave ``max_by`` dedup exchange of matched bodies entirely. Pass an
+    explicit bool to override (False = unknown provenance, dedup per wave).
 
     Discovery = robots.txt probe (D3) + well-known paths (D4, anti-joined
     against robots-discovered URLs, usp/tree.py:112); recursion = wave loop.
@@ -796,6 +906,8 @@ def sitemap_tree_for_homepages(
     ``set`` order (nondeterministic); we order them lexicographically so
     output is deterministic under parallelism.
     """
+    if store_urls_unique is None:
+        store_urls_unique = getattr(fetches, "_frontier_urls_unique", False)
     if not fetches_prepared:
         fetches = prepare_fetches(fetches, cache=cache_fetch_store)
     if recurse_callback is not None:
@@ -810,7 +922,10 @@ def sitemap_tree_for_homepages(
             def recurse_filter(children: DataFrame) -> DataFrame:
                 return url_filter(list_filter(children))
 
-    seeds = _seed_frame(spark, homepages, normalize_homepage_url)
+    if isinstance(homepages, DataFrame):
+        seeds = seed_frame_from_dataframe(homepages, normalize_homepage_url)
+    else:
+        seeds = _seed_frame(spark, homepages, normalize_homepage_url)
 
     # page sink root: the wave kernels side-write full page records here
     # (one parquet file per task per wave) — `forest.pages` reads them back.
@@ -822,6 +937,18 @@ def sitemap_tree_for_homepages(
     else:
         import tempfile
 
+        # executors write page files under this root; a driver-local temp
+        # dir is only a shared filesystem on a local master. Fail loudly
+        # instead of silently reading back an empty forest.pages on a
+        # cluster (each executor would have written its own node-local /tmp)
+        master = spark.sparkContext.master or ""
+        if not master.startswith("local"):
+            raise ValueError(
+                "sitemap_tree_for_homepages on a non-local master "
+                f"({master!r}) requires checkpoint_dir on a shared "
+                "filesystem: the wave kernels side-write page parquet from "
+                "executors, and a driver tempdir would silently lose them."
+            )
         pages_root = tempfile.mkdtemp(prefix="frontier-pages-")
         owns_pages = True
 
