@@ -1250,3 +1250,165 @@ _register(
         doc="R8 Bloom+anti-join URL-seen filter vs plain anti-join oracle",
     ),
 )
+
+
+
+
+# =============================================================================
+# E. RFC 9309 robots rules engine (frontier/robots.py) — the north rule's
+# "politeness budgets plus robots.txt rules drive a priority queue".
+# Both queries run the REAL engine on a corpus synthesized deterministically
+# from `documents`; the oracles re-derive the expected decisions closed-form.
+# =============================================================================
+
+# source = 'src' || n  →  Crawl-delay ∈ 1..5  (engine-portable arithmetic)
+_DELAY_SPARK = "1 + CAST(substring(source, 4) AS INT) % 5"
+_DELAY_DUCK = "1 + CAST(substr(source, 4) AS INTEGER) % 5"
+
+# Six URL path shapes per host exercising: prefix disallow, longest-match
+# allow, $-anchored wildcard disallow, no-match, allow-beats-shorter-disallow,
+# and the query-string defeating the $ anchor.
+_ROBOTS_PATH_CASE = """CASE CAST(doc_id % 6 AS INTEGER)
+            WHEN 0 THEN '/private/doc' || CAST(doc_id AS {STR}) || '.html'
+            WHEN 1 THEN '/private/ok' || CAST(doc_id AS {STR})
+            WHEN 2 THEN '/pub/doc' || CAST(doc_id AS {STR}) || '.tmp'
+            WHEN 3 THEN '/pub/doc' || CAST(doc_id AS {STR}) || '.html'
+            WHEN 4 THEN '/private/ok' || CAST(doc_id AS {STR}) || '.tmp'
+            ELSE '/pub/doc' || CAST(doc_id AS {STR}) || '.tmp?x=1'
+       END"""
+
+
+def _robots_bodies(spark: SparkSession) -> DataFrame:
+    """Per-host robots.txt: a decoy group, OUR group (wildcard/$ rules and a
+    source-derived Crawl-delay), and a '*' fallback the agent match must NOT
+    pick."""
+    from pyspark.sql import functions as F
+
+    hosts = spark.sql(
+        "SELECT DISTINCT source, source || '.example.com' AS host FROM documents"
+    )
+    body = F.expr(
+        "concat("
+        "'User-agent: otherbot\\nDisallow: /\\n\\n',"
+        "'User-agent: frontierbot\\n',"
+        "'Disallow: /private/\\n',"
+        "'Allow: /private/ok*\\n',"
+        "'Disallow: /*.tmp$\\n',"
+        f"'Crawl-delay: ', CAST({_DELAY_SPARK} AS STRING), '\\n\\n',"
+        "'User-agent: *\\nDisallow: /blocked/\\n')"
+    )
+    return hosts.select("host", body.alias("body"))
+
+
+def _robots_filter_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .robots import parse_robots_rules, robots_filter
+
+    _load(spark, sf_dir, "documents")
+    rules = parse_robots_rules(_robots_bodies(spark), "frontierbot/1.0")
+    urls = spark.sql(
+        "SELECT 'http://' || source || '.example.com' || "
+        + _ROBOTS_PATH_CASE.replace("{STR}", "STRING")
+        + " AS url FROM documents"
+    )
+    out = robots_filter(urls, rules, keep_disallowed=True, broadcast_rules=True)
+    return out.select(
+        "url",
+        F.col("robots_allowed").cast("int").alias("allowed"),
+        F.coalesce(F.col("robots_matched_plen"), F.lit(-1)).alias("matched_plen"),
+        F.col("robots_crawl_delay").alias("crawl_delay"),
+    ).orderBy("url")
+
+
+_ROBOTS_FILTER_ORACLE = f"""
+WITH urls AS (
+    SELECT CAST(doc_id % 6 AS INTEGER) AS variant,
+           CAST({_DELAY_DUCK} AS DOUBLE) AS crawl_delay,
+           'http://' || source || '.example.com' ||
+           {_ROBOTS_PATH_CASE} AS url
+    FROM documents
+)
+SELECT url,
+       CAST(CASE WHEN variant IN (1, 3, 4, 5) THEN 1 ELSE 0 END AS INTEGER)
+           AS allowed,
+       CAST(CASE variant WHEN 0 THEN 9 WHEN 1 THEN 12 WHEN 2 THEN 7
+                         WHEN 4 THEN 12 ELSE -1 END AS INTEGER)
+           AS matched_plen,
+       crawl_delay
+FROM urls
+ORDER BY url
+""".replace("{STR}", "VARCHAR")
+
+_register(
+    "robots_rules_filter",
+    QueryDef(
+        build=_robots_filter_build,
+        oracle=_ROBOTS_FILTER_ORACLE,
+        doc=(
+            "RFC 9309 Allow/Disallow engine: longest-match wins, Allow wins "
+            "ties, $ anchor, query-string match target; closed-form oracle"
+        ),
+    ),
+)
+
+# Crawl-delay → per-host budget → salted two-level priority-queue plan.
+_PLAN_PAGES_SQL = """
+SELECT 'http://' || source || '.example.com/p' || CAST(doc_id AS {STR})
+           AS page_url,
+       CAST(doc_id % 10 AS DOUBLE) / 10 AS priority,
+       CAST(NULL AS TIMESTAMP) AS last_modified,
+       source
+FROM documents
+"""
+
+
+def _budget_plan_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .robots import (
+        fetch_plan_budgeted,
+        host_budgets_from_delay,
+        parse_robots_rules,
+    )
+
+    _load(spark, sf_dir, "documents")
+    rules = parse_robots_rules(_robots_bodies(spark), "frontierbot/1.0")
+    budgets = host_budgets_from_delay(rules, round_seconds=30, default_budget=12)
+    pages = spark.sql(_PLAN_PAGES_SQL.replace("{STR}", "STRING")).drop("source")
+    plan = fetch_plan_budgeted(pages, budgets, default_budget=12, salt_buckets=4)
+    return plan.select(
+        "canonical_host", "page_url", "fetch_rank", "fetch_budget"
+    ).orderBy("canonical_host", "fetch_rank")
+
+
+_BUDGET_PLAN_ORACLE = f"""
+WITH pages AS (
+    SELECT source || '.example.com' AS canonical_host,
+           p.page_url, p.priority,
+           LEAST(12, GREATEST(1, CAST(FLOOR(30.0 / ({_DELAY_DUCK}))
+               AS INTEGER))) AS fetch_budget
+    FROM ({_PLAN_PAGES_SQL}) p
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY canonical_host
+        ORDER BY priority DESC, page_url) AS fetch_rank
+    FROM pages
+)
+SELECT canonical_host, page_url,
+       CAST(fetch_rank AS INTEGER) AS fetch_rank, fetch_budget
+FROM ranked
+WHERE fetch_rank <= fetch_budget
+ORDER BY canonical_host, fetch_rank
+""".replace("{STR}", "VARCHAR")
+
+_register(
+    "robots_budget_plan",
+    QueryDef(
+        build=_budget_plan_build,
+        oracle=_BUDGET_PLAN_ORACLE,
+        doc=(
+            "Crawl-delay → per-host budget → salted two-level top-k priority "
+            "queue (engine) vs window-rank closed-form oracle"
+        ),
+    ),
+)
