@@ -1412,3 +1412,118 @@ _register(
         ),
     ),
 )
+
+
+# =============================================================================
+# F. Pages-corpus operators (frontier/pages.py — the north-rule input shape).
+# Spark side runs the REAL kernels on html synthesized from `documents`;
+# oracles state the expected output closed-form.
+# =============================================================================
+
+
+def _pages_extract_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pages import extract_text
+
+    _load(spark, sf_dir, "documents")
+    pages = spark.sql(
+        """
+        SELECT 'http://' || source || '.example.com/d'
+                   || CAST(doc_id AS STRING) || '.html' AS url,
+               encode('<html><head><title>Doc ' || CAST(doc_id AS STRING)
+                   || ' &amp; more</title></head><body><h1>Doc '
+                   || CAST(doc_id AS STRING) || '</h1><p>' || text
+                   || '</p><script>var x = 1;</script></body></html>',
+                   'utf-8') AS html
+        FROM documents
+        """
+    )
+    return extract_text(pages).select("url", "extracted_text").orderBy("url")
+
+
+_PAGES_EXTRACT_ORACLE = """
+SELECT 'http://' || source || '.example.com/d'
+           || CAST(doc_id AS VARCHAR) || '.html' AS url,
+       'Doc ' || CAST(doc_id AS VARCHAR) || ' & more' || chr(10)
+           || 'Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || text
+           AS extracted_text
+FROM documents
+ORDER BY url
+"""
+
+_register(
+    "pages_text_extract",
+    QueryDef(
+        build=_pages_extract_build,
+        oracle=_PAGES_EXTRACT_ORACLE,
+        doc=(
+            "byte-identical HTML→text invariant: real extraction kernel "
+            "(entity decode, script drop, block join) vs closed-form text"
+        ),
+    ),
+)
+
+
+def _latest_capture_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .pages import latest_capture
+
+    _load(spark, sf_dir, "documents")
+    # recrawl log: ~97 URLs captured repeatedly; warc_ts unique per row
+    # (hour component varies within a URL group, second component globally)
+    captures = spark.sql(
+        """
+        SELECT 'http://cc.example.com/p' || CAST(doc_id % 97 AS STRING) AS url,
+               timestampadd(SECOND, CAST(doc_id AS INT),
+                   timestampadd(HOUR, CAST(doc_id % 17 AS INT),
+                       TIMESTAMP '2025-01-01 00:00:00')) AS warc_ts,
+               encode(text, 'utf-8') AS html,
+               text, lang
+        FROM documents
+        """
+    )
+    return (
+        latest_capture(captures)
+        .select(
+            "url",
+            F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("capture_ts"),
+            "text",
+            "lang",
+            "n_captures",
+        )
+        .orderBy("url")
+    )
+
+
+_LATEST_CAPTURE_ORACLE = """
+WITH captures AS (
+    SELECT 'http://cc.example.com/p' || CAST(doc_id % 97 AS VARCHAR) AS url,
+           TIMESTAMP '2025-01-01 00:00:00'
+               + INTERVAL 1 HOUR * (doc_id % 17)
+               + INTERVAL 1 SECOND * doc_id AS warc_ts,
+           text, lang
+    FROM documents
+),
+ranked AS (
+    SELECT *,
+           row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC) AS rn,
+           count(*) OVER (PARTITION BY url) AS n_captures
+    FROM captures
+)
+SELECT url, strftime(warc_ts, '%Y-%m-%d %H:%M:%S') AS capture_ts,
+       text, lang, n_captures
+FROM ranked WHERE rn = 1
+ORDER BY url
+"""
+
+_register(
+    "pages_latest_capture",
+    QueryDef(
+        build=_latest_capture_build,
+        oracle=_LATEST_CAPTURE_ORACLE,
+        doc=(
+            "CC-style recrawl dedup: newest warc_ts wins via single "
+            "map-side-combined max_by shuffle vs window-rank oracle"
+        ),
+    ),
+)

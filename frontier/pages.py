@@ -1,0 +1,172 @@
+"""Common-Crawl-style pages-corpus surface (BASELINE.json ``input_hint``).
+
+The north rule's input table is ``(url string, warc_ts timestamp,
+html binary, text string, lang string)`` — an Iceberg/parquet corpus of
+fetched web pages.  This module makes that shape a first-class citizen of
+the engine:
+
+* :func:`extract_text` — the per-row invariant ("byte-identical extracted
+  text per url"): a deterministic HTML→text kernel over the ``html`` binary
+  column, Arrow-batched via ``mapInPandas`` (HTML tokenization is genuinely
+  not SQL).  The extraction contract is exact and documented on
+  :func:`html_to_text` so "byte-identical" is a testable statement.
+* :func:`seeds_from_pages` — corpus → homepage seed DataFrame feeding the
+  ``seeds: DataFrame`` overload of
+  :func:`frontier.waves.sitemap_tree_for_homepages`; hosts are derived and
+  deduped as column expressions, so a 10¹⁰-row corpus never touches the
+  driver.
+* :func:`latest_capture` — CC-style recrawl dedup: one row per URL, the
+  capture with the newest ``warc_ts`` wins.  Single map-side-combinable
+  aggregation (``max_by``), no window, no sort.
+
+Scale notes: ``extract_text`` is embarrassingly parallel (no shuffle);
+``seeds_from_pages`` is one partial-agg distinct on a short host string;
+``latest_capture`` shuffles compact (url, ts, payload-pointer) structs once.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from frontier.schemas import PAGES_CORPUS_SCHEMA
+
+__all__ = [
+    "PAGES_CORPUS_SCHEMA",
+    "extract_text",
+    "html_to_text",
+    "latest_capture",
+    "seeds_from_pages",
+]
+
+_SKIP_CONTENT = {"script", "style"}
+
+
+class _TextCollector(HTMLParser):
+    """Accumulates character data into blocks; any tag boundary flushes."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[str] = []
+        self._buf: list[str] = []
+        self._skip_depth = 0
+
+    def _flush(self) -> None:
+        if self._buf:
+            self.blocks.append("".join(self._buf))
+            self._buf.clear()
+
+    def handle_starttag(self, tag, attrs) -> None:
+        self._flush()
+        if tag in _SKIP_CONTENT:
+            self._skip_depth += 1
+
+    def handle_startendtag(self, tag, attrs) -> None:
+        self._flush()
+
+    def handle_endtag(self, tag) -> None:
+        self._flush()
+        if tag in _SKIP_CONTENT and self._skip_depth > 0:
+            self._skip_depth -= 1
+
+    def handle_data(self, data: str) -> None:
+        if self._skip_depth == 0 and data:
+            self._buf.append(data)
+
+
+def html_to_text(html: bytes | str | None) -> str:
+    """Deterministic HTML→text: the engine's byte-exact extraction contract.
+
+    Rules (each one is part of the per-row invariant):
+
+    1. bytes decode as UTF-8 with U+FFFD replacement;
+    2. character/entity references decode (``&amp;`` → ``&``);
+    3. ``<script>``/``<style>`` content is dropped;
+    4. contiguous character data between tag boundaries forms one block,
+       preserved verbatim (no stripping, no whitespace collapsing);
+    5. blocks join with a single ``\\n``.
+
+    Malformed markup never raises — HTMLParser recovers and the contract
+    applies to whatever it tokenizes.
+    """
+    if html is None:
+        return ""
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        html = bytes(html).decode("utf-8", errors="replace")
+    collector = _TextCollector()
+    collector.feed(html)
+    collector.close()
+    collector._flush()
+    return "\n".join(collector.blocks)
+
+
+def extract_text(
+    pages: DataFrame,
+    html_col: str = "html",
+    out_col: str = "extracted_text",
+) -> DataFrame:
+    """Apply :func:`html_to_text` to the ``html`` binary column.
+
+    Arrow-batched ``mapInPandas`` preserving every input column; no shuffle,
+    scales linearly with executors.
+    """
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        pages.schema.fields + [T.StructField(out_col, T.StringType())]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            batch[out_col] = [html_to_text(h) for h in batch[html_col]]
+            yield batch
+
+    return pages.mapInPandas(kernel, schema)
+
+
+def seeds_from_pages(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """Distinct homepage seeds from a pages corpus, as column expressions.
+
+    Output: one ``seed`` string per distinct (scheme, host) —
+    ``scheme://host/`` — ready for the ``seeds: DataFrame`` overload of
+    ``sitemap_tree_for_homepages`` (D2 homepage normalization then runs on
+    it like on any other seed frame).  The distinct is a partial-aggregated
+    groupBy on a short string; the corpus rows themselves are never moved.
+    """
+    scheme = F.lower(F.parse_url(F.col(url_col), F.lit("PROTOCOL")))
+    host = F.lower(F.parse_url(F.col(url_col), F.lit("HOST")))
+    return (
+        pages.select(
+            F.concat(scheme, F.lit("://"), host, F.lit("/")).alias("seed")
+        )
+        .filter(F.col("seed").isNotNull())
+        .distinct()
+    )
+
+
+def latest_capture(pages: DataFrame) -> DataFrame:
+    """One row per URL: the capture with the newest ``warc_ts`` wins
+    (ties broken by largest text, then lang, for determinism).
+
+    Single ``groupBy(url)`` with ``max_by`` over a compact ordering struct —
+    map-side partial aggregation keeps the shuffle at one record per
+    (partition, url); the winning html/text payloads ride inside the
+    aggregation buffer rather than through a join.
+    """
+    ordering = F.struct(
+        F.col("warc_ts"), F.length("text").alias("_tlen"), F.col("lang")
+    )
+    return pages.groupBy("url").agg(
+        F.max_by(F.struct("warc_ts", "html", "text", "lang"), ordering).alias("_w"),
+        F.count("*").alias("n_captures"),
+    ).select(
+        "url",
+        F.col("_w.warc_ts").alias("warc_ts"),
+        F.col("_w.html").alias("html"),
+        F.col("_w.text").alias("text"),
+        F.col("_w.lang").alias("lang"),
+        "n_captures",
+    )

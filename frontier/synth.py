@@ -392,3 +392,83 @@ def synth_media_payloads(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "text").mapInPandas(
         build, "doc_id long, payload binary"
     )
+
+
+# --- Common-Crawl-style pages corpus (BASELINE.json input_hint shape) ----------
+
+_PAGE_LANGS = ["en", "de", "fr", "es"]
+_PAGE_WORDS = [
+    "crawl", "frontier", "sitemap", "parse", "index", "fetch", "queue",
+    "budget", "shard", "wave", "robots", "seed", "host", "page", "delta",
+]
+
+
+def synth_pages_corpus(
+    spark: SparkSession,
+    n_hosts: int,
+    pages_per_host: int = 50,
+    captures_per_page: int = 1,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic pages corpus in the north-rule input shape
+    ``(url, warc_ts, html binary, text, lang)``.
+
+    Page URLs follow the ``synth_crawl_corpus`` host grid
+    (``http://host{i}.example.com/p{j}.html``) so a corpus and a sitemap
+    fetch store over the same hosts line up for integration tests.  The
+    ``text`` column is the CLOSED-FORM expected extraction of ``html``
+    (written as a literal, NOT via the extractor), so
+    ``extract_text(corpus) == corpus.text`` is a genuine differential test
+    of the byte-identical-text invariant.  ``captures_per_page > 1`` emits
+    recrawl rows with distinct ``warc_ts`` and revision-suffixed bodies for
+    :func:`frontier.pages.latest_capture`.
+
+    Generated distributed (``mapInPandas`` over a range), no driver
+    materialization.
+    """
+    n_parts = partitions or spark.sparkContext.defaultParallelism
+    base_ts = _dt.datetime(2025, 1, 1, 0, 0, 0)
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for idx in batch["id"]:
+                i = int(idx)
+                host_id, page_id = divmod(i, pages_per_host)
+                url = f"http://host{host_id}.example.com/p{page_id}.html"
+                for c in range(captures_per_page):
+                    key = (i * 7919 + c * 104729) % 100000
+                    body = " ".join(
+                        _PAGE_WORDS[(key + k) % len(_PAGE_WORDS)]
+                        for k in range(5 + key % 11)
+                    )
+                    title = f"Page {host_id}-{page_id} &amp; rev {c}"
+                    h1 = f"Page {host_id}-{page_id}"
+                    html = (
+                        f"<html><head><title>{title}</title>"
+                        '<meta charset="utf-8"/></head>'
+                        f"<body><h1>{h1}</h1><p>{body}</p>"
+                        "<script>var x = 1;</script></body></html>"
+                    )
+                    text = (
+                        f"Page {host_id}-{page_id} & rev {c}\n{h1}\n{body}"
+                    )
+                    rows.append(
+                        {
+                            "url": url,
+                            "warc_ts": base_ts
+                            + _dt.timedelta(hours=c * 1009 + i % 997),
+                            "html": html.encode("utf-8"),
+                            "text": text,
+                            "lang": _PAGE_LANGS[key % len(_PAGE_LANGS)],
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["url", "warc_ts", "html", "text", "lang"]
+            )
+
+    from .schemas import PAGES_CORPUS_SCHEMA
+
+    return spark.range(0, n_hosts * pages_per_host, numPartitions=n_parts).mapInPandas(
+        build, PAGES_CORPUS_SCHEMA
+    )
