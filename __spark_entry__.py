@@ -137,6 +137,66 @@ FROM grid
 """
 
 
+def _frontier_fetch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north rule end-to-end: sitemap discovery → RFC 9309 robots rules
+    → Crawl-delay budgets → salted priority-queue fetch plan
+    (frontier.robots.crawl_fetch_plan) over synth_crawl_corpus(8, 2, 25,
+    robots_rules=True); the oracle reconstructs the plan in closed form
+    from the generator grid + rule semantics."""
+    from frontier.robots import crawl_fetch_plan
+
+    n_hosts = 8
+    corpus = synth_crawl_corpus(
+        spark, n_hosts, leaves_per_host=2, pages_per_leaf=25, robots_rules=True
+    )
+    seeds = [f"http://host{i}.example.com/" for i in range(n_hosts)]
+    plan = crawl_fetch_plan(
+        spark, seeds, corpus,
+        round_seconds=30.0, default_budget=12, salt_buckets=4,
+        use_known_paths=False,
+    )
+    return plan.select(
+        "canonical_host", "page_url", "fetch_rank", "fetch_budget"
+    ).orderBy("canonical_host", "fetch_rank")
+
+
+# Grid reconstruction as in _CRAWL_ORACLE; rules (synth_crawl_corpus
+# robots_rules=True): Disallow /p0_ (plen 4) < Allow /p0_1 (plen 5) → leaf-0
+# pages blocked unless the page number's decimal starts with '1';
+# Crawl-delay = 1 + h % 5 → budget = min(12, floor(30 / delay)).
+_FETCH_PLAN_ORACLE = """
+WITH grid AS (
+  SELECT h.h, l.j, p.i, (l.j * 7919 + p.i * 104729) % 100000 AS key
+  FROM (SELECT unnest(generate_series(0, 7)) AS h) h,
+       (SELECT unnest(generate_series(0, 1)) AS j) l,
+       (SELECT unnest(generate_series(0, 24)) AS i) p
+),
+pages AS (
+  SELECT 'host' || h || '.example.com' AS canonical_host,
+         'http://host' || h || '.example.com/p' || j || '_' || i || '.html'
+           AS page_url,
+         (key % 10) / 10.0 AS priority,
+         make_timestamp(2025, 1 + key % 12, 1 + key % 28, key % 24, 0, 0)
+           AS last_modified,
+         LEAST(12, GREATEST(1, CAST(FLOOR(30.0 / (1 + h % 5)) AS INTEGER)))
+           AS fetch_budget
+  FROM grid
+  WHERE j = 1 OR CAST(i AS VARCHAR) LIKE '1%'
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY canonical_host
+      ORDER BY priority DESC, last_modified DESC, page_url) AS fetch_rank
+  FROM pages
+)
+SELECT canonical_host, page_url,
+       CAST(fetch_rank AS INTEGER) AS fetch_rank, fetch_budget
+FROM ranked
+WHERE fetch_rank <= fetch_budget
+ORDER BY canonical_host, fetch_rank
+"""
+
+
 def _media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image-header parsing (PNG IHDR / GIF screen descriptor / BMP DIB
     / JPEG SOF) over spec-correct synthesized image payloads; the oracle
@@ -267,6 +327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         name: qd.build for name, qd in REGISTRY.items()
     }
     out["frontier_crawl"] = _frontier_crawl
+    out["frontier_fetch_plan"] = _frontier_fetch_plan
     out["flagship_tree"] = _flagship_gate
     out["media_metadata"] = _media_metadata
     out["media_resize"] = _media_resize
@@ -279,6 +340,7 @@ def oracle_sql() -> dict[str, str]:
     out = {name: qd.oracle for name, qd in REGISTRY.items() if qd.oracle}
     out["flagship_tree"] = _FLAGSHIP_ORACLE
     out["frontier_crawl"] = _CRAWL_ORACLE
+    out["frontier_fetch_plan"] = _FETCH_PLAN_ORACLE
     out["media_metadata"] = _MEDIA_META_ORACLE
     out["media_resize"] = _MEDIA_RESIZE_ORACLE
     out["media_frames"] = _MEDIA_FRAMES_ORACLE

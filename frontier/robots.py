@@ -361,3 +361,108 @@ def fetch_plan_budgeted(
         .filter(F.col("fetch_rank") <= F.col("_fetch_budget"))
         .withColumnRenamed("_fetch_budget", "fetch_budget")
     )
+
+
+def robots_rules_from_store(
+    seeds: DataFrame,
+    fetches: DataFrame,
+    user_agent: str = DEFAULT_USER_AGENT,
+) -> DataFrame:
+    """Per-host rules snapshot straight from a fetch store.
+
+    The crawl's discovery phase (D3) already fetched each seed's
+    ``robots.txt`` for its ``Sitemap:`` directives; this re-reads the SAME
+    store rows for their RFC 9309 rule groups — no second fetch.  Join
+    shape: seeds (tiny) broadcast-joined to the store on the robots URL, so
+    the store is scanned once with a pushed-down semi-join; bodies are
+    decoded (gzip-sniffed, utf-8-sig) and parsed in one Arrow kernel over
+    one row per host.
+
+    Hosts whose robots.txt is missing or non-200 get no snapshot row —
+    allowed-by-absence downstream (RFC 9309 §2.3.1).
+    """
+    from frontier.textnorm import decode_sitemap_body
+
+    col = "seed" if "seed" in seeds.columns else seeds.columns[0]
+    robots_urls = seeds.select(
+        F.concat(F.col(col), F.lit("robots.txt")).alias("url"),
+        F.lower(F.parse_url(F.col(col), F.lit("HOST"))).alias("host"),
+    )
+    rows = (
+        fetches.join(F.broadcast(robots_urls), "url")
+        .filter(F.col("status") == 200)
+        .select("host", "url", "content_type", "body")
+        .dropDuplicates(["host"])
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            hosts, delays, rule_lists = [], [], []
+            for host, url, ctype, body in zip(
+                batch["host"], batch["url"], batch["content_type"], batch["body"]
+            ):
+                text = decode_sitemap_body(url, ctype, bytes(body or b""))
+                delay, rules = parse_robots_body(text, user_agent)
+                hosts.append(host)
+                delays.append(delay)
+                rule_lists.append(
+                    [
+                        {"pattern": p, "rx": rx, "plen": plen, "allow": allow}
+                        for (p, rx, plen, allow) in rules
+                    ]
+                )
+            yield pd.DataFrame(
+                {"host": hosts, "crawl_delay": delays, "rules": rule_lists}
+            )
+
+    return rows.mapInPandas(kernel, ROBOTS_RULES_SCHEMA)
+
+
+def crawl_fetch_plan(
+    spark,
+    homepages,
+    fetches: DataFrame,
+    *,
+    user_agent: str = DEFAULT_USER_AGENT,
+    round_seconds: float = 30.0,
+    default_budget: int = 12,
+    salt_buckets: int = 0,
+    broadcast_rules: bool = True,
+    **crawl_kwargs,
+) -> DataFrame:
+    """The north rule end-to-end: sitemap discovery → robots.txt rules →
+    per-host politeness budgets → priority-queue fetch plan.
+
+    1. :func:`frontier.waves.sitemap_tree_for_homepages` crawls the sitemap
+       forest over ``fetches`` (all its knobs pass through).
+    2. :func:`robots_rules_from_store` re-reads each seed's robots.txt row
+       for Allow/Disallow/Crawl-delay.
+    3. :func:`robots_filter` drops disallowed page URLs (longest-match,
+       Allow wins ties).
+    4. :func:`fetch_plan_budgeted` ranks survivors per host by
+       (priority desc, lastmod desc, url) and caps each host at its
+       Crawl-delay-derived budget (default for hosts without one).
+
+    Returns the plan DataFrame (page rows + ``canonical_host``,
+    ``fetch_rank``, ``fetch_budget``).  At 10¹⁰-URL scale every step is a
+    single equi-join or rank-in-partition — no global sort, no driver
+    materialization.
+    """
+    from frontier.waves import sitemap_tree_for_homepages
+
+    forest = sitemap_tree_for_homepages(spark, homepages, fetches, **crawl_kwargs)
+    seeds = forest.nodes.filter(F.col("level") == -1).select(
+        F.col("url").alias("seed")
+    )
+    rules = robots_rules_from_store(seeds, fetches, user_agent)
+    pages = robots_filter(
+        forest.all_pages(),
+        rules,
+        url_col="page_url",
+        broadcast_rules=broadcast_rules,
+    ).drop("robots_crawl_delay")
+    budgets = host_budgets_from_delay(rules, round_seconds, default_budget)
+    return fetch_plan_budgeted(
+        pages, budgets, default_budget, url_col="page_url",
+        salt_buckets=salt_buckets,
+    )

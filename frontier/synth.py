@@ -303,11 +303,19 @@ def synth_crawl_corpus(
     leaves_per_host: int = 4,
     pages_per_leaf: int = 100,
     partitions: int | None = None,
+    robots_rules: bool = False,
 ) -> DataFrame:
     """Deterministic multi-host fetch store: per host one robots.txt, one
     sitemap index, ``leaves_per_host`` leaf urlsets of ``pages_per_leaf``
     pages. Generated distributed (one task per host slice) so corpus size
-    scales without driver memory involvement."""
+    scales without driver memory involvement.
+
+    ``robots_rules=True`` additionally gives every robots.txt an RFC 9309
+    rule section for the ``frontierbot`` agent — ``Disallow: /p0_`` with a
+    longer ``Allow: /p0_1`` carve-out and ``Crawl-delay: 1 + host % 5`` —
+    plus a deny-all ``*`` fallback group the agent match must skip.  The
+    ``Sitemap:`` directive extraction is line-oriented and unaffected, so
+    sitemap discovery over the corpus is identical either way."""
 
     n_parts = partitions or spark.sparkContext.defaultParallelism
 
@@ -321,10 +329,20 @@ def synth_crawl_corpus(
                     f"<sitemap><loc>{base}/leaf_{j}.xml</loc></sitemap>"
                     for j in range(leaves_per_host)
                 )
+                robots_body = f"User-agent: *\nSitemap: {base}/sitemap_index.xml\n"
+                if robots_rules:
+                    robots_body = (
+                        f"Sitemap: {base}/sitemap_index.xml\n\n"
+                        "User-agent: frontierbot\n"
+                        "Disallow: /p0_\n"
+                        "Allow: /p0_1\n"
+                        f"Crawl-delay: {1 + int(host_id) % 5}\n\n"
+                        "User-agent: *\nDisallow: /\n"
+                    )
                 rows.append(
                     _row(
                         f"{base}/robots.txt",
-                        f"User-agent: *\nSitemap: {base}/sitemap_index.xml\n",
+                        robots_body,
                         content_type="text/plain",
                     )
                 )

@@ -324,3 +324,44 @@ def test_fetch_plan_budgeted_salted_equals_unsalted(spark, rules_df):
     assert {r["page_url"] for r in plain.collect()} == {
         r["page_url"] for r in salted.collect()
     }
+
+
+# --- end-to-end: discovery → rules → budgets → plan ------------------------------
+
+
+def test_crawl_fetch_plan_end_to_end(spark):
+    from frontier.robots import crawl_fetch_plan, robots_rules_from_store
+    from frontier.synth import synth_crawl_corpus
+
+    n_hosts = 3
+    corpus = synth_crawl_corpus(
+        spark, n_hosts, leaves_per_host=2, pages_per_leaf=10, robots_rules=True
+    )
+    seeds = [f"http://host{i}.example.com/" for i in range(n_hosts)]
+    plan = crawl_fetch_plan(
+        spark, seeds, corpus, round_seconds=30.0, default_budget=8,
+        use_known_paths=False,
+    ).cache()
+
+    rows = plan.collect()
+    # leaf-0 pages blocked unless the page number starts with '1' (Allow
+    # /p0_1 outranks Disallow /p0_): with i in 0..9 that is only p0_1, so
+    # 11 allowed pages per host, then the budget caps each host at 8
+    urls = {r["page_url"] for r in rows}
+    assert not any("/p0_0" in u or "/p0_2" in u for u in urls)
+    # budgets: delay = 1 + h % 5 → h0: min(8,30)=8, h1: min(8,15)=8, h2: 10→8
+    counts = {r["canonical_host"]: 0 for r in rows}
+    for r in rows:
+        counts[r["canonical_host"]] += 1
+        assert r["fetch_rank"] <= r["fetch_budget"]
+    assert counts == {f"host{i}.example.com": 8 for i in range(n_hosts)}
+
+    # rules snapshot came from the very rows the discovery phase fetched
+    seeds_df = spark.createDataFrame([(s,) for s in seeds], "seed string")
+    rules = robots_rules_from_store(seeds_df, corpus)
+    by_host = {r["host"]: r for r in rules.collect()}
+    assert by_host["host2.example.com"]["crawl_delay"] == 3.0
+    assert [x["pattern"] for x in by_host["host0.example.com"]["rules"]] == [
+        "/p0_", "/p0_1"
+    ]
+    plan.unpersist()
