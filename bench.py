@@ -44,6 +44,10 @@ BENCH_QUERIES = [
     "ann_cosine_topk",
     "text_lang_id",
     "text_quality_score",
+    "robots_rules_filter",
+    "robots_budget_plan",
+    "pages_text_extract",
+    "pages_latest_capture",
 ]
 
 
