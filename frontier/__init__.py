@@ -17,6 +17,11 @@ Public surface:
 - :mod:`frontier.dedup` — Bloom-prefiltered exact URL-seen set (north rule).
 - :mod:`frontier.datapipe` — large-scale training-data pipeline operators
   (dedup families, similarity search, text analysis, multimodal plumbing).
+- :mod:`frontier.robots` — RFC 9309 Allow/Disallow/Crawl-delay rules engine
+  + :func:`frontier.robots.crawl_fetch_plan`, the north rule end-to-end
+  (discovery → rules → per-host budgets → priority-queue fetch plan).
+- :mod:`frontier.pages` — Common-Crawl-style pages-corpus surface
+  (byte-exact HTML→text extraction, seed derivation, recrawl dedup).
 """
 
 __version__ = "0.1.0"
