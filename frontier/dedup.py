@@ -169,6 +169,91 @@ def build_bloom_shards(
     )
 
 
+def make_unseen_filter(
+    seen: DataFrame,
+    url_col: str = "url",
+    expected_urls: int = 1_000_000,
+    fpp: float = 0.03,
+    n_shards: int | None = None,
+    salt: bytes = b"frontier",
+):
+    """Build the Bloom side ONCE and return a reusable
+    ``candidates → unseen-candidates`` closure.
+
+    A crawl applies the seen filter to every wave's pending frontier;
+    rebuilding the bitmap per wave would re-scan the seen table ≤13 times.
+    The broadcast bitmap (or the materialized shard DataFrame) is computed
+    here and reused by every application — the seen table itself is only
+    re-touched by the (small) Bloom-positive anti-join slice."""
+    m_bits, k = _bloom_params(expected_urls, fpp)
+    if n_shards is None and m_bits // 8 > BROADCAST_BITMAP_BYTES:
+        n_shards = max(1, math.ceil((m_bits // 8) / SHARD_BITMAP_BYTES))
+
+    from pyspark.sql.types import BooleanType, StructField, StructType
+
+    if n_shards is not None:
+        # materialize the shard bitmaps once; every application cogroups
+        # against this checkpointed table instead of rebuilding it
+        shards = build_bloom_shards(
+            seen, url_col, expected_urls, fpp, n_shards, salt
+        ).localCheckpoint(eager=True)
+        sm_bits, sk = _bloom_params(max(1, expected_urls // n_shards), fpp)
+        bloom_bc = None
+    else:
+        bloom = build_bloom(seen, url_col, expected_urls, fpp, salt)
+        bloom_bc = seen.sparkSession.sparkContext.broadcast(bloom)
+        shards = None
+
+    def apply(candidates: DataFrame) -> DataFrame:
+        flagged_schema = StructType(
+            list(candidates.schema.fields)
+            + [StructField("_maybe_seen", BooleanType())]
+        )
+
+        if shards is not None:
+
+            def probe_group(
+                cand: pd.DataFrame, bits_pdf: pd.DataFrame
+            ) -> pd.DataFrame:
+                cand = cand.drop(columns=["shard"])
+                if not len(cand):
+                    return cand.assign(_maybe_seen=np.zeros(0, dtype=bool))
+                if not len(bits_pdf):  # shard holds no seen urls at all
+                    return cand.assign(_maybe_seen=False)
+                bits = np.frombuffer(bits_pdf["bits"].iloc[0], dtype=np.uint8)
+                h1, h2 = _hash2(cand[url_col].to_numpy(), salt)
+                flags = _test_bits(bits, _positions_many(h1, h2, sm_bits, sk))
+                return cand.assign(_maybe_seen=flags)
+
+            flagged = (
+                candidates.withColumn("shard", _shard_col(url_col, n_shards))
+                .groupBy("shard")
+                .cogroup(shards.groupBy("shard"))
+                .applyInPandas(probe_group, flagged_schema)
+            )
+        else:
+
+            def flag(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                bf = bloom_bc.value
+                for batch in batches:
+                    yield batch.assign(
+                        _maybe_seen=bf.might_contain_many(
+                            batch[url_col].to_numpy()
+                        )
+                    )
+
+            flagged = candidates.mapInPandas(flag, flagged_schema)
+
+        fresh = flagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
+        suspects = flagged.filter(F.col("_maybe_seen")).drop("_maybe_seen")
+        confirmed_new = suspects.join(
+            seen.select(F.col(url_col)), url_col, "left_anti"
+        )
+        return fresh.unionByName(confirmed_new)
+
+    return apply
+
+
 def filter_unseen_with_bloom(
     candidates: DataFrame,
     seen: DataFrame,
@@ -189,60 +274,13 @@ def filter_unseen_with_bloom(
     BROADCAST_BITMAP_BYTES) the sharded co-group path runs — candidates
     shuffle once on the url-hash shard to meet their shard's bitmap; no
     bitmap ever reaches the driver or a broadcast. Otherwise one bitmap is
-    built and broadcast, and candidates stay in place."""
-    m_bits, k = _bloom_params(expected_urls, fpp)
-    if n_shards is None and m_bits // 8 > BROADCAST_BITMAP_BYTES:
-        n_shards = max(1, math.ceil((m_bits // 8) / SHARD_BITMAP_BYTES))
+    built and broadcast, and candidates stay in place.
 
-    out_schema = candidates.schema
-    from pyspark.sql.types import BooleanType, StructField, StructType
-
-    flagged_schema = StructType(
-        list(out_schema.fields) + [StructField("_maybe_seen", BooleanType())]
-    )
-
-    if n_shards is not None:
-        shards = build_bloom_shards(
-            seen, url_col, expected_urls, fpp, n_shards, salt
-        )
-        sm_bits, sk = _bloom_params(max(1, expected_urls // n_shards), fpp)
-
-        def probe_group(cand: pd.DataFrame, bits_pdf: pd.DataFrame) -> pd.DataFrame:
-            cand = cand.drop(columns=["shard"])
-            if not len(cand):
-                return cand.assign(_maybe_seen=np.zeros(0, dtype=bool))
-            if not len(bits_pdf):  # shard holds no seen urls at all
-                return cand.assign(_maybe_seen=False)
-            bits = np.frombuffer(bits_pdf["bits"].iloc[0], dtype=np.uint8)
-            h1, h2 = _hash2(cand[url_col].to_numpy(), salt)
-            flags = _test_bits(bits, _positions_many(h1, h2, sm_bits, sk))
-            return cand.assign(_maybe_seen=flags)
-
-        flagged = (
-            candidates.withColumn("shard", _shard_col(url_col, n_shards))
-            .groupBy("shard")
-            .cogroup(shards.groupBy("shard"))
-            .applyInPandas(probe_group, flagged_schema)
-        )
-    else:
-        bloom = build_bloom(seen, url_col, expected_urls, fpp, salt)
-        bloom_bc = candidates.sparkSession.sparkContext.broadcast(bloom)
-
-        def flag(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            bf = bloom_bc.value
-            for batch in batches:
-                yield batch.assign(
-                    _maybe_seen=bf.might_contain_many(batch[url_col].to_numpy())
-                )
-
-        flagged = candidates.mapInPandas(flag, flagged_schema)
-
-    fresh = flagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
-    suspects = flagged.filter(F.col("_maybe_seen")).drop("_maybe_seen")
-    confirmed_new = suspects.join(
-        seen.select(F.col(url_col)), url_col, "left_anti"
-    )
-    return fresh.unionByName(confirmed_new)
+    One-shot form of :func:`make_unseen_filter` (which a wave loop uses to
+    build the Bloom side once and apply it per wave)."""
+    return make_unseen_filter(
+        seen, url_col, expected_urls, fpp, n_shards, salt
+    )(candidates)
 
 
 class UrlSeenSet:
@@ -279,6 +317,21 @@ class UrlSeenSet:
             return candidates
         return filter_unseen_with_bloom(
             candidates,
+            seen.select(F.col("url").alias(url_col)),
+            url_col,
+            self.expected_urls,
+            self.fpp,
+        )
+
+    def prepare_filter(self, url_col: str = "url"):
+        """Reusable ``candidates → unseen`` closure over the CURRENT seen
+        table, with the Bloom side built exactly once
+        (:func:`make_unseen_filter`) — what a wave loop applies to every
+        pending frontier. Identity while no rounds are recorded yet."""
+        seen = self._seen_table()
+        if seen is None:
+            return lambda candidates: candidates
+        return make_unseen_filter(
             seen.select(F.col("url").alias(url_col)),
             url_col,
             self.expected_urls,

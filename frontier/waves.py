@@ -542,6 +542,7 @@ class _WaveRunner:
         resume: bool = False,
         store_urls_unique: bool = False,
         pages_dir: str | None = None,
+        seen_filter=None,
     ) -> None:
         self.spark = spark
         self.fetches = fetches
@@ -551,6 +552,10 @@ class _WaveRunner:
         self.resume = resume
         self.store_urls_unique = store_urls_unique
         self.pages_dir = pages_dir
+        #: R8 cross-crawl URL-seen filter (UrlSeenSet.prepare_filter):
+        #: applied to EVERY wave's pending frontier, so already-seen sitemap
+        #: URLs are never re-fetched across seeds/crawl rounds (north rule)
+        self.seen_filter = seen_filter
         self.wave_outputs: list[DataFrame] = []
 
     def _wave_committed(self, wave: int) -> bool:
@@ -611,6 +616,11 @@ class _WaveRunner:
         assembly_cap = max(small_cap, self.spark.sparkContext.defaultParallelism // 2)
         while True:
             t0 = time.perf_counter()
+            if self.seen_filter is not None:
+                # R8: drop already-seen URLs from the frontier before the
+                # fetch join — the Bloom side was built once per crawl;
+                # skipped URLs simply don't appear in this crawl's forest
+                pending = self.seen_filter(pending)
             fetchable = pending.filter(F.col("blocked_reason").isNull())
             blocked = pending.filter(F.col("blocked_reason").isNotNull())
             joined = self._fetch_join(fetchable, blocked)
@@ -883,6 +893,8 @@ def sitemap_tree_for_homepages(
     cache_fetch_store: bool = False,
     store_urls_unique: bool | None = None,
     fetches_prepared: bool = False,
+    seen_set=None,
+    record_seen: bool = False,
 ) -> SitemapForest:
     """Flagship entry: the reference ``sitemap_tree_for_homepage``
     (usp/tree.py:42-130) generalized to many seeds in one distributed run.
@@ -905,6 +917,15 @@ def sitemap_tree_for_homepages(
     Deviation (documented): the reference iterates known paths in Python
     ``set`` order (nondeterministic); we order them lexicographically so
     output is deterministic under parallelism.
+
+    ``seen_set`` (a :class:`frontier.dedup.UrlSeenSet`) is the R8
+    cross-crawl URL-seen set: every wave's pending frontier is filtered
+    through it (Bloom built once per crawl, positives anti-join-confirmed —
+    exactness-safe), so sitemap URLs fetched by an earlier crawl round are
+    never re-fetched; they simply don't appear in this crawl's forest.
+    ``record_seen=True`` appends every sitemap URL this crawl attempted
+    (all non-root nodes, 404/invalid included) to the seen table afterwards
+    — call ``seen_set.compact()`` periodically between rounds.
     """
     if store_urls_unique is None:
         store_urls_unique = getattr(fetches, "_frontier_urls_unique", False)
@@ -952,9 +973,12 @@ def sitemap_tree_for_homepages(
         pages_root = tempfile.mkdtemp(prefix="frontier-pages-")
         owns_pages = True
 
+    # R8: one Bloom build serves every wave of both phases of this crawl
+    seen_filter = seen_set.prepare_filter("url") if seen_set is not None else None
+
     runner_a = _WaveRunner(
         spark, fetches, recurse_filter, checkpoint_dir, "robots", resume,
-        store_urls_unique, pages_root,
+        store_urls_unique, pages_root, seen_filter,
     )
     if use_robots:
         pending0 = seeds.select(
@@ -987,7 +1011,7 @@ def sitemap_tree_for_homepages(
 
     runner_b = _WaveRunner(
         spark, fetches, recurse_filter, checkpoint_dir, "known_paths", resume,
-        store_urls_unique, pages_root,
+        store_urls_unique, pages_root, seen_filter,
     )
     if use_known_paths:
         import pandas as pd
@@ -1053,6 +1077,13 @@ def sitemap_tree_for_homepages(
         F.sum(F.coalesce(F.col("n_pages"), F.lit(0))).alias("n_pages"),
         F.sum(F.when(F.col("rec") == "child", 1).otherwise(0)).alias("n_children"),
     )
+    if seen_set is not None and record_seen:
+        # every sitemap URL this crawl attempted (404/invalid included) —
+        # the set a later round must not re-fetch; roots (level -1) are
+        # synthetic, never fetched
+        seen_set.record_seen(
+            forest.nodes.filter(F.col("level") >= 0).select("url")
+        )
     return forest
 
 
