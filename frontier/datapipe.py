@@ -1527,3 +1527,81 @@ _register(
         ),
     ),
 )
+
+
+# URL canonicalization dedup (frontier/urlnorm.py — crawl-core): messy URL
+# spellings synthesized from `documents` collapse to canonical
+# representatives; variants counted, earliest original kept (first-wins).
+# Six spellings per logical page: scheme/host case, default port, tracking
+# params + unsorted query, sorted query, fragment, clean.
+_MESSY_URLS_SQL = """
+SELECT doc_id,
+       CASE CAST(doc_id % 6 AS INTEGER)
+            WHEN 0 THEN 'HTTP://' || upper(source) || '.EXAMPLE.COM/p'
+                 || CAST(doc_id % 50 AS {STR})
+            WHEN 1 THEN 'http://' || source || '.example.com:80/p'
+                 || CAST(doc_id % 50 AS {STR})
+            WHEN 2 THEN 'http://' || source || '.example.com/p'
+                 || CAST(doc_id % 50 AS {STR}) || '?utm_source=x&b=2&a=1'
+            WHEN 3 THEN 'http://' || source || '.example.com/p'
+                 || CAST(doc_id % 50 AS {STR}) || '?a=1&b=2'
+            WHEN 4 THEN 'http://' || source || '.example.com/p'
+                 || CAST(doc_id % 50 AS {STR}) || '#frag'
+            ELSE 'http://' || source || '.example.com/p'
+                 || CAST(doc_id % 50 AS {STR})
+       END AS url
+FROM documents
+"""
+
+
+def _url_canon_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .urlnorm import canonical_url
+
+    _load(spark, sf_dir, "documents")
+    urls = spark.sql(_MESSY_URLS_SQL.replace("{STR}", "STRING"))
+    return (
+        urls.withColumn("canonical", canonical_url("url"))
+        .groupBy("canonical")
+        .agg(
+            F.count("*").alias("n_variants"),
+            F.min("url").alias("first_url"),
+        )
+        .orderBy("canonical")
+    )
+
+
+# Closed-form oracle: variants 0,1,4,5 canonicalize to the bare URL;
+# 2,3 to '?a=1&b=2'. Counting/min re-derived from the same id arithmetic.
+_URL_CANON_ORACLE = f"""
+WITH messy AS ({_MESSY_URLS_SQL}),
+canon AS (
+    SELECT m.url,
+           CASE WHEN CAST(doc_id % 6 AS INTEGER) IN (2, 3)
+                THEN 'http://' || source || '.example.com/p'
+                     || CAST(doc_id % 50 AS VARCHAR) || '?a=1&b=2'
+                ELSE 'http://' || source || '.example.com/p'
+                     || CAST(doc_id % 50 AS VARCHAR)
+           END AS canonical
+    FROM messy m JOIN documents USING (doc_id)
+)
+SELECT canonical,
+       COUNT(*) AS n_variants,
+       MIN(url) AS first_url
+FROM canon
+GROUP BY canonical
+ORDER BY canonical
+""".replace("{STR}", "VARCHAR")
+
+_register(
+    "url_canonical_dedup",
+    QueryDef(
+        build=_url_canon_build,
+        oracle=_URL_CANON_ORACLE,
+        doc=(
+            "URL canonicalization (case, default port, tracking params, "
+            "query sort, fragment) + first-wins collapse vs closed form"
+        ),
+    ),
+)
