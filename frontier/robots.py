@@ -317,9 +317,16 @@ def fetch_plan_budgeted(
     Same two-level salted top-k as :func:`frontier.schedule.fetch_plan`,
     but the per-host ``k`` comes from ``budgets`` (host, fetch_budget) —
     typically :func:`host_budgets_from_delay` output — with
-    ``default_budget`` for unlisted hosts.  The salt pre-filter uses the
-    host's own budget as the per-bucket cap, so the two-level result stays
-    identical to the unsalted plan.
+    ``default_budget`` for unlisted hosts.
+
+    Contract: ``default_budget`` is the crawl-wide politeness CAP — every
+    per-host budget must be ≤ it (``host_budgets_from_delay`` guarantees
+    this; Crawl-delay can only reduce a host's budget).  That contract is
+    what keeps the plan cheap: both rank windows pre-filter at
+    ``default_budget``, so the 10¹⁰-row URL side is reduced to at most
+    ``default_budget`` rows per host BEFORE the budgets table is joined —
+    the join touches ≤ hosts × default_budget rows, never the full corpus,
+    and the salted result stays identical to the unsalted plan.
     """
     from frontier.schedule import with_canonical_host
 
@@ -329,16 +336,6 @@ def fetch_plan_budgeted(
         F.col(url_col),
     )
     df = with_canonical_host(pages, url_col)
-    budget_side = budgets.select(
-        F.col("host").alias("_budget_host"),
-        F.col("fetch_budget").alias("_fetch_budget"),
-    )
-    df = df.join(
-        budget_side, df["canonical_host"] == budget_side["_budget_host"], "left"
-    ).drop("_budget_host")
-    df = df.withColumn(
-        "_fetch_budget", F.coalesce(F.col("_fetch_budget"), F.lit(default_budget))
-    )
 
     if salt_buckets > 0:
         df = df.withColumn(
@@ -349,17 +346,34 @@ def fetch_plan_budgeted(
         )
         df = (
             df.withColumn("_bucket_rank", bucket_rank)
-            .filter(F.col("_bucket_rank") <= F.col("_fetch_budget"))
+            .filter(F.col("_bucket_rank") <= F.lit(default_budget))
             .drop("_salt", "_bucket_rank")
         )
 
     rank = F.row_number().over(
         Window.partitionBy("canonical_host").orderBy(*ordered)
     )
+    ranked = df.withColumn("fetch_rank", rank).filter(
+        F.col("fetch_rank") <= F.lit(default_budget)
+    )
+
+    budget_side = budgets.select(
+        F.col("host").alias("_budget_host"),
+        F.col("fetch_budget").alias("_fetch_budget"),
+    )
     return (
-        df.withColumn("fetch_rank", rank)
-        .filter(F.col("fetch_rank") <= F.col("_fetch_budget"))
-        .withColumnRenamed("_fetch_budget", "fetch_budget")
+        ranked.join(
+            budget_side,
+            ranked["canonical_host"] == budget_side["_budget_host"],
+            "left",
+        )
+        .drop("_budget_host")
+        .withColumn(
+            "fetch_budget",
+            F.coalesce(F.col("_fetch_budget"), F.lit(default_budget)),
+        )
+        .drop("_fetch_budget")
+        .filter(F.col("fetch_rank") <= F.col("fetch_budget"))
     )
 
 
