@@ -136,8 +136,8 @@ def seeds_from_pages(pages: DataFrame, url_col: str = "url") -> DataFrame:
     it like on any other seed frame).  The distinct is a partial-aggregated
     groupBy on a short string; the corpus rows themselves are never moved.
     """
-    scheme = F.lower(F.parse_url(F.col(url_col), F.lit("PROTOCOL")))
-    host = F.lower(F.parse_url(F.col(url_col), F.lit("HOST")))
+    scheme = F.lower(F.try_parse_url(F.col(url_col), F.lit("PROTOCOL")))
+    host = F.lower(F.try_parse_url(F.col(url_col), F.lit("HOST")))
     return (
         pages.select(
             F.concat(scheme, F.lit("://"), host, F.lit("/")).alias("seed")

@@ -204,13 +204,16 @@ def parse_robots_rules(
 
 
 def _match_path(url_col: Column) -> Column:
-    """RFC 9309 match target: path plus '?query' when present; '' → '/'."""
-    path = F.coalesce(F.parse_url(url_col, F.lit("PATH")), F.lit(""))
-    query = F.parse_url(url_col, F.lit("QUERY"))
-    path = F.when(path == "", F.lit("/")).otherwise(path)
-    return F.when(query.isNull(), path).otherwise(
-        F.concat(path, F.lit("?"), query)
-    )
+    """RFC 9309 match target: raw path+query octets, '' → '/'.
+
+    Regex-extracted, NOT URL-parsed: rule matching is defined on the
+    request target as-received, and Spark 4's ``parse_url`` throws on (and
+    ``try_parse_url`` silently NULLs out) malformed percent-escapes — a
+    malformed URL must still be matched against the rules byte-for-byte,
+    not waved through (fuzz-caught: ``/3c%22%`` bypassed a Disallow)."""
+    from frontier.urlnorm import pathquery_expr
+
+    return pathquery_expr(url_col)
 
 
 def robots_filter(
@@ -242,9 +245,9 @@ def robots_filter(
     if broadcast_rules:
         rules_side = F.broadcast(rules_side)
 
-    with_host = urls.withColumn(
-        "_robots_join_host", F.lower(F.parse_url(F.col(url_col), F.lit("HOST")))
-    )
+    from frontier.urlnorm import host_expr
+
+    with_host = urls.withColumn("_robots_join_host", host_expr(url_col))
     joined = with_host.join(
         rules_side,
         with_host["_robots_join_host"] == rules_side["_robots_host"],
@@ -400,7 +403,7 @@ def robots_rules_from_store(
     col = "seed" if "seed" in seeds.columns else seeds.columns[0]
     robots_urls = seeds.select(
         F.concat(F.col(col), F.lit("robots.txt")).alias("url"),
-        F.lower(F.parse_url(F.col(col), F.lit("HOST"))).alias("host"),
+        F.lower(F.try_parse_url(F.col(col), F.lit("HOST"))).alias("host"),
     )
     rows = (
         fetches.join(F.broadcast(robots_urls), "url")

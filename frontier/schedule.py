@@ -18,7 +18,7 @@ from pyspark.sql.window import Window
 def with_canonical_host(df: DataFrame, url_col: str = "page_url") -> DataFrame:
     """Lower-cased hostname as the politeness partition key (D2 analogue)."""
     return df.withColumn(
-        "canonical_host", F.lower(F.parse_url(F.col(url_col), F.lit("HOST")))
+        "canonical_host", F.lower(F.try_parse_url(F.col(url_col), F.lit("HOST")))
     )
 
 

@@ -307,7 +307,7 @@ def stream_first_seen(
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     with_host = fetches.withColumn(
-        "host", F.parse_url(F.col("url"), F.lit("HOST"))
+        "host", F.try_parse_url(F.col("url"), F.lit("HOST"))
     )
     # "update" mode: each emitted row is final (a first occurrence is never
     # revised), and append-mode FlatMapGroupsWithState buffers group output

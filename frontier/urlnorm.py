@@ -35,6 +35,33 @@ _SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://"
 _HOSTPORT_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)"
 _PATH_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)"
 _QUERY_RE = r"\?([^#]*)"
+#: raw path + query (no fragment) — the RFC 9309 robots match target
+_PATHQUERY_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^#]*)"
+
+
+def host_expr(url: Column | str) -> Column:
+    """Lowercased hostname extracted by regex — NEVER throws, unlike
+    ``parse_url`` (Spark 4 raises INVALID_URL on malformed percent-escapes,
+    which a 10¹⁰-row web corpus is guaranteed to contain).  Drops userinfo
+    and port; unwraps bracketed IPv6.  Empty → NULL."""
+    url = F.col(url) if isinstance(url, str) else url
+    hostport = F.regexp_extract(url, _HOSTPORT_RE, 1)
+    hostport = F.regexp_replace(hostport, r"^.*@", "")  # userinfo
+    host = F.when(
+        hostport.startswith("["),
+        F.regexp_extract(hostport, r"^\[([^\]]*)\]", 1),
+    ).otherwise(F.regexp_replace(hostport, r":[0-9]*$", ""))
+    host = F.lower(host)
+    return F.when(host == "", F.lit(None)).otherwise(host)
+
+
+def pathquery_expr(url: Column | str) -> Column:
+    """Raw path+query octets (fragment stripped), ``'' → '/'`` — the RFC
+    9309 match target, extracted by regex so malformed URLs match exactly
+    like the scalar engine instead of erroring or silently passing."""
+    url = F.col(url) if isinstance(url, str) else url
+    pq = F.regexp_extract(url, _PATHQUERY_RE, 1)
+    return F.when(pq == "", F.lit("/")).otherwise(pq)
 
 
 def canonical_url(url: Column | str) -> Column:
