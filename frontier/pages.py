@@ -136,13 +136,13 @@ def seeds_from_pages(pages: DataFrame, url_col: str = "url") -> DataFrame:
     it like on any other seed frame).  The distinct is a partial-aggregated
     groupBy on a short string; the corpus rows themselves are never moved.
     """
-    scheme = F.lower(F.try_parse_url(F.col(url_col), F.lit("PROTOCOL")))
-    host = F.lower(F.try_parse_url(F.col(url_col), F.lit("HOST")))
+    from frontier.urlnorm import _SCHEME_RE, host_expr
+
+    scheme = F.lower(F.regexp_extract(F.col(url_col), _SCHEME_RE, 1))
     return (
-        pages.select(
-            F.concat(scheme, F.lit("://"), host, F.lit("/")).alias("seed")
-        )
-        .filter(F.col("seed").isNotNull())
+        pages.select(scheme.alias("_s"), host_expr(url_col).alias("_h"))
+        .filter((F.col("_s") != "") & F.col("_h").isNotNull())
+        .select(F.concat("_s", F.lit("://"), "_h", F.lit("/")).alias("seed"))
         .distinct()
     )
 

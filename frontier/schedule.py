@@ -16,10 +16,15 @@ from pyspark.sql.window import Window
 
 
 def with_canonical_host(df: DataFrame, url_col: str = "page_url") -> DataFrame:
-    """Lower-cased hostname as the politeness partition key (D2 analogue)."""
-    return df.withColumn(
-        "canonical_host", F.lower(F.try_parse_url(F.col(url_col), F.lit("HOST")))
-    )
+    """Lower-cased hostname as the politeness partition key (D2 analogue).
+
+    Regex-extracted (:func:`frontier.urlnorm.host_expr`) — never throws on
+    the malformed URLs a web corpus contains, and agrees with the robots
+    engine's host derivation so rules, budgets and the plan all key on the
+    same string."""
+    from frontier.urlnorm import host_expr
+
+    return df.withColumn("canonical_host", host_expr(url_col))
 
 
 def fetch_plan(

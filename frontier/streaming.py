@@ -306,9 +306,9 @@ def stream_first_seen(
 
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    with_host = fetches.withColumn(
-        "host", F.try_parse_url(F.col("url"), F.lit("HOST"))
-    )
+    from frontier.urlnorm import host_expr
+
+    with_host = fetches.withColumn("host", host_expr("url"))
     # "update" mode: each emitted row is final (a first occurrence is never
     # revised), and append-mode FlatMapGroupsWithState buffers group output
     # against the (absent) event-time watermark — measured to wedge an
