@@ -1605,3 +1605,119 @@ _register(
         ),
     ),
 )
+
+
+# =============================================================================
+# G. LLM-pipeline text hygiene: PII scrubbing + intra-document repetition.
+# =============================================================================
+
+# PII scrub: deterministic PII (email/phone/IPv4) is injected around the
+# document text, then the GENERIC scrub pipeline runs — placeholder
+# substitution + per-kind counts. The base text is letters/spaces only, so
+# injected spans are the exact expected matches.
+_PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_PHONE_RE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+_PII_IP_RE = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+_PII_DOC_SQL = """
+SELECT doc_id,
+       text || ' mail u' || CAST(doc_id AS {STR}) || '@m'
+            || CAST(doc_id % 7 AS {STR}) || '.example.com'
+            || CASE WHEN doc_id % 3 = 0
+                    THEN ' cc admin@corp' || CAST(doc_id % 5 AS {STR}) || '.org'
+                    ELSE '' END
+            || ' tel 555-01' || CAST(doc_id % 10 AS {STR}) || '-'
+            || CAST(1000 + doc_id % 9000 AS {STR})
+            || ' host ' || CAST(doc_id % 256 AS {STR}) || '.'
+            || CAST((doc_id * 7) % 256 AS {STR}) || '.0.'
+            || CAST((doc_id * 13) % 256 AS {STR})
+            AS raw
+FROM documents
+"""
+
+
+def _pii_sql(count_email: str, count_phone: str, count_ip: str,
+             docs: str) -> str:
+    return f"""
+WITH docs AS ({docs})
+SELECT doc_id,
+       regexp_replace(
+           regexp_replace(
+               regexp_replace(raw, '{_PII_EMAIL_RE}', '<EMAIL>'{{G}}),
+               '{_PII_PHONE_RE}', '<PHONE>'{{G}}),
+           '{_PII_IP_RE}', '<IP>'{{G}}) AS scrubbed,
+       CAST({count_email} AS BIGINT) AS n_emails,
+       CAST({count_phone} AS BIGINT) AS n_phones,
+       CAST({count_ip} AS BIGINT) AS n_ips
+FROM docs
+ORDER BY doc_id
+"""
+
+
+def _spark_rx(rx: str) -> str:
+    """Spark SQL string literals escape-process backslashes ('\\.' collapses
+    to '.', '\\b' to backspace) — double them so the REGEX reaches the
+    engine intact; DuckDB standard literals keep backslashes as-is."""
+    return rx.replace("\\", "\\\\")
+
+
+_PII_SPARK_SQL = _pii_sql(
+    f"regexp_count(raw, '{_PII_EMAIL_RE}')",
+    f"regexp_count(raw, '{_PII_PHONE_RE}')",
+    f"regexp_count(raw, '{_PII_IP_RE}')",
+    _PII_DOC_SQL.replace("{STR}", "STRING"),
+).replace("{G}", "")
+for _rx in (_PII_EMAIL_RE, _PII_PHONE_RE, _PII_IP_RE):
+    _PII_SPARK_SQL = _PII_SPARK_SQL.replace(f"'{_rx}'", f"'{_spark_rx(_rx)}'")
+
+_register(
+    "text_pii_scrub",
+    _sql_query(
+        _PII_SPARK_SQL,
+        ("documents",),
+        "PII scrubbing: email/phone/IPv4 placeholder substitution + counts "
+        "(pure codegen regexp chain — the standard pre-training hygiene op)",
+        oracle=_pii_sql(
+            f"len(regexp_extract_all(raw, '{_PII_EMAIL_RE}'))",
+            f"len(regexp_extract_all(raw, '{_PII_PHONE_RE}'))",
+            f"len(regexp_extract_all(raw, '{_PII_IP_RE}'))",
+            _PII_DOC_SQL.replace("{STR}", "VARCHAR"),
+        ).replace("{G}", ", 'g'"),
+    ),
+)
+
+# Intra-document repetition: fraction of repeated 3-word shingles —
+# the boilerplate/spam signal of LLM quality filtering. Pure higher-order
+# array expressions; the ratio is an exact IEEE division of two ints.
+def _repetition_sql(words_expr: str, shingles_expr: str, size_fn: str,
+                    distinct_fn: str) -> str:
+    return f"""
+WITH toks AS (
+    SELECT doc_id, {words_expr} AS words FROM documents
+),
+sh AS (
+    SELECT doc_id, {shingles_expr} AS shingles FROM toks
+)
+SELECT doc_id,
+       CAST({size_fn}(shingles) AS BIGINT) AS n_shingles,
+       CAST({size_fn}({distinct_fn}(shingles)) AS BIGINT) AS n_distinct,
+       CASE WHEN {size_fn}(shingles) > 0
+            THEN 1.0 - CAST({size_fn}({distinct_fn}(shingles)) AS DOUBLE)
+                 / {size_fn}(shingles)
+            ELSE CAST(0.0 AS DOUBLE) END AS repetition
+FROM sh
+ORDER BY doc_id
+"""
+
+
+_register(
+    "text_repetition_score",
+    _sql_query(
+        _repetition_sql(_SPARK_WORDS, _SPARK_SHINGLES, "size", "array_distinct"),
+        ("documents",),
+        "intra-doc repeated-shingle fraction (boilerplate/spam signal)",
+        oracle=_repetition_sql(
+            _DUCK_WORDS, _DUCK_SHINGLES, "len", "list_distinct"
+        ),
+    ),
+)
