@@ -192,11 +192,15 @@ def make_unseen_filter(
     from pyspark.sql.types import BooleanType, StructField, StructType
 
     if n_shards is not None:
-        # materialize the shard bitmaps once; every application cogroups
-        # against this checkpointed table instead of rebuilding it
+        # cache the shard bitmaps: built once on first application, reused
+        # by every later one. persist (not localCheckpoint) keeps lineage,
+        # so a lost executor recomputes its shards instead of failing the
+        # query, and a one-shot caller pays nothing until consumption.
+        from pyspark import StorageLevel
+
         shards = build_bloom_shards(
             seen, url_col, expected_urls, fpp, n_shards, salt
-        ).localCheckpoint(eager=True)
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         sm_bits, sk = _bloom_params(max(1, expected_urls // n_shards), fpp)
         bloom_bc = None
     else:
@@ -299,6 +303,8 @@ class UrlSeenSet:
         self.fpp = fpp
 
     def _seen_table(self) -> DataFrame | None:
+        if not os.path.exists(self.path.rstrip("/")):
+            self._recover()  # a crashed compaction may hold the live copy
         try:
             return self.spark.read.parquet(self.path)
         except Exception:
@@ -347,20 +353,41 @@ class UrlSeenSet:
             .parquet(self.path)
         )
 
+    def _recover(self) -> None:
+        """Finish a compaction that crashed between its two renames.
+
+        Invariant: outside the rename window the live table is at ``path``.
+        A crash between rename(base→trash) and rename(tmp→base) leaves NO
+        base but a ``__trash-*`` sibling holding the complete old table —
+        restoring it loses nothing (the crashed compaction's ``__compact-*``
+        snapshot holds the same distinct URL set)."""
+        base = self.path.rstrip("/")
+        if os.path.exists(base):
+            return
+        parent, name = os.path.split(base)
+        trash = sorted(
+            entry
+            for entry in (os.listdir(parent) if os.path.isdir(parent) else [])
+            if entry.startswith(name + "__trash-")
+        )
+        if trash:
+            os.rename(os.path.join(parent, trash[0]), base)
+
     def compact(self) -> None:
         """Rewrite the table as a single distinct snapshot (periodic
         compaction per the north rule).
 
         Crash-safe on a rename-atomic filesystem: the snapshot is written
         to a temp sibling, the live table is swapped out via two renames
-        (old → trash, tmp → live), and the trash + any leftover temp dirs
-        from earlier crashed compactions are removed last. A crash between
-        the renames leaves either the old or the new table readable at
-        ``self.path`` — never a half-overwritten mix (the previous
-        implementation overwrote the live path in place and left the temp
-        dir behind). On object stores without atomic rename, compact into
+        (old → trash, tmp → live), and the trash + leftover temp dirs are
+        removed last. A crash between the renames leaves no live dir but a
+        complete ``__trash-*`` copy; :meth:`_recover` (run at the start of
+        every compact and ``_seen_table`` read) renames it back, so the
+        table is never lost and the sweep below can only run when a live
+        base exists. On object stores without atomic rename, compact into
         an Iceberg/Delta table instead — this class models that dedup
         table locally."""
+        self._recover()
         seen = self._seen_table()
         if seen is None:
             return
@@ -374,7 +401,8 @@ class UrlSeenSet:
         os.rename(base, trash)
         os.rename(tmp, base)
         shutil.rmtree(trash, ignore_errors=True)
-        # sweep leftovers of compactions that crashed before their cleanup
+        # sweep leftovers of compactions that crashed before their cleanup —
+        # safe because _recover() guaranteed the live base exists
         parent, name = os.path.split(base)
         for entry in os.listdir(parent or "."):
             if entry.startswith(name + "__compact-") or entry.startswith(

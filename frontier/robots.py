@@ -131,7 +131,11 @@ def parse_robots_body(body: str, user_agent: str = DEFAULT_USER_AGENT):
                 current = {"agents": [], "rules": [], "delay": None}
                 groups.append(current)
                 agents_open = True
-            current["agents"].append(value.lower())
+            # an empty agent value matches nothing — '' is a substring of
+            # every product token, so keeping it would hijack group
+            # selection from the '*' group (review-caught)
+            if value:
+                current["agents"].append(value.lower())
             continue
         agents_open = False
         if current is None:
@@ -183,23 +187,29 @@ def parse_robots_rules(
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
-            hosts, delays, rule_lists = [], [], []
-            for host, body in zip(batch[host_col], batch[body_col]):
-                delay, rules = parse_robots_body(body or "", user_agent)
-                hosts.append(host)
-                delays.append(delay)
-                rule_lists.append(
-                    [
-                        {"pattern": p, "rx": rx, "plen": plen, "allow": allow}
-                        for (p, rx, plen, allow) in rules
-                    ]
-                )
-            yield pd.DataFrame(
-                {"host": hosts, "crawl_delay": delays, "rules": rule_lists}
-            )
+            yield _rules_frame(batch[host_col], batch[body_col], user_agent)
 
     return robots.select(host_col, body_col).mapInPandas(
         kernel, ROBOTS_RULES_SCHEMA
+    )
+
+
+def _rules_frame(hosts, bodies, user_agent: str) -> pd.DataFrame:
+    """One batch of (host, body-text) → a :data:`ROBOTS_RULES_SCHEMA` frame
+    — the single packing implementation both rule kernels share."""
+    out_hosts, delays, rule_lists = [], [], []
+    for host, body in zip(hosts, bodies):
+        delay, rules = parse_robots_body(body or "", user_agent)
+        out_hosts.append(host)
+        delays.append(delay)
+        rule_lists.append(
+            [
+                {"pattern": p, "rx": rx, "plen": plen, "allow": allow}
+                for (p, rx, plen, allow) in rules
+            ]
+        )
+    return pd.DataFrame(
+        {"host": out_hosts, "crawl_delay": delays, "rules": rule_lists}
     )
 
 
@@ -399,11 +409,12 @@ def robots_rules_from_store(
     allowed-by-absence downstream (RFC 9309 §2.3.1).
     """
     from frontier.textnorm import decode_sitemap_body
+    from frontier.urlnorm import host_expr
 
     col = "seed" if "seed" in seeds.columns else seeds.columns[0]
     robots_urls = seeds.select(
         F.concat(F.col(col), F.lit("robots.txt")).alias("url"),
-        F.lower(F.try_parse_url(F.col(col), F.lit("HOST"))).alias("host"),
+        host_expr(F.col(col)).alias("host"),
     )
     rows = (
         fetches.join(F.broadcast(robots_urls), "url")
@@ -414,23 +425,13 @@ def robots_rules_from_store(
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
-            hosts, delays, rule_lists = [], [], []
-            for host, url, ctype, body in zip(
-                batch["host"], batch["url"], batch["content_type"], batch["body"]
-            ):
-                text = decode_sitemap_body(url, ctype, bytes(body or b""))
-                delay, rules = parse_robots_body(text, user_agent)
-                hosts.append(host)
-                delays.append(delay)
-                rule_lists.append(
-                    [
-                        {"pattern": p, "rx": rx, "plen": plen, "allow": allow}
-                        for (p, rx, plen, allow) in rules
-                    ]
+            texts = [
+                decode_sitemap_body(url, ctype, bytes(body or b""))
+                for url, ctype, body in zip(
+                    batch["url"], batch["content_type"], batch["body"]
                 )
-            yield pd.DataFrame(
-                {"host": hosts, "crawl_delay": delays, "rules": rule_lists}
-            )
+            ]
+            yield _rules_frame(batch["host"], texts, user_agent)
 
     return rows.mapInPandas(kernel, ROBOTS_RULES_SCHEMA)
 

@@ -253,9 +253,11 @@ def stream_first_seen(
         if state.exists:
             bloom = np.frombuffer(state.get[0], dtype=np.uint8).copy()
             n_inserted = int(state.get[1])
+            bloom_changed = False
         else:
             bloom = np.zeros(n_bytes, dtype=np.uint8)
             n_inserted = 0
+            bloom_changed = True  # first sight of the host: write state
         out = []
         for pdf in pdf_iter:
             if not len(pdf):
@@ -285,6 +287,7 @@ def stream_first_seen(
                 )
             n_inserted += int(is_new.sum())
             if is_new.any():
+                bloom_changed = True
                 sel = pdf.loc[is_new, ["url", "fetch_ts"]]
                 out.append(
                     pd.DataFrame(
@@ -295,7 +298,11 @@ def stream_first_seen(
                         }
                     )
                 )
-        state.update((bloom.tobytes(), n_inserted))
+        # write state only when it actually changed: an all-repeats batch
+        # (the steady state of a long-running dedup) otherwise re-serializes
+        # the full bitmap per touched host per micro-batch for nothing
+        if bloom_changed:
+            state.update((bloom.tobytes(), n_inserted))
         if state_timeout_ms is not None:
             state.setTimeoutDuration(state_timeout_ms)
         yield (

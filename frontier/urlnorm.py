@@ -65,7 +65,11 @@ def pathquery_expr(url: Column | str) -> Column:
 
 
 def canonical_url(url: Column | str) -> Column:
-    """Canonical spelling of ``url`` per the module contract (codegen-only)."""
+    """Canonical spelling of ``url`` per the module contract (codegen-only).
+
+    URLs without a ``scheme://host`` shape pass through UNCHANGED — mapping
+    every unparseable string to one key would silently merge distinct rows
+    in a canonical-keyed dedup (review-caught)."""
     url = F.col(url) if isinstance(url, str) else url
     scheme = F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
     hostport = F.lower(F.regexp_extract(url, _HOSTPORT_RE, 1))
@@ -77,9 +81,12 @@ def canonical_url(url: Column | str) -> Column:
         .when(scheme == "https", F.regexp_replace(hostport, ":443$", ""))
         .otherwise(hostport)
     )
-    path = F.regexp_extract(url, _PATH_RE, 1)
+    # fragment is stripped FIRST: a '?' inside the fragment is not a query
+    # (review-caught: '#sec?x=1' must not resurrect as '?x=1')
+    pathquery = F.regexp_extract(url, _PATHQUERY_RE, 1)
+    path = F.regexp_extract(pathquery, r"^([^?]*)", 1)
     path = F.when(path == "", F.lit("/")).otherwise(path)
-    query = F.regexp_extract(url, _QUERY_RE, 1)
+    query = F.regexp_extract(pathquery, r"\?(.*)$", 1)
     kept = F.array_sort(
         F.filter(
             F.split(query, "&"),
@@ -89,4 +96,5 @@ def canonical_url(url: Column | str) -> Column:
     query_part = F.when(
         F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
     ).otherwise(F.lit(""))
-    return F.concat(scheme, F.lit("://"), host, path, query_part)
+    canonical = F.concat(scheme, F.lit("://"), host, path, query_part)
+    return F.when((scheme == "") | (hostport == ""), url).otherwise(canonical)

@@ -853,20 +853,20 @@ def seed_frame_from_dataframe(
 
     Input: a DataFrame with a ``seed`` column (or exactly one column).
     """
+    from frontier.urlnorm import _HOSTPORT_RE, _SCHEME_RE, host_expr
+
     col = "seed" if "seed" in seeds.columns else seeds.columns[0]
     url = F.col(col)
-    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
-    netloc = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", 1)
-    hostport = F.regexp_replace(netloc, r"^.*@", "")  # drop userinfo
-    hostname = F.when(
-        hostport.startswith("["),
-        F.regexp_extract(hostport, r"^\[([^\]]*)\]", 1),  # bracketed IPv6
-    ).otherwise(F.regexp_replace(hostport, r":[0-9]*$", ""))  # drop port
+    scheme = F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
+    # netloc keeps case/port/userinfo for the seed string itself (D2:
+    # netloc case preserved); only the VALIDITY test uses the shared
+    # never-throwing hostname extraction (frontier.urlnorm.host_expr)
+    netloc = F.regexp_extract(url, _HOSTPORT_RE, 1)
     valid = (
         url.isNotNull()
         & url.rlike(r"(?i)^https?://[^\s/$.?#].[^\s]*$")
         & scheme.isin("http", "https")
-        & (F.length(hostname) > 0)
+        & host_expr(url).isNotNull()
     )
     if normalize_homepage_url:
         normalized = F.concat(scheme, F.lit("://"), netloc, F.lit("/"))

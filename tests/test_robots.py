@@ -365,3 +365,14 @@ def test_crawl_fetch_plan_end_to_end(spark):
         "/p0_", "/p0_1"
     ]
     plan.unpersist()
+
+
+def test_empty_user_agent_value_matches_nothing():
+    """Review-caught: '' is a substring of every token; an empty
+    'User-agent:' line must not hijack selection from the '*' group."""
+    body = (
+        "User-agent:\nAllow: /\n\n"
+        "User-agent: *\nDisallow: /private/\n"
+    )
+    _, rules = parse_robots_body(body, "frontierbot/1.0")
+    assert [(p, a) for (p, _, _, a) in rules] == [("/private/", False)]

@@ -110,3 +110,33 @@ def test_new_seeds_crawl_fully_after_rounds(spark, tmp_path):
     # union of both rounds' seen tables covers all three hosts' sitemaps
     assert spark.read.parquet(str(tmp_path / "seen")).distinct().count() == 3 * 3
     f1.unpersist(), f2.unpersist()
+
+
+def test_compact_crash_recovery(spark, tmp_path):
+    """Review-caught: a crash between compact()'s two renames leaves no
+    live dir but a complete __trash-* copy; the next read/compact must
+    restore it instead of treating the seen set as empty (and the leftover
+    sweep must never delete the only surviving copy)."""
+    import os
+
+    base = str(tmp_path / "seen")
+    seen = UrlSeenSet(spark, base, expected_urls=1024)
+    seen.record_seen(
+        spark.createDataFrame([(f"http://s.com/p{i}",) for i in range(10)],
+                              "url string")
+    )
+    # simulate the crash window: base renamed to trash, tmp snapshot left
+    os.rename(base, base + "__trash-deadbeef")
+    os.makedirs(base + "__compact-cafebabe")
+
+    # a plain read recovers the table
+    assert seen._seen_table().count() == 10
+    assert os.path.exists(base)
+
+    # and a full compact afterwards sweeps the leftovers, keeps the data
+    os.rename(base, base + "__trash-deadbee2")
+    seen.compact()
+    assert spark.read.parquet(base).count() == 10
+    leftovers = [e for e in os.listdir(str(tmp_path))
+                 if "__trash-" in e or "__compact-" in e]
+    assert leftovers == []

@@ -62,3 +62,22 @@ def test_canonical_url_plan_is_pure_projection(spark):
     )
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+REVIEW_CASES = [
+    # review-caught: '?' inside the fragment is not a query
+    ("http://example.com/p#sec?x=1", "http://example.com/p"),
+    ("http://example.com/p?a=1#sec?x=9", "http://example.com/p?a=1"),
+    # review-caught: unparseable URLs pass through unchanged (no ':///'
+    # collapse that would merge distinct rows in canonical-keyed dedup)
+    ("example.com/page1", "example.com/page1"),
+    ("example.com/page2", "example.com/page2"),
+    ("not a url", "not a url"),
+    ("http://", "http://"),
+]
+
+
+def test_canonical_url_review_regressions(spark):
+    df = spark.createDataFrame([(u,) for u, _ in REVIEW_CASES], "url string")
+    got = [r["c"] for r in df.select(canonical_url("url").alias("c")).collect()]
+    assert got == [want for _, want in REVIEW_CASES]
