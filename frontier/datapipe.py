@@ -1721,3 +1721,80 @@ _register(
         ),
     ),
 )
+
+
+# =============================================================================
+# H. Training-set assembly: deterministic stratified sampling + sequence
+# packing (context-window binning) — the last mile of an LLM data pipeline.
+# =============================================================================
+
+# Stratified sample with NO rand(): the keep decision is a pure function of
+# a stable row hash, so the sample is reproducible across engines, retries
+# and cluster sizes (rand()-based sampleBy is none of those). Per-lang
+# rates: en 50%, de 25%, fr 25%, es 10% of 256 hash buckets.
+_SAMPLE_SQL = """
+SELECT doc_id, lang, n_chars
+FROM (
+    SELECT doc_id, lang, n_chars,
+           CAST({BUCKET} AS INTEGER) AS bucket
+    FROM documents
+) h
+WHERE bucket < CASE lang
+    WHEN 'en' THEN 128 WHEN 'de' THEN 64 WHEN 'fr' THEN 64 ELSE 26 END
+ORDER BY doc_id
+"""
+# same md5-derived bucket on both engines: first 4 hex chars -> int % 256
+_BUCKET_SPARK = "conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) % 256"
+_BUCKET_DUCK = (
+    "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER % 256"
+)
+_register(
+    "sample_stratified_deterministic",
+    _sql_query(
+        _SAMPLE_SQL.replace("{BUCKET}", _BUCKET_SPARK),
+        ("documents",),
+        "reproducible per-lang downsampling via stable hash buckets "
+        "(no rand(): identical across engines, retries, cluster sizes)",
+        oracle=_SAMPLE_SQL.replace("{BUCKET}", _BUCKET_DUCK),
+    ),
+)
+
+# Sequence packing: greedy in-order binning of documents into ~512-token
+# context windows per lang — one window-cumsum per shard, no shuffle beyond
+# the partition key, the standard pre-training batch-assembly step. The
+# running sum EXCLUDES the current doc, so a doc lands in the bin that was
+# open when it arrived (docs longer than the budget occupy their own bins).
+_PACK_SQL = """
+WITH toks AS (
+    SELECT doc_id, lang,
+           CAST({size_fn}({words_expr}) AS BIGINT) AS n_tokens
+    FROM documents
+),
+packed AS (
+    SELECT doc_id, lang, n_tokens,
+           COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS tokens_before
+    FROM toks
+)
+SELECT doc_id, lang, n_tokens,
+       CAST(FLOOR(tokens_before / 512.0) AS BIGINT) AS pack_bin,
+       CAST(tokens_before AS BIGINT) AS tokens_before
+FROM packed
+ORDER BY lang, doc_id
+"""
+_register(
+    "pack_context_windows",
+    _sql_query(
+        _PACK_SQL.replace("{size_fn}", "size").replace(
+            "{words_expr}", _SPARK_WORDS
+        ),
+        ("documents",),
+        "sequence packing: in-order token-budget binning per lang via one "
+        "window running-sum (pre-training batch assembly)",
+        oracle=_PACK_SQL.replace("{size_fn}", "len").replace(
+            "{words_expr}", _DUCK_WORDS
+        ),
+    ),
+)
