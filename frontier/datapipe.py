@@ -1798,3 +1798,133 @@ _register(
         ),
     ),
 )
+
+
+# Benchmark decontamination: flag training docs sharing any word 5-gram with
+# a held-out eval set (the GPT-3/PaLM n-gram-overlap recipe, 5-gram here to
+# fit the synthetic docs). Eval set = doc_id % 29 == 0, deterministic.
+# Scale shape: grams are md5'd map-side; the eval side is tiny (distinct
+# eval grams) and broadcast-joins against the train grams — never an
+# all-pairs doc comparison, never a shuffle of document text.
+_DECON_EVAL_MOD = 29
+
+_SPARK_GRAMS5 = (
+    "CASE WHEN size(words) >= 5 THEN "
+    "transform(sequence(1, size(words) - 4), "
+    "i -> md5(concat_ws(' ', slice(words, i, 5)))) "
+    "ELSE array() END"
+)
+_DUCK_GRAMS5 = (
+    "CASE WHEN len(words) >= 5 THEN "
+    "list_transform(range(1, len(words) - 3), "
+    "i -> md5(array_to_string(words[i:i+4], ' '))) "
+    "ELSE [] END"
+)
+
+_DECON_FINAL = f"""
+SELECT g.doc_id,
+       COUNT(DISTINCT g.gram) AS n_contaminated_grams
+FROM grams g JOIN eval_grams e ON g.gram = e.gram
+WHERE g.doc_id % {_DECON_EVAL_MOD} <> 0
+GROUP BY g.doc_id
+ORDER BY doc_id
+"""
+
+_DECON_HANDLES: dict[str, DataFrame] = {}
+
+
+def _decontam_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persist the exploded gram table once (a CTE would re-run the
+    md5-transform pipeline for the eval and train sides separately),
+    then broadcast the small distinct-eval-gram side into the probe."""
+    for h in _DECON_HANDLES.values():
+        h.unpersist()
+    _DECON_HANDLES.clear()
+    _load(spark, sf_dir, "documents")
+    grams = spark.sql(f"""
+        SELECT doc_id, g.gram AS gram
+        FROM (SELECT doc_id, {_SPARK_GRAMS5} AS grams
+              FROM (SELECT doc_id, {_SPARK_WORDS} AS words FROM documents) w)
+        LATERAL VIEW explode(grams) g AS gram
+    """).persist()
+    grams.createOrReplaceTempView("grams")
+    _DECON_HANDLES["grams"] = grams
+    spark.sql(
+        f"SELECT DISTINCT gram FROM grams WHERE doc_id % {_DECON_EVAL_MOD} = 0"
+    ).createOrReplaceTempView("eval_grams")
+    return spark.sql(
+        # eval_grams is the small side: hint it broadcast so the train-side
+        # gram stream never shuffles on the join key.
+        _DECON_FINAL.replace(
+            "SELECT g.doc_id,",
+            "SELECT /*+ BROADCAST(e) */ g.doc_id,",
+        )
+    )
+
+
+_DECON_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, {_DUCK_WORDS} AS words FROM documents
+),
+grams AS (
+    SELECT doc_id, unnest(grams) AS gram
+    FROM (SELECT doc_id, {_DUCK_GRAMS5} AS grams FROM toks) g
+),
+eval_grams AS (
+    SELECT DISTINCT gram FROM grams WHERE doc_id % {_DECON_EVAL_MOD} = 0
+)
+{_DECON_FINAL}
+"""
+
+_register(
+    "decontam_ngram_overlap",
+    QueryDef(
+        build=_decontam_build,
+        oracle=_DECON_ORACLE,
+        doc="benchmark decontamination: train docs sharing any word 5-gram "
+        "with the held-out eval slice (broadcast eval grams, no all-pairs)",
+    ),
+)
+
+
+# Domain mixing weights: per-source token counts and the sampling weight
+# that reweights the observed mixture to a uniform target share (the
+# DoReMi/Pile-style domain-mixing primitive). One partial-agg groupBy over
+# (source); the 1-row total broadcasts. Bit-exact across engines: every
+# division is on explicit DOUBLE casts of exact integer aggregates.
+_MIX_SQL = """
+WITH tok AS (
+    SELECT source, CAST({size_fn}({words_expr}) AS BIGINT) AS n_tokens
+    FROM documents
+),
+agg AS (
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens
+    FROM tok GROUP BY source
+),
+tot AS (
+    SELECT CAST(SUM(tokens) AS BIGINT) AS total,
+           COUNT(*) AS n_sources
+    FROM agg
+)
+SELECT source, n_docs, tokens,
+       CAST(tokens AS DOUBLE) / CAST(total AS DOUBLE) AS token_share,
+       (CAST(total AS DOUBLE) / CAST(n_sources AS DOUBLE))
+           / CAST(tokens AS DOUBLE) AS mix_weight
+FROM agg CROSS JOIN tot
+ORDER BY source
+"""
+_register(
+    "mix_domain_weights",
+    _sql_query(
+        _MIX_SQL.replace("{size_fn}", "size").replace(
+            "{words_expr}", _SPARK_WORDS
+        ),
+        ("documents",),
+        "domain-mixing weights: per-source token share and the uniform-"
+        "target resampling weight (one partial-agg groupBy, broadcast total)",
+        oracle=_MIX_SQL.replace("{size_fn}", "len").replace(
+            "{words_expr}", _DUCK_WORDS
+        ),
+    ),
+)
