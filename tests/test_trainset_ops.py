@@ -1,0 +1,133 @@
+"""Semantic tests for the training-set assembly operators — beyond the
+bit-for-bit DuckDB oracle replica (test_datapipe_oracle.py), these assert
+the *meaning*: planted contamination is caught, packing bins follow the
+running token budget, sampling is deterministic and respects the bucket
+rule, mixing weights reweight to the uniform target."""
+
+import hashlib
+import math
+import os
+
+import pandas as pd
+import pytest
+
+from frontier.datapipe import REGISTRY, _DECON_EVAL_MOD
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason="driver testdata not present"
+)
+
+
+def _write_docs(tmp_path, rows) -> str:
+    """Materialize a documents.parquet with the driver's exact schema."""
+    df = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
+    df["doc_id"] = df["doc_id"].astype("int64")
+    df["n_chars"] = df["text"].str.len().astype("int64")
+    out = str(tmp_path / "docs")
+    os.makedirs(out, exist_ok=True)
+    df.to_parquet(os.path.join(out, "documents.parquet"), index=False)
+    return out
+
+
+EVAL_SENTENCE = "the quick brown fox jumps over the lazy dog tonight"
+
+
+def test_decontam_catches_planted_overlap(spark, tmp_path):
+    """A train doc embedding a 5-gram from an eval doc is flagged; an
+    unrelated train doc and the eval docs themselves are not."""
+    rows = [
+        # doc 0: eval (0 % 29 == 0)
+        (0, EVAL_SENTENCE, "en", "web"),
+        # doc 1: train, copies a 5-gram span from the eval doc
+        (1, "intro words then " + EVAL_SENTENCE + " closing words", "en", "web"),
+        # doc 2: train, disjoint vocabulary
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en", "web"),
+        # doc 29: eval again (29 % 29 == 0), shares grams with doc 0 — eval
+        # docs must never appear in the output even when contaminated
+        (29, EVAL_SENTENCE, "en", "web"),
+    ]
+    sf = _write_docs(tmp_path, rows)
+    got = (
+        REGISTRY["decontam_ngram_overlap"].build(spark, sf).toPandas()
+    )
+    assert got["doc_id"].tolist() == [1]
+    # the planted sentence has 10 words → 6 distinct 5-grams
+    assert int(got["n_contaminated_grams"].iloc[0]) == 6
+
+
+def test_decontam_short_docs_produce_no_grams(spark, tmp_path):
+    """Docs under 5 words generate no 5-grams and can never contaminate."""
+    rows = [
+        (0, "one two three four", "en", "web"),
+        (1, "one two three four", "en", "web"),
+    ]
+    sf = _write_docs(tmp_path, rows)
+    got = REGISTRY["decontam_ngram_overlap"].build(spark, sf).toPandas()
+    assert len(got) == 0
+
+
+def _words(text: str) -> list[str]:
+    import re
+
+    return [w for w in re.split(r"[^a-z0-9]+", text.lower()) if w]
+
+
+def test_pack_bins_follow_running_budget(spark):
+    """Recompute the per-lang running sum in pandas and assert the operator's
+    bin assignment is exactly floor(tokens_before / 512)."""
+    got = REGISTRY["pack_context_windows"].build(spark, SF_DIR).toPandas()
+    docs = pd.read_parquet(os.path.join(SF_DIR, "documents.parquet"))
+    docs["n_tokens"] = docs["text"].map(lambda t: len(_words(t)))
+    docs = docs.sort_values(["lang", "doc_id"], ignore_index=True)
+    docs["tokens_before"] = (
+        docs.groupby("lang")["n_tokens"].cumsum() - docs["n_tokens"]
+    )
+    docs["pack_bin"] = (docs["tokens_before"] // 512).astype("int64")
+    merged = got.merge(
+        docs[["doc_id", "lang", "n_tokens", "tokens_before", "pack_bin"]],
+        on=["doc_id", "lang"],
+        suffixes=("", "_want"),
+    )
+    assert len(merged) == len(got) == len(docs)
+    assert (merged["n_tokens"] == merged["n_tokens_want"]).all()
+    assert (merged["tokens_before"] == merged["tokens_before_want"]).all()
+    assert (merged["pack_bin"] == merged["pack_bin_want"]).all()
+    # bins are dense per lang: 0..max with no gaps
+    for _, grp in merged.groupby("lang"):
+        bins = sorted(grp["pack_bin"].unique())
+        assert bins == list(range(len(bins)))
+
+
+def test_sample_is_deterministic_and_respects_buckets(spark):
+    """Two runs agree row-for-row, and every kept row's md5 bucket is under
+    its lang threshold (and every dropped row's is over)."""
+    thresholds = {"en": 128, "de": 64, "fr": 64}
+    qd = REGISTRY["sample_stratified_deterministic"]
+    a = qd.build(spark, SF_DIR).toPandas()
+    b = qd.build(spark, SF_DIR).toPandas()
+    pd.testing.assert_frame_equal(a, b)
+
+    def bucket(doc_id: int) -> int:
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:4], 16) % 256
+
+    docs = pd.read_parquet(os.path.join(SF_DIR, "documents.parquet"))
+    kept = set(a["doc_id"])
+    for _, row in docs.iterrows():
+        thr = thresholds.get(row["lang"], 26)
+        assert (bucket(int(row["doc_id"])) < thr) == (int(row["doc_id"]) in kept)
+
+
+def test_mix_weights_reweight_to_uniform(spark):
+    """token_share sums to 1; weight × share is the same (uniform) value for
+    every source; weighted token mass per source is total/n_sources."""
+    got = REGISTRY["mix_domain_weights"].build(spark, SF_DIR).toPandas()
+    n = len(got)
+    assert n >= 2
+    assert math.isclose(got["token_share"].sum(), 1.0, rel_tol=1e-12)
+    uniform = 1.0 / n
+    for _, row in got.iterrows():
+        assert math.isclose(
+            row["mix_weight"] * row["token_share"], uniform, rel_tol=1e-9
+        )
