@@ -88,6 +88,39 @@ def _build_session(cpus: str) -> tuple[SparkSession, bool]:
     ), True
 
 
+def tabtree_lines(forest, strip: bool) -> "DataFrame":
+    """Nested tabtree print order (reference _ls.py:82-94): each sitemap
+    indented by depth, its pages below it at depth+1; root never stripped."""
+    node_url = _strip_expr("url") if strip else F.col("url")
+    node_url = F.when(F.col("depth") == 0, F.col("url")).otherwise(node_url)
+    nodes = forest.nodes.select(
+        "seed",
+        F.col("path_key").alias("sort_key"),
+        F.lit(None).cast("int").alias("seq"),
+        F.concat(F.expr("repeat('\\t', depth)"), node_url).alias("line"),
+    )
+    page_url = _strip_expr("page_url") if strip else F.col("page_url")
+    # join on (seed, path_key): path_key alone collides across seeds.
+    # Pages sort under 'P.~': '~' (0x7E) > any digit, so a node's pages
+    # print AFTER its whole sub-sitemap subtree ('P.0000…' descendants),
+    # matching the reference's sub_sitemaps-first _output_sitemap_nested
+    # when a node carries both pages and children.
+    pages = forest.pages.join(
+        forest.nodes.select("seed", "path_key", "depth"),
+        ["seed", "path_key"],
+    ).select(
+        "seed",
+        F.concat(F.col("path_key"), F.lit(".~")).alias("sort_key"),
+        "seq",
+        F.concat(F.expr("repeat('\\t', depth + 1)"), page_url).alias("line"),
+    )
+    return (
+        nodes.unionByName(pages)
+        .orderBy("seed", "sort_key", "seq")
+        .select("line")
+    )
+
+
 def cmd_ls(args: argparse.Namespace) -> int:
     from .waves import sitemap_tree_for_homepages
 
@@ -105,41 +138,7 @@ def cmd_ls(args: argparse.Namespace) -> int:
 
     strip = args.strip_url
     if args.format == "tabtree":
-        # nested print (reference _ls.py:82-94): each sitemap indented by
-        # depth, its pages below it at depth+1; the root is never stripped
-        node_url = _strip_expr("url") if strip else F.col("url")
-        node_url = F.when(F.col("depth") == 0, F.col("url")).otherwise(node_url)
-        nodes = forest.nodes.select(
-            "seed",
-            "path_key",
-            F.lit(0).alias("is_page"),
-            F.lit(None).cast("int").alias("seq"),
-            F.concat(F.expr("repeat('\\t', depth)"), node_url).alias("line"),
-        )
-        page_url = _strip_expr("page_url") if strip else F.col("page_url")
-        # join on (seed, path_key): path_key alone collides across seeds
-        pages = forest.pages.join(
-            forest.nodes.select("seed", "path_key", "depth"),
-            ["seed", "path_key"],
-        ).select(
-            "seed",
-            "path_key",
-            F.lit(1).alias("is_page"),
-            "seq",
-            F.concat(F.expr("repeat('\\t', depth + 1)"), page_url).alias("line"),
-        )
-        # ordering caveat: (path_key, is_page, seq) prints a node's pages
-        # BEFORE its sub-sitemap subtree (children's 'P.0000000' sorts after
-        # pages at 'P'), while the reference's _output_sitemap_nested prints
-        # sub_sitemaps first. Unobservable today — no parser emits a node
-        # carrying both pages and children — but if one ever does, the sort
-        # key must place is_page=1 rows after descendant path_keys.
-        rows = (
-            nodes.unionByName(pages)
-            .orderBy("seed", "path_key", "is_page", "seq")
-            .select("line")
-            .collect()
-        )
+        rows = tabtree_lines(forest, strip).collect()
     else:  # pages (reference _ls.py:97-99)
         out = forest.all_pages()
         line = _strip_expr("page_url") if strip else F.col("page_url")

@@ -180,3 +180,41 @@ def test_ls_tabtree_strip_golden(run_cmd, store_path):
         "\t\t\t\t\t/news/baz.html",
         "\t\t\t\t/sitemap_news_missing.xml",
     ]
+
+
+def test_tabtree_mixed_node_pages_after_subtree(spark):
+    """A node carrying BOTH pages and child sitemaps prints its sub-sitemap
+    subtree first, pages last — the reference's _output_sitemap_nested
+    nesting (_ls.py:82-94). No parser emits such a node today; the sort-key
+    contract is pinned here directly against a hand-built forest."""
+    from types import SimpleNamespace
+
+    from frontier.cli import tabtree_lines
+
+    seed = "http://x.com/"
+    nodes = spark.createDataFrame(
+        [
+            (seed, "0000000", 0, "http://x.com/sitemap_index.xml"),
+            (seed, "0000000.0000000", 1, "http://x.com/child.xml"),
+        ],
+        "seed string, path_key string, depth int, url string",
+    )
+    pages = spark.createDataFrame(
+        [
+            # pages on the MIXED root node (it also has a child sitemap)
+            (seed, "0000000", 0, "http://x.com/root-page-a.html"),
+            (seed, "0000000", 1, "http://x.com/root-page-b.html"),
+            # pages on the leaf child
+            (seed, "0000000.0000000", 0, "http://x.com/leaf-page.html"),
+        ],
+        "seed string, path_key string, seq int, page_url string",
+    )
+    forest = SimpleNamespace(nodes=nodes, pages=pages)
+    lines = [r.line for r in tabtree_lines(forest, strip=False).collect()]
+    assert lines == [
+        "http://x.com/sitemap_index.xml",
+        "\thttp://x.com/child.xml",
+        "\t\thttp://x.com/leaf-page.html",
+        "\thttp://x.com/root-page-a.html",
+        "\thttp://x.com/root-page-b.html",
+    ]
