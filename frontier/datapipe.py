@@ -1928,3 +1928,65 @@ _register(
         ),
     ),
 )
+
+
+# End-to-end corpus assembly: the whole training-data tail as ONE declarative
+# plan — exact dedup (first-wins) → token-count quality gate → deterministic
+# stratified sample → context-window packing. Each stage reuses the exact
+# semantics of its standalone operator, so the composition is auditable
+# stage-by-stage; Catalyst pipelines the filters into the scan and the only
+# shuffles are the dedup groupBy and the per-lang window sort.
+_PIPE_SQL = """
+WITH fp AS (
+    SELECT doc_id, lang, source, text, md5(text) AS fp FROM documents
+),
+dedup AS (
+    SELECT doc_id, lang, source, text FROM (
+        SELECT doc_id, lang, source, text,
+               ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM fp
+    ) d WHERE rn = 1
+),
+quality AS (
+    SELECT doc_id, lang, source, n_tokens FROM (
+        SELECT doc_id, lang, source,
+               CAST({size_fn}({words_expr}) AS BIGINT) AS n_tokens
+        FROM dedup
+    ) q WHERE n_tokens >= 10
+),
+sampled AS (
+    SELECT doc_id, lang, source, n_tokens FROM (
+        SELECT doc_id, lang, source, n_tokens,
+               CAST({BUCKET} AS INTEGER) AS bucket
+        FROM quality
+    ) h
+    WHERE bucket < CASE lang
+        WHEN 'en' THEN 128 WHEN 'de' THEN 64 WHEN 'fr' THEN 64 ELSE 26 END
+),
+packed AS (
+    SELECT doc_id, lang, source, n_tokens,
+           COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS tokens_before
+    FROM sampled
+)
+SELECT doc_id, lang, source, n_tokens,
+       CAST(FLOOR(tokens_before / 512.0) AS BIGINT) AS pack_bin
+FROM packed
+ORDER BY lang, doc_id
+"""
+_register(
+    "corpus_pipeline_e2e",
+    _sql_query(
+        _PIPE_SQL.replace("{size_fn}", "size")
+        .replace("{words_expr}", _SPARK_WORDS)
+        .replace("{BUCKET}", _BUCKET_SPARK),
+        ("documents",),
+        "end-to-end corpus assembly: exact dedup -> quality gate -> "
+        "deterministic sample -> context-window packing, one Catalyst plan",
+        oracle=_PIPE_SQL.replace("{size_fn}", "len")
+        .replace("{words_expr}", _DUCK_WORDS)
+        .replace("{BUCKET}", _BUCKET_DUCK),
+    ),
+)

@@ -131,3 +131,41 @@ def test_mix_weights_reweight_to_uniform(spark):
         assert math.isclose(
             row["mix_weight"] * row["token_share"], uniform, rel_tol=1e-9
         )
+
+
+def _plan_of(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()
+
+
+def test_trainset_plan_shapes(spark):
+    """The plans the 100-TB scale story claims, asserted in plan form:
+    sampling is a stateless scan-side filter (zero Exchange), packing pays
+    exactly one shuffle (the per-lang window sort), decontamination
+    broadcast-joins the tiny eval-gram side (never shuffles the train-side
+    gram stream on the join key)."""
+    sample = REGISTRY["sample_stratified_deterministic"].build(spark, SF_DIR)
+    plan = _plan_of(sample)
+    # scan-side filter; the only exchange is the final ORDER BY's
+    # rangepartitioning — no hash shuffle, no aggregation
+    assert "Arguments: hashpartitioning" not in plan
+    assert "HashAggregate" not in plan and "Join" not in plan
+
+    pack = REGISTRY["pack_context_windows"].build(spark, SF_DIR)
+    plan = _plan_of(pack)
+    # one hashpartitioning exchange for the per-lang window; the final
+    # ORDER BY adds a rangepartitioning — no other shuffles may appear
+    assert plan.count("Arguments: hashpartitioning") == 1
+    assert "Window" in plan
+
+    decon = REGISTRY["decontam_ngram_overlap"].build(spark, SF_DIR)
+    plan = _plan_of(decon)
+    assert "BroadcastHashJoin" in plan
+    # the probe (train grams) side must not be exchanged on the join key:
+    # only the aggregation exchanges remain
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
