@@ -1990,3 +1990,231 @@ _register(
         .replace("{BUCKET}", _BUCKET_DUCK),
     ),
 )
+
+
+# =============================================================================
+# E. Graph-shaped pipeline operators: cluster resolution, quality propagation,
+#    incremental frontier maintenance
+# =============================================================================
+
+# Near-dup CLUSTER RESOLUTION: LSH candidate pairs are only half the dedup
+# story — a training pipeline must map every document to ONE canonical
+# representative even when similarity is transitive (A~B, B~C but A!~C).
+# That is connected components over the candidate graph. Spark side runs
+# min-label propagation with POINTER JUMPING (l(v) <- l(l(v)) each round),
+# which converges in O(log diameter) rounds instead of O(diameter) — the
+# difference between 40 and ~6 shuffles on a 10^10-node chain-heavy graph.
+# Each round is two hash joins + one aggregation on compact (id, label)
+# pairs; bodies/signatures never enter the loop. The oracle computes the
+# same fixpoint declaratively as a DuckDB recursive transitive closure.
+_CC_MAX_ROUNDS = 50
+
+
+def _cc_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .dedup import connected_components
+
+    _mh_views(spark, sf_dir)
+    # localCheckpoint cuts the minhash-pipeline lineage out of the iterative
+    # loop (see connected_components' docstring for why the loop must not
+    # carry a growing logical plan).
+    edges = spark.sql(
+        "WITH " + _CANDIDATES_CTE.format(cap=_LSH_BUCKET_CAP)
+        + "SELECT doc_a, doc_b FROM candidates"
+    ).localCheckpoint(eager=True)
+    out = connected_components(
+        edges, src="doc_a", dst="doc_b", max_rounds=_CC_MAX_ROUNDS
+    ).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    ).orderBy("doc_id")
+    return out
+
+
+_CC_ORACLE_TAIL = """,
+sym AS (
+    SELECT doc_a AS src, doc_b AS dst FROM candidates
+    UNION ALL
+    SELECT doc_b, doc_a FROM candidates
+),
+reach(src, node) AS (
+    SELECT src, src FROM (SELECT DISTINCT src FROM sym) n
+    UNION
+    SELECT r.src, s.dst FROM reach r JOIN sym s ON s.src = r.node
+)
+SELECT src AS doc_id, MIN(node) AS cluster_id
+FROM reach GROUP BY src ORDER BY doc_id
+"""
+
+_register(
+    "dedup_cluster_cc",
+    QueryDef(
+        build=_cc_build,
+        oracle=_duck_mh_cte().replace("WITH toks", "WITH RECURSIVE toks", 1)
+        + "," + _CANDIDATES_CTE.format(cap=_LSH_BUCKET_CAP) + _CC_ORACLE_TAIL,
+        doc="connected-components cluster resolution over LSH candidate "
+            "pairs: pointer-jumping min-label propagation, O(log d) rounds",
+    ),
+)
+
+
+# Domain-quality propagation: PageRank over a host link graph. At corpus
+# scale, per-host quality priors (spam scores, link authority) propagate
+# along the host graph; this is the canonical iterative-DataFrame pattern —
+# one join + one aggregation per round over compact (id, rank) pairs.
+# INTEGER arithmetic end-to-end (ranks in 1e-12 units, floor division):
+# integer sums are associative, so the result is bit-identical regardless
+# of partitioning / aggregation order — float PageRank cannot promise that
+# across engines. The oracle unrolls the same K rounds as nested CTEs.
+_PR_SCALE = 10**12
+_PR_ROUNDS = 5
+_PR_MOD = 40
+
+_PR_GRAPH_SQL = """
+edges AS (
+    SELECT DISTINCT doc_id % {mod} AS src, (doc_id * 7 + 3) % {mod} AS dst
+    FROM documents
+    WHERE doc_id % {mod} <> (doc_id * 7 + 3) % {mod}
+),
+nodes AS (
+    SELECT src AS id FROM edges UNION SELECT dst FROM edges
+),
+cnt AS (SELECT COUNT(*) AS n FROM nodes),
+outdeg AS (SELECT src AS id, COUNT(*) AS deg FROM edges GROUP BY src)
+"""
+
+
+def _pr_oracle() -> str:
+    parts = ["WITH " + _PR_GRAPH_SQL.format(mod=_PR_MOD)]
+    parts.append(
+        f", ranks0 AS (SELECT id, {_PR_SCALE} // (SELECT n FROM cnt) AS r FROM nodes)"
+    )
+    for k in range(_PR_ROUNDS):
+        parts.append(f""",
+ranks{k + 1} AS (
+    SELECT n.id,
+           (15 * {_PR_SCALE}) // (100 * c.n)
+           + (85 * COALESCE(s.contrib, 0)) // 100 AS r
+    FROM nodes n CROSS JOIN cnt c
+    LEFT JOIN (
+        SELECT e.dst AS id, SUM(r.r // d.deg) AS contrib
+        FROM edges e
+        JOIN ranks{k} r ON r.id = e.src
+        JOIN outdeg d ON d.id = e.src
+        GROUP BY e.dst
+    ) s ON s.id = n.id
+)""")
+    parts.append(
+        f"\nSELECT id AS host_id, r AS rank_units FROM ranks{_PR_ROUNDS} ORDER BY host_id"
+    )
+    return "".join(parts)
+
+
+def _pr_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    _load(spark, sf_dir, "documents")
+    base = spark.sql(
+        "WITH " + _PR_GRAPH_SQL.format(mod=_PR_MOD)
+        + "SELECT e.src, e.dst, d.deg FROM edges e JOIN outdeg d ON d.id = e.src"
+    ).persist()
+    nodes = (
+        base.select(F.col("src").alias("id"))
+        .union(base.select(F.col("dst").alias("id")))
+        .distinct()
+        .persist()
+    )
+    cnt = nodes.agg(F.count("*").alias("n"))
+    ranks = nodes.crossJoin(cnt).select(
+        "id", (F.lit(_PR_SCALE) / F.col("n")).cast("bigint").alias("r"), "n"
+    )
+    for _ in range(_PR_ROUNDS):
+        contrib = (
+            base.join(ranks.select(F.col("id").alias("src"), "r"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            # floor(r / deg): both positive, so floor == truncating DIV
+            .agg(F.sum(F.floor(F.col("r") / F.col("deg"))).alias("contrib"))
+        )
+        ranks = (
+            nodes.crossJoin(cnt)
+            .join(contrib, "id", "left")
+            .select(
+                "id",
+                (
+                    F.floor(F.lit(15 * _PR_SCALE) / (F.lit(100) * F.col("n")))
+                    + F.floor(
+                        F.lit(85) * F.coalesce("contrib", F.lit(0)) / F.lit(100)
+                    )
+                ).cast("bigint").alias("r"),
+                "n",
+            )
+        )
+    out = ranks.select(
+        F.col("id").alias("host_id"), F.col("r").alias("rank_units")
+    ).orderBy("host_id")
+    return out
+
+
+_register(
+    "host_pagerank",
+    QueryDef(
+        build=_pr_build,
+        oracle=_pr_oracle(),
+        doc="host-graph PageRank, 5 rounds, exact integer arithmetic "
+            "(1e-12 rank units) — iterative join+agg over (id, rank) pairs",
+    ),
+)
+
+
+# Incremental frontier maintenance: MERGE-INTO semantics (the Iceberg upsert
+# the north rule's frontier table needs) expressed engine-portably — a full
+# outer join of the existing frontier against an incoming capture batch,
+# classifying every URL as insert / update / keep and carrying the winning
+# capture timestamp forward. Timestamps travel as fixed-width microsecond
+# STRINGS (the sessionize idiom): zero-padded 'yyyy-MM-dd HH:mm:ss.SSSSSS'
+# compares lexicographically exactly like the instant, and string rendering
+# sidesteps every engine timestamp-type divergence. At scale both sides are
+# bucketed by url, so the join is co-located; only (url, ts) pairs shuffle,
+# never page bodies.
+_MERGE_SQL = """
+WITH existing AS (
+    SELECT 'http://h' || CAST(user_id AS {STR}) || '.example.com/p'
+           || CAST(event_id % 97 AS {STR}) AS url,
+           MAX({TS_STR}) AS last_ts
+    FROM events WHERE event_id % 3 <> 0
+    GROUP BY 1
+),
+incoming AS (
+    SELECT 'http://h' || CAST(user_id AS {STR}) || '.example.com/p'
+           || CAST(event_id % 97 AS {STR}) AS url,
+           MAX({TS_STR}) AS cap_ts
+    FROM events WHERE event_id % 3 = 0
+    GROUP BY 1
+)
+SELECT
+    COALESCE(e.url, i.url) AS url,
+    CASE WHEN e.url IS NULL THEN 'insert'
+         WHEN i.url IS NULL THEN 'keep'
+         WHEN i.cap_ts > e.last_ts THEN 'update'
+         ELSE 'keep' END AS action,
+    CASE WHEN e.url IS NULL THEN i.cap_ts
+         WHEN i.url IS NULL THEN e.last_ts
+         WHEN i.cap_ts > e.last_ts THEN i.cap_ts
+         ELSE e.last_ts END AS latest_ts
+FROM existing e FULL OUTER JOIN incoming i ON e.url = i.url
+ORDER BY url
+"""
+_register(
+    "frontier_merge_upsert",
+    _sql_query(
+        _MERGE_SQL.replace("{STR}", "STRING").replace(
+            "{TS_STR}", "date_format(ts, 'yyyy-MM-dd HH:mm:ss.SSSSSS')"
+        ),
+        ("events",),
+        "incremental frontier MERGE: full-outer upsert classification "
+        "(insert/update/keep) with capture-timestamp carry-forward",
+        oracle=_MERGE_SQL.replace("{STR}", "VARCHAR").replace(
+            "{TS_STR}", "strftime(ts, '%Y-%m-%d %H:%M:%S.%f')"
+        ),
+    ),
+)
