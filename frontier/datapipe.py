@@ -2218,3 +2218,47 @@ _register(
         ),
     ),
 )
+
+
+# Deterministic global corpus shuffle -> training shard assignment. Training
+# runs need the corpus in a reproducible pseudo-random order, split into a
+# fixed number of shards with a stable position inside each — and `rand()`
+# reproduces across neither engines, retries, nor cluster sizes. Order key =
+# md5 of the doc id (a fixed pseudo-random permutation); shard = key-prefix
+# bucket; position = rank within the shard along the key order. The only
+# shuffle is one window sort per shard over compact (doc_id, key) pairs —
+# bodies are re-joined by the consumer afterwards. At 100 TB, shards map to
+# output files/partitions, so the window IS the final write ordering.
+_SHARD_N = 8
+
+_SHARD_SQL = """
+WITH keyed AS (
+    SELECT doc_id, lang,
+           md5(CAST(doc_id AS {STR}) || ':shard-salt') AS okey
+    FROM documents
+)
+SELECT doc_id, lang,
+       CAST({BUCKET} AS INTEGER) % {N} AS shard,
+       ROW_NUMBER() OVER (
+           PARTITION BY CAST({BUCKET} AS INTEGER) % {N}
+           ORDER BY okey, doc_id
+       ) AS pos
+FROM keyed
+ORDER BY shard, pos
+"""
+_SHARD_BUCKET_SPARK = "conv(substring(okey, 1, 4), 16, 10)"
+_SHARD_BUCKET_DUCK = "('0x' || substr(okey, 1, 4))::INTEGER"
+_register(
+    "shard_assign_deterministic",
+    _sql_query(
+        _SHARD_SQL.replace("{STR}", "STRING")
+        .replace("{BUCKET}", _SHARD_BUCKET_SPARK)
+        .replace("{N}", str(_SHARD_N)),
+        ("documents",),
+        "reproducible global shuffle: md5-order permutation -> shard + "
+        "in-shard position (no rand(); one window per shard)",
+        oracle=_SHARD_SQL.replace("{STR}", "VARCHAR")
+        .replace("{BUCKET}", _SHARD_BUCKET_DUCK)
+        .replace("{N}", str(_SHARD_N)),
+    ),
+)

@@ -169,3 +169,21 @@ def test_trainset_plan_shapes(spark):
     # the probe (train grams) side must not be exchanged on the join key:
     # only the aggregation exchanges remain
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_shard_assign_is_complete_permutation(spark):
+    """Every doc appears exactly once; positions are a dense 1..n_k per
+    shard; a rebuild is bit-identical (no rand() anywhere)."""
+    out = REGISTRY["shard_assign_deterministic"].build(spark, SF_DIR)
+    rows = out.collect()
+    docs = sorted(r.doc_id for r in rows)
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert docs == sorted(set(docs)) and len(docs) == n_docs
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    assert set(by_shard) <= set(range(8))
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    again = REGISTRY["shard_assign_deterministic"].build(spark, SF_DIR).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
