@@ -347,3 +347,91 @@ def run_available_now(
     )
     q.awaitTermination()
     return q
+
+
+BUDGET_GATE_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("fetch_ts", T.TimestampType()),
+        T.StructField("admitted", T.BooleanType()),
+        T.StructField("served_total", T.LongType()),
+    ]
+)
+
+BUDGET_GATE_STATE_SCHEMA = T.StructType(
+    [T.StructField("served", T.LongType())]
+)
+
+
+def stream_politeness_gate(
+    fetches: DataFrame,
+    budget_per_batch: int,
+    state_timeout_ms: int | None = None,
+) -> DataFrame:
+    """Streaming per-host politeness budget: admit at most
+    ``budget_per_batch`` URLs per host per micro-batch — the R9/R12 batch
+    budget queue (frontier.schedule / robots Crawl-delay) extended to a
+    continuously-running fetch stream, where the micro-batch interval IS the
+    politeness round.
+
+    Custom stateful operator via ``applyInPandasWithState``, keyed by host
+    (the same partitioning axis as the batch scheduler). Admission is
+    deterministic: rows are ordered by (fetch_ts, url) inside the batch and
+    the first ``budget_per_batch`` win. EVERY row is emitted, flagged
+    ``admitted`` true/false plus the host's cumulative ``served_total``
+    after the batch, so a downstream router can send admitted rows to the
+    fetcher fleet and deferred rows back to the landing zone for the next
+    round — nothing is silently dropped.
+
+    State per host is ONE int64 (the cumulative served counter): bounded by
+    construction, no growth, no compaction concern — per-micro-batch cost is
+    O(batch rows · log batch rows) for the sort. Pass ``state_timeout_ms``
+    only with a ``processingTime`` trigger (the availableNow wedge
+    documented on :func:`stream_first_seen` applies here identically).
+    """
+    import pandas as pd
+
+    def gate(key, pdf_iter, state):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        served = int(state.get[0]) if state.exists else 0
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if not chunks:
+            if state_timeout_ms is not None:
+                state.setTimeoutDuration(state_timeout_ms)
+            yield pd.DataFrame(columns=[f.name for f in BUDGET_GATE_OUT_SCHEMA])
+            return
+        batch = pd.concat(chunks, ignore_index=True).sort_values(
+            ["fetch_ts", "url"], kind="mergesort", ignore_index=True
+        )
+        admitted = batch.index < budget_per_batch
+        served += int(admitted.sum())
+        state.update((served,))
+        if state_timeout_ms is not None:
+            state.setTimeoutDuration(state_timeout_ms)
+        yield pd.DataFrame(
+            {
+                "host": key[0],
+                "url": batch["url"],
+                "fetch_ts": batch["fetch_ts"],
+                "admitted": admitted,
+                "served_total": served,
+            }
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from frontier.urlnorm import host_expr
+
+    with_host = fetches.withColumn("host", host_expr("url"))
+    return with_host.groupBy("host").applyInPandasWithState(
+        gate,
+        BUDGET_GATE_OUT_SCHEMA,
+        BUDGET_GATE_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_timeout_ms is not None
+        else GroupStateTimeout.NoTimeout,
+    )

@@ -244,3 +244,62 @@ def test_stream_first_seen_timeout_expires_state(spark, tmp_path):
         )
     finally:
         q.stop()
+
+
+def test_stream_politeness_gate_budget_per_batch(spark, tmp_path):
+    """Per-host budget gate: at most k admissions per host per micro-batch,
+    deterministic (fetch_ts, url) admission order, every row emitted with an
+    admitted flag, served_total accumulates across batches."""
+    import datetime as dt
+
+    from frontier.streaming import stream_politeness_gate
+
+    landing = str(tmp_path / "landing_gate")
+    t0 = dt.datetime(2025, 6, 1, 12, 0, 0)
+    # batch 1: h1 has 3 candidates (budget 2), h2 has 1
+    _land(
+        spark,
+        landing,
+        [
+            ("http://h1.example.com/c.xml", None, 200, None, None, t0),
+            ("http://h1.example.com/a.xml", None, 200, None, None, t0),
+            ("http://h1.example.com/b.xml", None, 200, None, None, t0),
+            ("http://h2.example.com/a.xml", None, 200, None, None, t0),
+        ],
+    )
+    # batch 2: h1 gets 2 more — the budget resets per batch
+    _land(
+        spark,
+        landing,
+        [
+            ("http://h1.example.com/d.xml", None, 200, None, None,
+             t0 + dt.timedelta(minutes=1)),
+            ("http://h1.example.com/e.xml", None, 200, None, None,
+             t0 + dt.timedelta(minutes=1)),
+        ],
+    )
+
+    stream = (
+        spark.readStream.schema(STREAM_FETCH_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing)
+    )
+    run_available_now(
+        stream_politeness_gate(stream, budget_per_batch=2),
+        str(tmp_path / "ck_gate"),
+        "gate_sink",
+        output_mode="update",
+    )
+    rows = spark.sql("SELECT * FROM gate_sink").collect()
+    by_url = {r.url: r for r in rows}
+    assert len(rows) == 6  # every candidate emitted, admitted or not
+    # batch 1, h1: ties on fetch_ts broken by url -> a,b admitted, c deferred
+    assert by_url["http://h1.example.com/a.xml"].admitted
+    assert by_url["http://h1.example.com/b.xml"].admitted
+    assert not by_url["http://h1.example.com/c.xml"].admitted
+    assert by_url["http://h2.example.com/a.xml"].admitted
+    # batch 2, h1: fresh budget; cumulative served_total = 2 + 2
+    assert by_url["http://h1.example.com/d.xml"].admitted
+    assert by_url["http://h1.example.com/e.xml"].admitted
+    assert by_url["http://h1.example.com/d.xml"].served_total == 4
+    assert by_url["http://h2.example.com/a.xml"].served_total == 1
