@@ -1931,26 +1931,31 @@ _register(
 
 
 # End-to-end corpus assembly: the whole training-data tail as ONE declarative
-# plan — exact dedup (first-wins) → token-count quality gate → deterministic
-# stratified sample → context-window packing. Each stage reuses the exact
-# semantics of its standalone operator, so the composition is auditable
-# stage-by-stage; Catalyst pipelines the filters into the scan and the only
-# shuffles are the dedup groupBy and the per-lang window sort.
+# plan — exact dedup (first-wins, md5 over joined NORMALIZED tokens, the
+# identical fingerprint as dedup_exact_fingerprint) → token-count quality
+# gate (pipeline-specific n_tokens >= 10 floor) → deterministic stratified
+# sample (same hash buckets + lang quotas as sample_stratified_deterministic
+# — keep the CASE in sync) → context-window packing (same exclusive-cumsum
+# window + 512 budget as _PACK_SQL — keep in sync). The tokenization runs
+# ONCE and feeds both the fingerprint and the token count; Catalyst
+# pipelines the filters into the scan and the only shuffles are the dedup
+# window and the per-lang packing window.
 _PIPE_SQL = """
-WITH fp AS (
-    SELECT doc_id, lang, source, text, md5(text) AS fp FROM documents
+WITH toks AS (
+    SELECT doc_id, lang, source, {words_expr} AS words FROM documents
 ),
 dedup AS (
-    SELECT doc_id, lang, source, text FROM (
-        SELECT doc_id, lang, source, text,
-               ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
-        FROM fp
+    SELECT doc_id, lang, source, words FROM (
+        SELECT doc_id, lang, source, words,
+               ROW_NUMBER() OVER (PARTITION BY md5({JOIN})
+                                  ORDER BY doc_id) AS rn
+        FROM toks
     ) d WHERE rn = 1
 ),
 quality AS (
     SELECT doc_id, lang, source, n_tokens FROM (
         SELECT doc_id, lang, source,
-               CAST({size_fn}({words_expr}) AS BIGINT) AS n_tokens
+               CAST({size_fn}(words) AS BIGINT) AS n_tokens
         FROM dedup
     ) q WHERE n_tokens >= 10
 ),
@@ -1981,12 +1986,14 @@ _register(
     _sql_query(
         _PIPE_SQL.replace("{size_fn}", "size")
         .replace("{words_expr}", _SPARK_WORDS)
+        .replace("{JOIN}", "array_join(words, ' ')")
         .replace("{BUCKET}", _BUCKET_SPARK),
         ("documents",),
         "end-to-end corpus assembly: exact dedup -> quality gate -> "
         "deterministic sample -> context-window packing, one Catalyst plan",
         oracle=_PIPE_SQL.replace("{size_fn}", "len")
         .replace("{words_expr}", _DUCK_WORDS)
+        .replace("{JOIN}", "list_aggregate(words, 'string_agg', ' ')")
         .replace("{BUCKET}", _BUCKET_DUCK),
     ),
 )
@@ -2016,13 +2023,12 @@ def _cc_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import connected_components
 
     _mh_views(spark, sf_dir)
-    # localCheckpoint cuts the minhash-pipeline lineage out of the iterative
-    # loop (see connected_components' docstring for why the loop must not
-    # carry a growing logical plan).
+    # connected_components checkpoints the (symmetrized) edge set up front,
+    # so the minhash candidate pipeline below executes exactly once
     edges = spark.sql(
         "WITH " + _CANDIDATES_CTE.format(cap=_LSH_BUCKET_CAP)
         + "SELECT doc_a, doc_b FROM candidates"
-    ).localCheckpoint(eager=True)
+    )
     out = connected_components(
         edges, src="doc_a", dst="doc_b", max_rounds=_CC_MAX_ROUNDS
     ).select(
@@ -2072,9 +2078,10 @@ _PR_MOD = 40
 
 _PR_GRAPH_SQL = """
 edges AS (
-    SELECT DISTINCT doc_id % {mod} AS src, (doc_id * 7 + 3) % {mod} AS dst
+    SELECT DISTINCT doc_id % {mod} AS src,
+           (doc_id * 7 + (doc_id % 9) * 11 + 3) % {mod} AS dst
     FROM documents
-    WHERE doc_id % {mod} <> (doc_id * 7 + 3) % {mod}
+    WHERE doc_id % {mod} <> (doc_id * 7 + (doc_id % 9) * 11 + 3) % {mod}
 ),
 nodes AS (
     SELECT src AS id FROM edges UNION SELECT dst FROM edges
@@ -2104,15 +2111,27 @@ ranks{k + 1} AS (
         GROUP BY e.dst
     ) s ON s.id = n.id
 )""")
+    # final BIGINT cast: DuckDB's SUM(BIGINT) is HUGEINT, which pandas
+    # renders as float64 — without the cast the value hash diverges on
+    # dtype even though every value is identical
     parts.append(
-        f"\nSELECT id AS host_id, r AS rank_units FROM ranks{_PR_ROUNDS} ORDER BY host_id"
+        f"\nSELECT id AS host_id, CAST(r AS BIGINT) AS rank_units "
+        f"FROM ranks{_PR_ROUNDS} ORDER BY host_id"
     )
     return "".join(parts)
+
+
+_PR_HANDLES: dict[str, DataFrame] = {}
 
 
 def _pr_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
+    # unpersist the previous invocation's handles (same convention as
+    # _mh_views) so repeated bench/test builds don't accumulate cache blocks
+    for h in _PR_HANDLES.values():
+        h.unpersist()
+    _PR_HANDLES.clear()
     _load(spark, sf_dir, "documents")
     base = spark.sql(
         "WITH " + _PR_GRAPH_SQL.format(mod=_PR_MOD)
@@ -2124,6 +2143,8 @@ def _pr_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .persist()
     )
+    _PR_HANDLES["base"] = base
+    _PR_HANDLES["nodes"] = nodes
     cnt = nodes.agg(F.count("*").alias("n"))
     ranks = nodes.crossJoin(cnt).select(
         "id", (F.lit(_PR_SCALE) / F.col("n")).cast("bigint").alias("r"), "n"

@@ -433,18 +433,32 @@ def connected_components(
     otherwise doubles the LOGICAL plan per round and the analyzer OOMs the
     driver long before the data does (on a cluster prefer
     ``setCheckpointDir`` + ``.checkpoint()`` for executor-loss tolerance).
+    Checkpoints use DISK_ONLY blocks, and superseded rounds' blocks are
+    released by Spark's ContextCleaner once their RDD is unreferenced
+    (``DataFrame.unpersist`` does NOT free localCheckpoint blocks — they go
+    through weak-ref GC), so peak on-heap state is O(1) rounds regardless of
+    how many rounds run. ``sym`` is checkpointed once up front: the loop
+    runs two actions per round and would otherwise re-execute the caller's
+    full upstream lineage (e.g. LSH candidate generation) each time.
 
     Returns (node, component) — component = min reachable node id.
     """
+    from pyspark import StorageLevel
+
     edges = edges.select(
         F.col(src).cast("bigint").alias("src"), F.col(dst).cast("bigint").alias("dst")
     )
-    sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    sym = (
+        edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+    )
     labels = (
         sym.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     )
     for _ in range(max_rounds):
         neigh = (
@@ -467,7 +481,7 @@ def connected_components(
         new_labels = (
             stepped.join(jump, stepped.label == jump.j_id, "left")
             .select("node", F.coalesce("j_label", "label").alias("label"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
         )
         changed = (
             new_labels.alias("n")
@@ -475,7 +489,8 @@ def connected_components(
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels.unpersist()
+        # dropping the reference is what releases the superseded round's
+        # checkpoint blocks (ContextCleaner) — see docstring
         labels = new_labels
         if changed == 0:
             break

@@ -3,15 +3,22 @@ and its oracle_sql() on the same parquet at a given SF, compare row count,
 sorted-column schema, and value frame equality. Mirrors the per-round
 CORRECTNESS_r{N}.json check so regressions surface before the driver runs."""
 import json
+import os
 import sys
 
 import duckdb
 from pyspark.sql import SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import __spark_entry__ as e
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 ONLY = set(sys.argv[2:]) or None
+if ONLY:
+    unknown = ONLY - set(e.queries())
+    if unknown:
+        sys.exit(f"unknown query name(s): {sorted(unknown)}")
 
 spark = (
     SparkSession.builder.master("local[16]")

@@ -61,6 +61,9 @@ def test_pagerank_integer_invariants(spark):
     assert all(r.rank_units > 0 for r in rows)
     assert total <= _PR_SCALE
     assert total >= _PR_SCALE * 0.80  # bounded leakage over _PR_ROUNDS rounds
+    # the synthetic host graph must have VARIABLE degree — a permutation
+    # graph converges to uniform ranks and tests nothing
+    assert len({r.rank_units for r in rows}) > 1
     # deterministic: a second build is bit-identical (integer arithmetic)
     again = REGISTRY["host_pagerank"].build(spark, SF_DIR).collect()
     assert sorted((r.host_id, r.rank_units) for r in rows) == sorted(
