@@ -187,3 +187,20 @@ def test_shard_assign_is_complete_permutation(spark):
         assert sorted(positions) == list(range(1, len(positions) + 1))
     again = REGISTRY["shard_assign_deterministic"].build(spark, SF_DIR).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_pipe_sql_fragments_stay_in_sync():
+    """corpus_pipeline_e2e mirrors the standalone ops' thresholds textually
+    (the SQL is duplicated by design — one Catalyst plan); this pins the
+    mirrored fragments so a tweak to either copy fails loudly."""
+    from frontier.datapipe import _PACK_SQL, _PIPE_SQL, _SAMPLE_SQL
+
+    quota = "WHEN 'en' THEN 128 WHEN 'de' THEN 64 WHEN 'fr' THEN 64 ELSE 26 END"
+    assert quota in _PIPE_SQL and quota in _SAMPLE_SQL
+    window = (
+        "PARTITION BY lang ORDER BY doc_id\n"
+        "               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
+    )
+    assert window in _PIPE_SQL and window in _PACK_SQL
+    assert "tokens_before / 512.0" in _PIPE_SQL
+    assert "tokens_before / 512.0" in _PACK_SQL
