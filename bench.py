@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "robots_budget_plan",
     "pages_text_extract",
     "pages_latest_capture",
+    "html_outlinks",
     "dedup_cluster_cc",
     "corpus_pipeline_e2e",
 ]

@@ -1529,6 +1529,160 @@ _register(
 )
 
 
+# Link discovery: <a href> targets from the html binary column, resolved
+# against the page URL (RFC 3986), defragmented, per-page first-occurrence
+# deduped, then canonicalized — the edge list a crawl frontier grows by
+# beyond sitemaps. Spark runs the REAL kernel (frontier/pages.py
+# html_outlinks: HTMLParser + urljoin inside an Arrow mapInPandas — link
+# tokenization is genuinely not SQL); the synthetic corpus makes the
+# resolution closed-form so the oracle states the expected edges directly.
+# Each page carries a relative href, a root-relative href, an absolute
+# external href, a fragment-duplicate of the relative one (must collapse),
+# and mailto:/javascript:/#top hrefs (must be skipped).
+def _outlinks_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .pages import extract_links
+
+    _load(spark, sf_dir, "documents")
+    pages = spark.sql(
+        """
+        SELECT 'http://' || source || '.example.com/dir/d'
+                   || CAST(doc_id AS STRING) || '.html' AS url,
+               encode('<html><body>'
+                   || '<a href="rel' || CAST(doc_id AS STRING)
+                   || '.html">r</a>'
+                   || '<a href="/root' || CAST(doc_id AS STRING)
+                   || '.html">o</a>'
+                   || '<a href="http://ext.example.org/abs'
+                   || CAST(doc_id % 13 AS STRING) || '">x</a>'
+                   || '<a href="rel' || CAST(doc_id AS STRING)
+                   || '.html#frag">dup</a>'
+                   || '<a href="mailto:x@example.com">m</a>'
+                   || '<a href="javascript:void(0)">j</a>'
+                   || '<a href="#top">t</a>'
+                   || '</body></html>', 'utf-8') AS html
+        FROM documents
+        """
+    )
+    return extract_links(pages).orderBy("url", "outlink")
+
+
+_OUTLINKS_ORACLE = """
+WITH pages AS (
+    SELECT 'http://' || source || '.example.com' AS origin,
+           'http://' || source || '.example.com/dir/d'
+               || CAST(doc_id AS VARCHAR) || '.html' AS url,
+           doc_id
+    FROM documents
+)
+SELECT url, outlink FROM (
+    SELECT url, origin || '/dir/rel' || CAST(doc_id AS VARCHAR)
+               || '.html' AS outlink FROM pages
+    UNION ALL
+    SELECT url, origin || '/root' || CAST(doc_id AS VARCHAR) || '.html'
+        FROM pages
+    UNION ALL
+    SELECT url, 'http://ext.example.org/abs' || CAST(doc_id % 13 AS VARCHAR)
+        FROM pages
+)
+ORDER BY url, outlink
+"""
+
+_register(
+    "html_outlinks",
+    QueryDef(
+        build=_outlinks_build,
+        oracle=_OUTLINKS_ORACLE,
+        doc=(
+            "link discovery from html binary: real HTMLParser+urljoin "
+            "kernel (relative/root/absolute resolution, defrag dedup, "
+            "scheme skips) vs closed-form expected edge list"
+        ),
+    ),
+)
+
+
+# Changefreq-driven recrawl scheduling (frontier/schedule.py recrawl_plan):
+# the scheduling half of the sitemap <changefreq> field the parser extracts
+# (P9) — interval mapping with 'never' exclusion and invalid→daily default,
+# overdue seconds vs an as-of instant, due flag. Pure codegen columns; the
+# oracle restates the CASE map in SQL. 'purple' exercises the invalid
+# fallback (the reference coerces invalid changefreq to absent).
+_RECRAWL_AS_OF = "2025-06-01 12:00:00"
+
+
+def _recrawl_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .schedule import recrawl_plan
+
+    _load(spark, sf_dir, "documents")
+    frontier = spark.sql(
+        """
+        SELECT 'http://h' || CAST(doc_id % 23 AS STRING) || '.example.com/p'
+                   || CAST(doc_id AS STRING) AS url,
+               timestampadd(HOUR, - CAST(doc_id % 2000 AS INT),
+                   TIMESTAMP '2025-06-01 00:00:00') AS lastmod,
+               element_at(array('always','hourly','daily','weekly','monthly',
+                   'yearly','never','purple'), CAST(doc_id % 8 AS INT) + 1)
+                   AS changefreq,
+               CAST(doc_id % 11 AS DOUBLE) / 10.0 AS priority
+        FROM documents
+        """
+    )
+    return recrawl_plan(frontier, _RECRAWL_AS_OF).orderBy("url")
+
+
+_RECRAWL_ORACLE = f"""
+WITH frontier AS (
+    SELECT 'http://h' || CAST(doc_id % 23 AS VARCHAR) || '.example.com/p'
+               || CAST(doc_id AS VARCHAR) AS url,
+           TIMESTAMP '2025-06-01 00:00:00'
+               - INTERVAL 1 HOUR * (doc_id % 2000) AS lastmod,
+           (['always','hourly','daily','weekly','monthly','yearly','never',
+             'purple'])[CAST(doc_id % 8 AS INT) + 1] AS changefreq,
+           CAST(doc_id % 11 AS DOUBLE) / 10.0 AS priority
+    FROM documents
+),
+plan AS (
+    SELECT url, lower(trim(changefreq)) AS changefreq_norm,
+           CASE lower(trim(changefreq))
+               WHEN 'never' THEN NULL
+               WHEN 'always' THEN 300
+               WHEN 'hourly' THEN 3600
+               WHEN 'daily' THEN 86400
+               WHEN 'weekly' THEN 604800
+               WHEN 'monthly' THEN 2592000
+               WHEN 'yearly' THEN 31536000
+               ELSE 86400 END AS interval_s,
+           date_diff('second', lastmod,
+               TIMESTAMP '{_RECRAWL_AS_OF}') AS age_s,
+           priority
+    FROM frontier
+)
+SELECT url, changefreq_norm,
+       CAST(interval_s AS BIGINT) AS interval_s,
+       CAST(age_s - interval_s AS BIGINT) AS overdue_s,
+       CASE WHEN interval_s IS NULL THEN FALSE
+            ELSE age_s - interval_s >= 0 END AS due,
+       priority
+FROM plan
+ORDER BY url
+"""
+
+_register(
+    "recrawl_schedule",
+    QueryDef(
+        build=_recrawl_build,
+        oracle=_RECRAWL_ORACLE,
+        doc=(
+            "changefreq -> recrawl interval plan (never excluded, "
+            "invalid->daily, overdue seconds + due flag) as pure codegen "
+            "columns vs the same CASE map in SQL"
+        ),
+    ),
+)
+
+
 # URL canonicalization dedup (frontier/urlnorm.py — crawl-core): messy URL
 # spellings synthesized from `documents` collapse to canonical
 # representatives; variants counted, earliest original kept (first-wins).

@@ -18,16 +18,25 @@ the engine:
 * :func:`latest_capture` — CC-style recrawl dedup: one row per URL, the
   capture with the newest ``warc_ts`` wins.  Single map-side-combinable
   aggregation (``max_by``), no window, no sort.
+* :func:`extract_links` — link discovery: ``<a href>`` targets from the
+  ``html`` binary, resolved against the page URL and defragmented, as a
+  ``(url, outlink)`` edge list.  This is how a crawl frontier grows beyond
+  sitemaps — discovered edges feed the same seen-set anti-join
+  (:mod:`frontier.dedup`) and politeness queue (:mod:`frontier.schedule`)
+  as sitemap pages.
 
-Scale notes: ``extract_text`` is embarrassingly parallel (no shuffle);
-``seeds_from_pages`` is one partial-agg distinct on a short host string;
-``latest_capture`` shuffles compact (url, ts, payload-pointer) structs once.
+Scale notes: ``extract_text``/``extract_links`` are embarrassingly parallel
+(no shuffle; per-page dedup happens inside the kernel, so the explode emits
+no within-page duplicates); ``seeds_from_pages`` is one partial-agg distinct
+on a short host string; ``latest_capture`` shuffles compact
+(url, ts, payload-pointer) structs once.
 """
 
 from __future__ import annotations
 
 from html.parser import HTMLParser
 from typing import Iterator
+from urllib.parse import urldefrag, urljoin
 
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
@@ -36,7 +45,9 @@ from frontier.schemas import PAGES_CORPUS_SCHEMA
 
 __all__ = [
     "PAGES_CORPUS_SCHEMA",
+    "extract_links",
     "extract_text",
+    "html_outlinks",
     "html_to_text",
     "latest_capture",
     "seeds_from_pages",
@@ -125,6 +136,98 @@ def extract_text(
             yield batch
 
     return pages.mapInPandas(kernel, schema)
+
+
+class _LinkCollector(HTMLParser):
+    """Collects raw ``<a href>`` values in document order."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.hrefs: list[str] = []
+
+    def handle_starttag(self, tag, attrs) -> None:
+        if tag == "a":
+            for name, value in attrs:
+                if name == "href" and value:
+                    self.hrefs.append(value)
+                    break
+
+    handle_startendtag = handle_starttag
+
+
+_SKIP_SCHEMES = ("javascript:", "mailto:", "tel:", "data:")
+
+
+def html_outlinks(html: bytes | str | None, base_url: str) -> list[str]:
+    """Absolute, defragmented http(s) outlinks of one page, first-occurrence
+    deduped.  The per-href contract:
+
+    1. only ``<a href>`` counts (not ``<link>``/``<img>`` — frontier edges,
+       not assets);
+    2. empty, fragment-only, and ``javascript:``/``mailto:``/``tel:``/
+       ``data:`` hrefs are skipped;
+    3. relative hrefs resolve against ``base_url`` (RFC 3986 via stdlib
+       ``urljoin``), fragments are stripped;
+    4. anything that doesn't resolve to ``http(s)://`` is skipped;
+    5. malformed markup or an unresolvable href never raises.
+    """
+    if html is None:
+        return []
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        html = bytes(html).decode("utf-8", errors="replace")
+    collector = _LinkCollector()
+    collector.feed(html)
+    collector.close()
+    out: list[str] = []
+    seen: set[str] = set()
+    for href in collector.hrefs:
+        href = href.strip()
+        if not href or href.startswith("#") or href.lower().startswith(_SKIP_SCHEMES):
+            continue
+        try:
+            resolved = urldefrag(urljoin(base_url, href)).url
+        except ValueError:
+            continue
+        if not resolved.lower().startswith(("http://", "https://")):
+            continue
+        if resolved not in seen:
+            seen.add(resolved)
+            out.append(resolved)
+    return out
+
+
+def extract_links(
+    pages: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """``(url, outlink)`` edge list from a pages corpus.
+
+    Arrow-batched ``mapInPandas`` applies :func:`html_outlinks` per page;
+    the explode happens Spark-side on the already-deduped array, so the
+    kernel ships one row per page and the operator needs no shuffle.  At
+    10¹⁰ pages the edges flow straight into the Bloom seen-set anti-join —
+    the corpus rows themselves never move.
+    """
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [pages.schema[url_col], T.StructField("outlinks", T.ArrayType(T.StringType()))]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            yield pd.DataFrame(
+                {
+                    url_col: batch[url_col],
+                    "outlinks": [
+                        html_outlinks(h, u)
+                        for h, u in zip(batch[html_col], batch[url_col])
+                    ],
+                }
+            )
+
+    return pages.mapInPandas(kernel, schema).select(
+        url_col, F.explode("outlinks").alias("outlink")
+    )
 
 
 def seeds_from_pages(pages: DataFrame, url_col: str = "url") -> DataFrame:

@@ -67,6 +67,64 @@ def fetch_plan(
     )
 
 
+# Sitemap <changefreq> → recrawl interval. The reference parses the enum
+# (usp/objects/page.py SitemapPageChangeFrequency: ALWAYS..NEVER) but leaves
+# scheduling to the caller; this is the scheduling half. 'always' is clamped
+# to 5 min (politeness floor), 'never' means no recrawl, anything the enum
+# doesn't recognize falls back to daily — matching the reference's behavior
+# of treating invalid changefreq as absent.
+CHANGEFREQ_INTERVAL_S: dict[str, int] = {
+    "always": 300,
+    "hourly": 3_600,
+    "daily": 86_400,
+    "weekly": 604_800,
+    "monthly": 2_592_000,
+    "yearly": 31_536_000,
+}
+DEFAULT_RECRAWL_INTERVAL_S = 86_400
+
+
+def recrawl_plan(
+    frontier: DataFrame,
+    as_of: str,
+    url_col: str = "url",
+    lastmod_col: str = "lastmod",
+    changefreq_col: str = "changefreq",
+    priority_col: str = "priority",
+) -> DataFrame:
+    """Changefreq-driven recrawl plan: which frontier URLs are due at
+    ``as_of`` and by how much.
+
+    Output per URL: ``changefreq_norm`` (lowercased/trimmed spelling),
+    ``interval_s`` (NULL for 'never'), ``overdue_s`` (seconds past the next
+    due instant; negative = not yet due, NULL for 'never'), ``due``
+    (boolean, always false for 'never'), plus the carried priority.
+
+    Pure column expressions — no UDF, no shuffle; whole-stage codegen end
+    to end.  Due rows feed :func:`fetch_plan` for the per-host politeness
+    top-k, so the global "sort by urgency" never happens: urgency ordering
+    is only ever materialized within a host partition.
+    """
+    freq = F.lower(F.trim(F.col(changefreq_col)))
+    interval = F.when(freq == "never", F.lit(None).cast("bigint"))
+    for name, seconds in CHANGEFREQ_INTERVAL_S.items():
+        interval = interval.when(freq == name, F.lit(seconds))
+    interval = interval.otherwise(F.lit(DEFAULT_RECRAWL_INTERVAL_S))
+    age_s = F.unix_timestamp(F.to_timestamp(F.lit(as_of))) - F.unix_timestamp(
+        F.col(lastmod_col)
+    )
+    overdue = (age_s - interval).cast("bigint")
+    due = F.when(interval.isNull(), F.lit(False)).otherwise(overdue >= 0)
+    return frontier.select(
+        F.col(url_col),
+        freq.alias("changefreq_norm"),
+        interval.alias("interval_s"),
+        overdue.alias("overdue_s"),
+        due.alias("due"),
+        F.col(priority_col),
+    )
+
+
 def host_budgets_report(plan: DataFrame) -> DataFrame:
     """Telemetry: per-host planned fetches + priority stats."""
     return plan.groupBy("canonical_host").agg(

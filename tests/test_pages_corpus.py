@@ -8,7 +8,9 @@ from pyspark.sql import functions as F
 
 from frontier.pages import (
     PAGES_CORPUS_SCHEMA,
+    extract_links,
     extract_text,
+    html_outlinks,
     html_to_text,
     latest_capture,
     seeds_from_pages,
@@ -106,6 +108,72 @@ def test_latest_capture_single_shuffle(spark):
     # aren't hash-aggregable; still a single shuffle of compact structs)
     assert plan.count("Exchange") == 1
     assert "Window" not in plan
+
+
+# --- link discovery --------------------------------------------------------------
+
+_BASE = "http://h.example.com/a/b/page.html"
+
+
+@pytest.mark.parametrize(
+    "html,expected",
+    [
+        (b'<a href="c.html">x</a>', ["http://h.example.com/a/b/c.html"]),
+        (b'<a href="../up.html">x</a>', ["http://h.example.com/a/up.html"]),
+        (b'<a href="/root.html">x</a>', ["http://h.example.com/root.html"]),
+        (b'<a href="//other.com/p">x</a>', ["http://other.com/p"]),
+        (b'<a href="https://abs.com/p?q=1">x</a>', ["https://abs.com/p?q=1"]),
+        # fragment stripped; frag-variant collapses with the plain spelling
+        (
+            b'<a href="c.html#s"></a><a href="c.html"></a>',
+            ["http://h.example.com/a/b/c.html"],
+        ),
+        (b'<a href="#top">x</a>', []),
+        (b'<a href="mailto:a@b.c">x</a><a href="javascript:void(0)">x</a>', []),
+        (b'<a href="tel:+1">x</a><a href="data:text/plain,x">x</a>', []),
+        (b'<a href="ftp://f.com/x">x</a>', []),  # resolves non-http → skip
+        (b'<a name="anchor">no href</a><a href="">empty</a>', []),
+        (b"<p>no links</p>", []),
+        (b"", []),
+        (None, []),
+        (b'<a href="c.html', []),  # malformed never raises
+        (b'<A HREF="c.html">caps</A>', ["http://h.example.com/a/b/c.html"]),
+        (b'<a href="d.html"/>', ["http://h.example.com/a/b/d.html"]),
+    ],
+)
+def test_html_outlinks_contract(html, expected):
+    assert html_outlinks(html, _BASE) == expected
+
+
+def test_html_outlinks_order_and_dedup():
+    html = b'<a href="b"></a><a href="a"></a><a href="b"></a>'
+    assert html_outlinks(html, "http://h.com/") == [
+        "http://h.com/b",
+        "http://h.com/a",
+    ]
+
+
+def test_html_outlinks_bad_base_never_raises():
+    # urljoin raises ValueError on an unmatched IPv6 bracket — skipped, not raised
+    assert html_outlinks(b'<a href="x">b</a>', "http://[") == []
+
+
+def test_extract_links_edges_and_plan(spark):
+    pages = spark.createDataFrame(
+        [
+            ("http://h0.com/d/p.html", b'<a href="r.html"></a><a href="/a"></a>'),
+            ("http://h1.com/", b'<a href="mailto:x@y.z"></a>'),
+            ("http://h2.com/", None),
+        ],
+        "url string, html binary",
+    )
+    edges = extract_links(pages)
+    assert sorted(map(tuple, edges.collect())) == [
+        ("http://h0.com/d/p.html", "http://h0.com/a"),
+        ("http://h0.com/d/p.html", "http://h0.com/d/r.html"),
+    ]
+    plan = edges._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
 
 
 # --- corpus → seeds → sitemap crawl integration ----------------------------------

@@ -85,6 +85,44 @@ def test_fetch_plan_salted_equals_unsalted(spark):
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
 
 
+def test_recrawl_plan_semantics(spark):
+    from frontier.schedule import recrawl_plan
+
+    t = dt.datetime(2025, 6, 1, 0, 0, 0)
+    rows = [
+        # (url, lastmod, changefreq, priority) — as_of is 12h after lastmod
+        ("http://h/always", t, "always", 0.9),     # 12h >> 5min → due
+        ("http://h/hourly", t, "hourly", 0.8),     # due, overdue 12h-1h
+        ("http://h/daily", t, "daily", 0.7),       # not yet due (12h < 24h)
+        ("http://h/never", t, "never", 0.6),       # never due, NULL interval
+        ("http://h/purple", t, "purple", 0.5),     # invalid → daily default
+        ("http://h/missing", t, None, 0.4),        # missing → daily default
+        ("http://h/spaced", t, " Weekly ", 0.3),   # trim+lower normalization
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, lastmod timestamp, changefreq string, priority double"
+    )
+    plan = {r["url"]: r for r in recrawl_plan(df, "2025-06-01 12:00:00").collect()}
+
+    assert plan["http://h/always"]["due"] and plan["http://h/hourly"]["due"]
+    assert plan["http://h/hourly"]["overdue_s"] == 12 * 3600 - 3600
+    assert not plan["http://h/daily"]["due"]
+    assert plan["http://h/daily"]["overdue_s"] == 12 * 3600 - 86400
+    never = plan["http://h/never"]
+    assert never["interval_s"] is None and never["overdue_s"] is None
+    assert never["due"] is False
+    for url in ("http://h/purple", "http://h/missing"):
+        assert plan[url]["interval_s"] == 86400 and not plan[url]["due"]
+    assert plan["http://h/spaced"]["changefreq_norm"] == "weekly"
+    assert plan["http://h/spaced"]["interval_s"] == 604800
+    # pure codegen: no shuffle, no UDF in the plan
+    phys = (
+        recrawl_plan(df, "2025-06-01 12:00:00")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in phys and "Python" not in phys
+
+
 def test_filter_unseen_with_bloom_exactness(spark):
     """Bloom prefilter + anti-join must equal the plain anti-join exactly,
     at an fpp high enough that false positives genuinely occur."""
