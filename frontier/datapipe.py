@@ -1603,6 +1603,81 @@ _register(
 )
 
 
+# Link-graph BFS frontier expansion (frontier/pages.py expand_frontier):
+# min-hop reachability from a seed set over the corpus's REAL extracted
+# edges (extract_links kernel), O(max_depth) rounds of join + anti-join on
+# URL strings. The synthetic corpus gives node i two absolute outlinks
+# (2i+1) % N and (3i+7) % N, so the expected edge list is closed-form and
+# the oracle is a recursive-CTE reachability closure with MIN(depth).
+_REACH_DEPTH = 6
+
+
+def _node_url(expr: str, s: str) -> str:
+    return (
+        f"'http://g' || CAST(({expr}) % 23 AS {s}) || '.example.com/p'"
+        f" || CAST(({expr}) AS {s})"
+    )
+
+
+def _reach_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pages import expand_frontier
+
+    _load(spark, sf_dir, "documents")
+    u = lambda e: _node_url(e, "STRING")  # noqa: E731
+    corpus = spark.sql(
+        f"""
+        WITH n AS (SELECT COUNT(*) AS cnt FROM documents)
+        SELECT {u('doc_id')} AS url,
+               encode('<html><body>'
+                   || '<a href="' || {u('(2*doc_id+1) % cnt')} || '">a</a>'
+                   || '<a href="' || {u('(3*doc_id+7) % cnt')} || '">b</a>'
+                   || '</body></html>', 'utf-8') AS html
+        FROM documents CROSS JOIN n
+        """
+    )
+    seeds = spark.sql(
+        f"SELECT {u('doc_id')} AS url FROM documents WHERE doc_id < 3"
+    )
+    return expand_frontier(corpus, seeds, max_depth=_REACH_DEPTH).orderBy("url")
+
+
+def _reach_oracle() -> str:
+    u = lambda e: _node_url(e, "VARCHAR")  # noqa: E731
+    return f"""
+WITH RECURSIVE n AS (SELECT COUNT(*) AS cnt FROM documents),
+edges AS (
+    SELECT {u('doc_id')} AS src, {u('(2*doc_id+1) % cnt')} AS dst
+    FROM documents CROSS JOIN n
+    UNION ALL
+    SELECT {u('doc_id')}, {u('(3*doc_id+7) % cnt')}
+    FROM documents CROSS JOIN n
+),
+reach AS (
+    SELECT {u('doc_id')} AS url, 0 AS depth FROM documents WHERE doc_id < 3
+    UNION
+    SELECT e.dst, r.depth + 1
+    FROM reach r JOIN edges e ON e.src = r.url
+    WHERE r.depth < {_REACH_DEPTH}
+)
+SELECT url, CAST(MIN(depth) AS INTEGER) AS depth
+FROM reach GROUP BY url ORDER BY url
+"""
+
+
+_register(
+    "link_graph_reach",
+    QueryDef(
+        build=_reach_build,
+        oracle=_reach_oracle(),
+        doc=(
+            "frontier expansion: min-hop BFS from seeds over REAL "
+            "extract_links edges (join + anti-join per hop, checkpointed "
+            "lineage) vs recursive-CTE closure with MIN(depth)"
+        ),
+    ),
+)
+
+
 # Changefreq-driven recrawl scheduling (frontier/schedule.py recrawl_plan):
 # the scheduling half of the sitemap <changefreq> field the parser extracts
 # (P9) — interval mapping with 'never' exclusion and invalid→daily default,

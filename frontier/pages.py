@@ -45,6 +45,7 @@ from frontier.schemas import PAGES_CORPUS_SCHEMA
 
 __all__ = [
     "PAGES_CORPUS_SCHEMA",
+    "expand_frontier",
     "extract_links",
     "extract_text",
     "html_outlinks",
@@ -228,6 +229,61 @@ def extract_links(
     return pages.mapInPandas(kernel, schema).select(
         url_col, F.explode("outlinks").alias("outlink")
     )
+
+
+def expand_frontier(
+    corpus: DataFrame,
+    seeds: DataFrame,
+    max_depth: int = 3,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """Link-graph BFS over a fetched pages corpus: every URL reachable from
+    the seed set within ``max_depth`` ``<a href>`` hops, tagged with its
+    MINIMUM hop depth — the "grow the frontier beyond sitemaps" loop run
+    against an already-captured corpus (recrawl planning, coverage audits,
+    seed-set expansion).
+
+    Shape: :func:`extract_links` materializes the edge list ONCE (the
+    expensive HTML pass never re-runs — the edge frame is checkpointed up
+    front, same rationale as ``connected_components``' ``sym``), then each
+    hop is one equality join frontier×edges plus one anti-join against the
+    visited set, all on compact URL strings — page bodies never move after
+    the kernel pass.  The visited set is ``localCheckpoint``-ed per round:
+    the growing union otherwise doubles the logical plan every hop (on a
+    cluster prefer ``setCheckpointDir`` + ``.checkpoint()``).  Early-exits
+    when a hop discovers nothing.  At 10¹⁰ URLs, swap the plain anti-join
+    for :class:`frontier.dedup.UrlSeenSet`'s Bloom-prefiltered one and key
+    edges on 64-bit hashes; rounds stay O(max_depth).
+
+    Returns ``(url, depth)`` — BFS first-visit depth is the minimum depth.
+    """
+    edges = (
+        extract_links(corpus, html_col=html_col, url_col=url_col)
+        .select(F.col(url_col).alias("_src"), F.col("outlink").alias("_dst"))
+        .localCheckpoint()
+    )
+    visited = (
+        seeds.select(F.col(url_col).alias("url"))
+        .distinct()
+        .withColumn("depth", F.lit(0).cast("int"))
+        .localCheckpoint()
+    )
+    frontier = visited
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(edges, frontier["url"] == edges["_src"])
+            .select(F.col("_dst").alias("url"))
+            .distinct()
+            .join(visited, "url", "left_anti")
+            .withColumn("depth", F.lit(depth).cast("int"))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.union(nxt).localCheckpoint()
+        frontier = nxt
+    return visited
 
 
 def seeds_from_pages(pages: DataFrame, url_col: str = "url") -> DataFrame:

@@ -176,6 +176,50 @@ def test_extract_links_edges_and_plan(spark):
     assert "Exchange" not in plan
 
 
+def _link_corpus(spark, adjacency):
+    """Tiny corpus where page u links to adjacency[u]."""
+    rows = [
+        (
+            f"http://x.com/{u}",
+            "".join(f'<a href="/{v}">l</a>' for v in vs).encode(),
+        )
+        for u, vs in adjacency.items()
+    ]
+    return spark.createDataFrame(rows, "url string, html binary")
+
+
+def test_expand_frontier_min_depth_and_cycle(spark):
+    from frontier.pages import expand_frontier
+
+    # a->b->c->a cycle, a->d, d->c (c reachable at depth 2 via d, 2 via b),
+    # e isolated, f unreachable from a
+    corpus = _link_corpus(
+        spark,
+        {"a": ["b", "d"], "b": ["c"], "c": ["a"], "d": ["c"], "f": ["a"]},
+    )
+    seeds = spark.createDataFrame([("http://x.com/a",)], "url string")
+    got = {
+        r["url"].rsplit("/", 1)[1]: r["depth"]
+        for r in expand_frontier(corpus, seeds, max_depth=5).collect()
+    }
+    assert got == {"a": 0, "b": 1, "d": 1, "c": 2}
+
+
+def test_expand_frontier_depth_cap_and_seed_dedup(spark):
+    from frontier.pages import expand_frontier
+
+    # chain a->b->c->d; cap at 2 hops; duplicate seed rows collapse
+    corpus = _link_corpus(spark, {"a": ["b"], "b": ["c"], "c": ["d"]})
+    seeds = spark.createDataFrame(
+        [("http://x.com/a",), ("http://x.com/a",)], "url string"
+    )
+    got = {
+        r["url"].rsplit("/", 1)[1]: r["depth"]
+        for r in expand_frontier(corpus, seeds, max_depth=2).collect()
+    }
+    assert got == {"a": 0, "b": 1, "c": 2}
+
+
 # --- corpus → seeds → sitemap crawl integration ----------------------------------
 
 
