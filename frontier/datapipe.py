@@ -1603,6 +1603,122 @@ _register(
 )
 
 
+# Anchor-text extraction (frontier/pages.py extract_anchors): the labeled
+# edge list — (url, outlink, anchor) with the anchor text of each outlink's
+# first occurrence, entities decoded, first-wins on duplicate hrefs, empty
+# anchor for contentless (image) links. Same real-kernel-vs-closed-form
+# pattern as html_outlinks.
+def _anchors_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pages import extract_anchors
+
+    _load(spark, sf_dir, "documents")
+    pages = spark.sql(
+        """
+        SELECT 'http://' || source || '.example.com/dir/d'
+                   || CAST(doc_id AS STRING) || '.html' AS url,
+               encode('<html><body>'
+                   || '<a href="rel' || CAST(doc_id AS STRING)
+                   || '.html">Doc ' || CAST(doc_id AS STRING)
+                   || ' &amp; co</a>'
+                   || '<a href="http://ext.example.org/abs'
+                   || CAST(doc_id % 13 AS STRING) || '"/>'
+                   || '<a href="rel' || CAST(doc_id AS STRING)
+                   || '.html">second spelling loses</a>'
+                   || '</body></html>', 'utf-8') AS html
+        FROM documents
+        """
+    )
+    return extract_anchors(pages).orderBy("url", "outlink")
+
+
+_ANCHORS_ORACLE = """
+WITH pages AS (
+    SELECT 'http://' || source || '.example.com' AS origin,
+           'http://' || source || '.example.com/dir/d'
+               || CAST(doc_id AS VARCHAR) || '.html' AS url,
+           doc_id
+    FROM documents
+)
+SELECT url, outlink, anchor FROM (
+    SELECT url, origin || '/dir/rel' || CAST(doc_id AS VARCHAR)
+               || '.html' AS outlink,
+           'Doc ' || CAST(doc_id AS VARCHAR) || ' & co' AS anchor
+    FROM pages
+    UNION ALL
+    SELECT url, 'http://ext.example.org/abs' || CAST(doc_id % 13 AS VARCHAR),
+           ''
+    FROM pages
+)
+ORDER BY url, outlink
+"""
+
+_register(
+    "anchor_texts",
+    QueryDef(
+        build=_anchors_build,
+        oracle=_ANCHORS_ORACLE,
+        doc=(
+            "labeled link edges: (url, outlink, anchor) via the real "
+            "kernel (entity decode, first-wins dedup, empty image-link "
+            "anchors) vs closed-form expected pairs"
+        ),
+    ),
+)
+
+
+# Host-level link graph (frontier/pages.py host_link_graph): page edges →
+# weighted (src_host, dst_host, n_links) with self-host edges dropped — the
+# aggregation that feeds host_pagerank. Spark runs extract_links (real
+# kernel) then the partial-agg groupBy; the oracle restates the expected
+# host pairs closed-form.
+def _hostgraph_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pages import extract_links, host_link_graph
+
+    _load(spark, sf_dir, "documents")
+    pages = spark.sql(
+        """
+        SELECT 'http://' || source || '.example.com/d'
+                   || CAST(doc_id AS STRING) || '.html' AS url,
+               encode('<html><body>'
+                   || '<a href="self' || CAST(doc_id AS STRING)
+                   || '.html">self edge drops</a>'
+                   || '<a href="http://h' || CAST(doc_id % 7 AS STRING)
+                   || '.example.net/p' || CAST(doc_id AS STRING) || '">x</a>'
+                   || '<a href="http://ext.example.org/e'
+                   || CAST(doc_id % 13 AS STRING) || '">y</a>'
+                   || '</body></html>', 'utf-8') AS html
+        FROM documents
+        """
+    )
+    return host_link_graph(extract_links(pages)).orderBy("src_host", "dst_host")
+
+
+_HOSTGRAPH_ORACLE = """
+SELECT src_host, dst_host, COUNT(*) AS n_links FROM (
+    SELECT source || '.example.com' AS src_host,
+           'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.net' AS dst_host
+    FROM documents
+    UNION ALL
+    SELECT source || '.example.com', 'ext.example.org' FROM documents
+)
+GROUP BY src_host, dst_host
+ORDER BY src_host, dst_host
+"""
+
+_register(
+    "host_link_graph",
+    QueryDef(
+        build=_hostgraph_build,
+        oracle=_HOSTGRAPH_ORACLE,
+        doc=(
+            "page edges -> weighted host graph (self-host edges dropped) "
+            "via one partial-agg groupBy on host strings; feeds "
+            "host_pagerank"
+        ),
+    ),
+)
+
+
 # Link-graph BFS frontier expansion (frontier/pages.py expand_frontier):
 # min-hop reachability from a seed set over the corpus's REAL extracted
 # edges (extract_links kernel), O(max_depth) rounds of join + anti-join on

@@ -46,8 +46,11 @@ from frontier.schemas import PAGES_CORPUS_SCHEMA
 __all__ = [
     "PAGES_CORPUS_SCHEMA",
     "expand_frontier",
+    "extract_anchors",
     "extract_links",
     "extract_text",
+    "host_link_graph",
+    "html_anchors",
     "html_outlinks",
     "html_to_text",
     "latest_capture",
@@ -140,38 +143,74 @@ def extract_text(
 
 
 class _LinkCollector(HTMLParser):
-    """Collects raw ``<a href>`` values in document order."""
+    """Collects ``(href, anchor text)`` pairs in document order.  Anchor
+    text is the concatenated character data between ``<a href>`` and the
+    matching ``</a>`` (entities decoded by ``convert_charrefs``),
+    whitespace-stripped; a dangling anchor flushes at document end."""
 
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
-        self.hrefs: list[str] = []
+        self.links: list[tuple[str, str]] = []
+        self._href: str | None = None
+        self._text: list[str] = []
+
+    def _flush(self) -> None:
+        if self._href is not None:
+            self.links.append((self._href, "".join(self._text).strip()))
+        self._href, self._text = None, []
 
     def handle_starttag(self, tag, attrs) -> None:
         if tag == "a":
+            self._flush()  # nested/unclosed <a>: the new anchor supersedes
             for name, value in attrs:
                 if name == "href" and value:
-                    self.hrefs.append(value)
+                    self._href = value
                     break
 
-    handle_startendtag = handle_starttag
+    def handle_startendtag(self, tag, attrs) -> None:
+        self.handle_starttag(tag, attrs)
+        if tag == "a":
+            self._flush()
+
+    def handle_endtag(self, tag) -> None:
+        if tag == "a":
+            self._flush()
+
+    def handle_data(self, data: str) -> None:
+        if self._href is not None:
+            self._text.append(data)
+
+    def close(self) -> None:
+        super().close()
+        self._flush()
 
 
 _SKIP_SCHEMES = ("javascript:", "mailto:", "tel:", "data:")
 
 
-def html_outlinks(html: bytes | str | None, base_url: str) -> list[str]:
-    """Absolute, defragmented http(s) outlinks of one page, first-occurrence
-    deduped.  The per-href contract:
+def _resolve_href(href: str, base_url: str) -> str | None:
+    """One href → absolute defragmented http(s) URL, or None if skipped.
 
-    1. only ``<a href>`` counts (not ``<link>``/``<img>`` — frontier edges,
-       not assets);
-    2. empty, fragment-only, and ``javascript:``/``mailto:``/``tel:``/
+    1. empty, fragment-only, and ``javascript:``/``mailto:``/``tel:``/
        ``data:`` hrefs are skipped;
-    3. relative hrefs resolve against ``base_url`` (RFC 3986 via stdlib
+    2. relative hrefs resolve against ``base_url`` (RFC 3986 via stdlib
        ``urljoin``), fragments are stripped;
-    4. anything that doesn't resolve to ``http(s)://`` is skipped;
-    5. malformed markup or an unresolvable href never raises.
+    3. anything that doesn't resolve to ``http(s)://`` is skipped;
+    4. an unresolvable href (ValueError) never raises.
     """
+    href = href.strip()
+    if not href or href.startswith("#") or href.lower().startswith(_SKIP_SCHEMES):
+        return None
+    try:
+        resolved = urldefrag(urljoin(base_url, href)).url
+    except ValueError:
+        return None
+    if not resolved.lower().startswith(("http://", "https://")):
+        return None
+    return resolved
+
+
+def _collect_links(html: bytes | str | None) -> list[tuple[str, str]]:
     if html is None:
         return []
     if isinstance(html, (bytes, bytearray, memoryview)):
@@ -179,21 +218,38 @@ def html_outlinks(html: bytes | str | None, base_url: str) -> list[str]:
     collector = _LinkCollector()
     collector.feed(html)
     collector.close()
+    return collector.links
+
+
+def html_outlinks(html: bytes | str | None, base_url: str) -> list[str]:
+    """Absolute, defragmented http(s) outlinks of one page, first-occurrence
+    deduped.  Only ``<a href>`` counts (not ``<link>``/``<img>`` — frontier
+    edges, not assets); per-href skip/resolve rules are
+    :func:`_resolve_href`'s; malformed markup never raises.
+    """
     out: list[str] = []
     seen: set[str] = set()
-    for href in collector.hrefs:
-        href = href.strip()
-        if not href or href.startswith("#") or href.lower().startswith(_SKIP_SCHEMES):
-            continue
-        try:
-            resolved = urldefrag(urljoin(base_url, href)).url
-        except ValueError:
-            continue
-        if not resolved.lower().startswith(("http://", "https://")):
-            continue
-        if resolved not in seen:
+    for href, _text in _collect_links(html):
+        resolved = _resolve_href(href, base_url)
+        if resolved is not None and resolved not in seen:
             seen.add(resolved)
             out.append(resolved)
+    return out
+
+
+def html_anchors(html: bytes | str | None, base_url: str) -> list[tuple[str, str]]:
+    """``(outlink, anchor text)`` pairs of one page — same link contract as
+    :func:`html_outlinks` (first occurrence per resolved URL wins, so each
+    outlink carries the anchor text of its first appearance).  Anchor text
+    is the web's labeled-edge training signal: entity-decoded, stripped,
+    possibly empty (image links)."""
+    out: list[tuple[str, str]] = []
+    seen: set[str] = set()
+    for href, text in _collect_links(html):
+        resolved = _resolve_href(href, base_url)
+        if resolved is not None and resolved not in seen:
+            seen.add(resolved)
+            out.append((resolved, text))
     return out
 
 
@@ -228,6 +284,80 @@ def extract_links(
 
     return pages.mapInPandas(kernel, schema).select(
         url_col, F.explode("outlinks").alias("outlink")
+    )
+
+
+def extract_anchors(
+    pages: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """``(url, outlink, anchor)`` labeled edge list from a pages corpus —
+    :func:`extract_links` plus the anchor text of each outlink's first
+    occurrence.  Same shuffle-free Arrow shape: one kernel row per page,
+    explode on the already-deduped array."""
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            pages.schema[url_col],
+            T.StructField(
+                "links",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("outlink", T.StringType()),
+                            T.StructField("anchor", T.StringType()),
+                        ]
+                    )
+                ),
+            ),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            yield pd.DataFrame(
+                {
+                    url_col: batch[url_col],
+                    "links": [
+                        html_anchors(h, u)
+                        for h, u in zip(batch[html_col], batch[url_col])
+                    ],
+                }
+            )
+
+    return (
+        pages.mapInPandas(kernel, schema)
+        .select(url_col, F.explode("links").alias("_l"))
+        .select(url_col, F.col("_l.outlink").alias("outlink"),
+                F.col("_l.anchor").alias("anchor"))
+    )
+
+
+def host_link_graph(
+    edges: DataFrame, src_col: str = "url", dst_col: str = "outlink"
+) -> DataFrame:
+    """Weighted host-level link graph from a page-level edge list:
+    ``(src_host, dst_host, n_links)``, self-host edges dropped — the
+    aggregation that turns :func:`extract_links` output into the input of
+    ``host_pagerank`` domain-quality propagation.
+
+    One partial-aggregated ``groupBy`` on two short host strings; at 10¹⁰
+    edges the map-side combine collapses each partition to its distinct
+    host pairs (bounded by hosts², not edges) before the exchange."""
+    from frontier.urlnorm import host_expr
+
+    return (
+        edges.select(
+            host_expr(src_col).alias("src_host"),
+            host_expr(dst_col).alias("dst_host"),
+        )
+        .filter(
+            F.col("src_host").isNotNull()
+            & F.col("dst_host").isNotNull()
+            & (F.col("src_host") != F.col("dst_host"))
+        )
+        .groupBy("src_host", "dst_host")
+        .agg(F.count("*").alias("n_links"))
     )
 
 

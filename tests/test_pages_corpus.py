@@ -8,8 +8,11 @@ from pyspark.sql import functions as F
 
 from frontier.pages import (
     PAGES_CORPUS_SCHEMA,
+    extract_anchors,
     extract_links,
     extract_text,
+    host_link_graph,
+    html_anchors,
     html_outlinks,
     html_to_text,
     latest_capture,
@@ -156,6 +159,58 @@ def test_html_outlinks_order_and_dedup():
 def test_html_outlinks_bad_base_never_raises():
     # urljoin raises ValueError on an unmatched IPv6 bracket — skipped, not raised
     assert html_outlinks(b'<a href="x">b</a>', "http://[") == []
+
+
+@pytest.mark.parametrize(
+    "html,expected",
+    [
+        (b'<a href="c.html">go &amp; see</a>',
+         [("http://h.example.com/a/b/c.html", "go & see")]),
+        # first occurrence's anchor wins on duplicate hrefs
+        (b'<a href="c.html">first</a><a href="c.html">second</a>',
+         [("http://h.example.com/a/b/c.html", "first")]),
+        # contentless (image) link -> empty anchor
+        (b'<a href="c.html"><img src="i.png"/></a>',
+         [("http://h.example.com/a/b/c.html", "")]),
+        # unclosed anchor: superseded by the next one, dangling flushes at EOF
+        (b'<a href="c.html">one<a href="d.html">two',
+         [("http://h.example.com/a/b/c.html", "one"),
+          ("http://h.example.com/a/b/d.html", "two")]),
+        # text inside nested inline tags accumulates
+        (b'<a href="c.html">a <b>bold</b> link</a>',
+         [("http://h.example.com/a/b/c.html", "a bold link")]),
+        (b'<a href="#top">skipped</a>', []),
+    ],
+)
+def test_html_anchors_contract(html, expected):
+    assert html_anchors(html, _BASE) == expected
+
+
+def test_extract_anchors_dataframe(spark):
+    pages = spark.createDataFrame(
+        [("http://h0.com/", b'<a href="/a">go</a><a href="mailto:x">m</a>')],
+        "url string, html binary",
+    )
+    rows = extract_anchors(pages).collect()
+    assert [tuple(r) for r in rows] == [("http://h0.com/", "http://h0.com/a", "go")]
+
+
+def test_host_link_graph_weights_and_self_drop(spark):
+    edges = spark.createDataFrame(
+        [
+            ("http://a.com/1", "http://b.com/x"),
+            ("http://a.com/2", "http://b.com/y"),
+            ("http://a.com/1", "http://a.com/self"),  # self-host: dropped
+            ("http://b.com/1", "http://a.com/z"),
+            ("not a url", "http://b.com/x"),  # null src host: dropped
+        ],
+        "url string, outlink string",
+    )
+    got = {
+        (r["src_host"], r["dst_host"]): r["n_links"]
+        for r in host_link_graph(edges).collect()
+    }
+    assert got == {("a.com", "b.com"): 2, ("b.com", "a.com"): 1}
 
 
 def test_extract_links_edges_and_plan(spark):
