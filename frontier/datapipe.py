@@ -1874,6 +1874,110 @@ _register(
 )
 
 
+# Recrawl e2e: changefreq plan -> due filter -> per-host politeness top-k
+# ranked by (priority desc, overdue desc) — the full "what do we fetch next
+# round" answer, composing recrawl_plan with the salted fetch_plan queue so
+# urgency is only ever ordered within a host partition (never a global
+# sort). The salted two-level top-k must equal the oracle's plain window
+# rank — that equivalence IS the assertion.
+_RECRAWL_BUDGET = 5
+
+
+def _recrawl_fetch_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .schedule import fetch_plan, recrawl_plan
+
+    _load(spark, sf_dir, "documents")
+    frontier = spark.sql(
+        """
+        SELECT 'http://h' || CAST(doc_id % 23 AS STRING) || '.example.com/p'
+                   || CAST(doc_id AS STRING) AS url,
+               timestampadd(HOUR, - CAST(doc_id % 2000 AS INT),
+                   TIMESTAMP '2025-06-01 00:00:00') AS lastmod,
+               element_at(array('always','hourly','daily','weekly','monthly',
+                   'yearly','never','purple'), CAST(doc_id % 8 AS INT) + 1)
+                   AS changefreq,
+               CAST(doc_id % 11 AS DOUBLE) / 10.0 AS priority
+        FROM documents
+        """
+    )
+    due = recrawl_plan(frontier, _RECRAWL_AS_OF).filter("due")
+    plan = fetch_plan(
+        due,
+        budget_per_host=_RECRAWL_BUDGET,
+        url_col="url",
+        salt_buckets=8,
+        ordered=(F.col("priority").desc(), F.col("overdue_s").desc(),
+                 F.col("url")),
+    )
+    return plan.select(
+        "canonical_host", "url", "fetch_rank", "overdue_s", "priority"
+    ).orderBy("canonical_host", "fetch_rank")
+
+
+_RECRAWL_FETCH_ORACLE = f"""
+WITH frontier AS (
+    SELECT 'http://h' || CAST(doc_id % 23 AS VARCHAR) || '.example.com/p'
+               || CAST(doc_id AS VARCHAR) AS url,
+           'h' || CAST(doc_id % 23 AS VARCHAR) || '.example.com'
+               AS canonical_host,
+           TIMESTAMP '2025-06-01 00:00:00'
+               - INTERVAL 1 HOUR * (doc_id % 2000) AS lastmod,
+           (['always','hourly','daily','weekly','monthly','yearly','never',
+             'purple'])[CAST(doc_id % 8 AS INT) + 1] AS changefreq,
+           CAST(doc_id % 11 AS DOUBLE) / 10.0 AS priority
+    FROM documents
+),
+plan AS (
+    SELECT url, canonical_host, priority,
+           CASE lower(trim(changefreq))
+               WHEN 'never' THEN NULL
+               WHEN 'always' THEN 300
+               WHEN 'hourly' THEN 3600
+               WHEN 'daily' THEN 86400
+               WHEN 'weekly' THEN 604800
+               WHEN 'monthly' THEN 2592000
+               WHEN 'yearly' THEN 31536000
+               ELSE 86400 END AS interval_s,
+           date_diff('second', lastmod,
+               TIMESTAMP '{_RECRAWL_AS_OF}') AS age_s
+    FROM frontier
+),
+due AS (
+    SELECT url, canonical_host, priority,
+           CAST(age_s - interval_s AS BIGINT) AS overdue_s
+    FROM plan
+    WHERE interval_s IS NOT NULL AND age_s - interval_s >= 0
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY canonical_host
+               ORDER BY priority DESC, overdue_s DESC, url
+           ) AS fetch_rank
+    FROM due
+)
+SELECT canonical_host, url, CAST(fetch_rank AS INTEGER) AS fetch_rank,
+       overdue_s, priority
+FROM ranked
+WHERE fetch_rank <= {_RECRAWL_BUDGET}
+ORDER BY canonical_host, fetch_rank
+"""
+
+_register(
+    "recrawl_fetch_plan",
+    QueryDef(
+        build=_recrawl_fetch_build,
+        oracle=_RECRAWL_FETCH_ORACLE,
+        doc=(
+            "recrawl e2e: due filter -> salted per-host top-k by (priority "
+            "desc, overdue desc) — salted two-level rank must equal the "
+            "plain window oracle"
+        ),
+    ),
+)
+
+
 # URL canonicalization dedup (frontier/urlnorm.py — crawl-core): messy URL
 # spellings synthesized from `documents` collapse to canonical
 # representatives; variants counted, earliest original kept (first-wins).

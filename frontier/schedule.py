@@ -32,10 +32,12 @@ def fetch_plan(
     budget_per_host: int,
     url_col: str = "page_url",
     salt_buckets: int = 0,
+    ordered: tuple | None = None,
 ) -> DataFrame:
     """Next-round fetch plan: top-``budget_per_host`` URLs per host ordered by
     (priority desc, last_modified desc, url) — the north rule's priority
-    queue.
+    queue.  Pass ``ordered`` (a tuple of Column sort keys forming a TOTAL
+    order) to rank by a different urgency, e.g. recrawl overdue-ness.
 
     ``salt_buckets > 0`` enables mega-host skew handling: a two-level top-k —
     per (host, salt) bucket first (parallel, bounded state), then a cheap
@@ -43,8 +45,9 @@ def fetch_plan(
     Both levels use the same total order, so the result is identical to the
     unsalted plan.
     """
-    ordered = (F.col("priority").desc(), F.col("last_modified").desc_nulls_last(),
-               F.col(url_col))
+    if ordered is None:
+        ordered = (F.col("priority").desc(),
+                   F.col("last_modified").desc_nulls_last(), F.col(url_col))
     df = with_canonical_host(pages, url_col)
 
     if salt_buckets > 0:
