@@ -332,6 +332,35 @@ def stream_first_seen(
     )
 
 
+def stream_outlinks(fetches: DataFrame) -> DataFrame:
+    """Stateless streaming link discovery: :func:`frontier.pages.
+    html_outlinks` over successful fetch bodies, resolved against the
+    post-redirect URL — the SAME kernel as batch ``extract_links``, so the
+    discovered edge stream is identical to a batch pass over the same rows
+    (exactly-once sinks get exactly-once edges).
+
+    Output ``(url, fetch_ts, outlink, host)`` — host is the OUTLINK's host,
+    ready for the first-seen dedup stream (keyed per host) or windowed
+    per-host discovery metrics.  Discovered edges land in the next batch
+    wave's seed list; recursion itself stays batch (module docstring).
+    """
+    from frontier.pages import extract_links
+    from frontier.urlnorm import host_expr
+
+    ok = fetches.filter(
+        F.col("status").isNotNull()
+        & (F.col("status") >= 200)
+        & (F.col("status") < 300)
+    ).select(
+        F.coalesce("final_url", "url").alias("url"),
+        F.col("body").alias("html"),
+        "fetch_ts",
+    )
+    return extract_links(ok, extra_cols=("fetch_ts",)).withColumn(
+        "host", host_expr("outlink")
+    )
+
+
 def run_available_now(
     df: DataFrame, checkpoint_dir: str, query_name: str, output_mode: str = "append"
 ):

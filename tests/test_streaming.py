@@ -303,3 +303,39 @@ def test_stream_politeness_gate_budget_per_batch(spark, tmp_path):
     assert by_url["http://h1.example.com/e.xml"].admitted
     assert by_url["http://h1.example.com/d.xml"].served_total == 4
     assert by_url["http://h2.example.com/a.xml"].served_total == 1
+
+
+def test_stream_outlinks_matches_batch_kernel(spark, tmp_path):
+    """Stateless streaming link discovery: edges identical to a batch
+    extract_links pass over the same rows; failures and redirects handled."""
+    import datetime as dt
+
+    from frontier.streaming import stream_outlinks
+
+    landing = str(tmp_path / "landing_links")
+    t0 = dt.datetime(2025, 6, 1, 12, 0, 0)
+    html = b'<a href="/a">a</a><a href="b.html">b</a><a href="#x">skip</a>'
+    _land(
+        spark,
+        landing,
+        [
+            # redirected fetch: links resolve against final_url, not url
+            ("http://h3.example.com/p", "http://h3.example.com/dir/p.html",
+             200, "text/html", html, t0),
+            ("http://h4.example.com/gone", None, 404, None, None, t0),
+            ("http://h5.example.com/null-status", None, None, None, html, t0),
+        ],
+    )
+    edges = stream_outlinks(read_fetch_stream(spark, landing))
+    assert edges.isStreaming
+    run_available_now(edges, str(tmp_path / "ck3"), "edges_sink")
+    rows = sorted(
+        (r.url, r.outlink, r.host, r.fetch_ts)
+        for r in spark.sql("SELECT * FROM edges_sink").collect()
+    )
+    assert rows == [
+        ("http://h3.example.com/dir/p.html", "http://h3.example.com/a",
+         "h3.example.com", t0),
+        ("http://h3.example.com/dir/p.html", "http://h3.example.com/dir/b.html",
+         "h3.example.com", t0),
+    ]
