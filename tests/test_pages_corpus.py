@@ -231,6 +231,41 @@ def test_extract_links_edges_and_plan(spark):
     assert "Exchange" not in plan
 
 
+try:
+    from hypothesis import given, settings, strategies as st
+
+    _HAS_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    _HAS_HYPOTHESIS = False
+
+
+if _HAS_HYPOTHESIS:
+
+    @given(
+        html=st.one_of(st.binary(max_size=400), st.text(max_size=400)),
+        base=st.one_of(
+            st.just("http://h.example.com/a/b.html"),
+            st.just("https://h.com"),
+            st.just("http://["),  # malformed base
+            st.text(max_size=40),
+        ),
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_html_outlinks_fuzz_invariants(html, base):
+        """The kernel never raises on arbitrary input and its outputs obey
+        the contract: absolute http(s), defragmented, deduped; html_anchors
+        yields the same links in the same order with string anchors."""
+        links = html_outlinks(html, base)
+        anchors = html_anchors(html, base)
+        assert [a[0] for a in anchors] == links
+        assert len(set(links)) == len(links)
+        for link in links:
+            assert link.lower().startswith(("http://", "https://"))
+            assert "#" not in link  # urldefrag splits at the first '#'
+        for _, text in anchors:
+            assert isinstance(text, str)
+
+
 def _link_corpus(spark, adjacency):
     """Tiny corpus where page u links to adjacency[u]."""
     rows = [
