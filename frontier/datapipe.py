@@ -2732,3 +2732,199 @@ _register(
         .replace("{N}", str(_SHARD_N)),
     ),
 )
+
+
+# =============================================================================
+# G. Round-3 widening: incremental-crawl diff, crawl-prioritization rollup,
+#    cross-host mirror detection, corpus vocabulary stats.
+# =============================================================================
+
+# Incremental crawl: URL-level change classification between two corpus
+# snapshots (frontier/pages.py snapshot_diff). 'changed' ∪ 'added' is next
+# round's fetch list. Spark runs the real operator (map-side md5 collapse →
+# full outer join on url — bodies never shuffle); the oracle restates it in
+# DuckDB over the same synthesized snapshot pair: old = doc_id % 7 ≠ 0,
+# new = doc_id % 5 ≠ 0 with every third doc's text modified.
+def _snapdiff_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pages import snapshot_diff
+
+    _load(spark, sf_dir, "documents")
+    old = spark.sql(
+        """
+        SELECT 'http://' || source || '.example.com/d'
+                   || CAST(doc_id AS STRING) || '.html' AS url, text
+        FROM documents WHERE doc_id % 7 <> 0
+        """
+    )
+    new = spark.sql(
+        """
+        SELECT 'http://' || source || '.example.com/d'
+                   || CAST(doc_id AS STRING) || '.html' AS url,
+               CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END AS text
+        FROM documents WHERE doc_id % 5 <> 0
+        """
+    )
+    return snapshot_diff(old, new).orderBy("url")
+
+
+_SNAPDIFF_ORACLE = """
+WITH snap_old AS (
+    SELECT 'http://' || source || '.example.com/d'
+               || CAST(doc_id AS VARCHAR) || '.html' AS url,
+           md5(text) AS old_fp
+    FROM documents WHERE doc_id % 7 <> 0
+),
+snap_new AS (
+    SELECT 'http://' || source || '.example.com/d'
+               || CAST(doc_id AS VARCHAR) || '.html' AS url,
+           md5(CASE WHEN doc_id % 3 = 0 THEN text || ' v2'
+                    ELSE text END) AS new_fp
+    FROM documents WHERE doc_id % 5 <> 0
+)
+SELECT COALESCE(o.url, n.url) AS url,
+       CASE WHEN o.url IS NULL THEN 'added'
+            WHEN n.url IS NULL THEN 'removed'
+            WHEN o.old_fp = n.new_fp THEN 'unchanged'
+            ELSE 'changed' END AS change,
+       o.old_fp AS old_fp, n.new_fp AS new_fp
+FROM snap_old o FULL OUTER JOIN snap_new n ON o.url = n.url
+ORDER BY url
+"""
+
+_register(
+    "crawl_snapshot_diff",
+    QueryDef(
+        build=_snapdiff_build,
+        oracle=_SNAPDIFF_ORACLE,
+        doc="incremental-crawl snapshot diff: added/removed/changed/"
+            "unchanged per url via map-side md5 + full outer join "
+            "(bodies never shuffle)",
+    ),
+)
+
+
+# Crawl prioritization from content signals: per-host corpus rollup —
+# volume, exact mean chars/token (SUM/SUM IEEE division, never AVG), english
+# share, and a deterministic crawl rank. One partial-agg groupBy on a short
+# host string; the final rank is a window over |hosts| rows (tiny at any
+# corpus scale — hosts, not pages).
+_HOST_ROLLUP_SQL = """
+WITH per_doc AS (
+    SELECT source AS host, n_chars,
+           CAST(GREATEST(CAST(1 AS BIGINT),
+                CAST({SIZE}(words) AS BIGINT)) AS BIGINT) AS n_tokens,
+           CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en
+    FROM (SELECT source, lang, n_chars, {WORDS} AS words FROM documents) t
+)
+SELECT host,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_chars) AS DOUBLE) / CAST(SUM(n_tokens) AS DOUBLE)
+           AS chars_per_token,
+       CAST(SUM(is_en) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS en_share,
+       CAST(ROW_NUMBER() OVER (ORDER BY SUM(n_tokens) DESC, host) AS BIGINT)
+           AS crawl_rank
+FROM per_doc
+GROUP BY host
+ORDER BY host
+"""
+
+_register(
+    "host_quality_rollup",
+    _sql_query(
+        _HOST_ROLLUP_SQL.replace("{WORDS}", _SPARK_WORDS)
+        .replace("{SIZE}", "size"),
+        ("documents",),
+        "per-host content rollup for crawl prioritization: volume, exact "
+        "mean chars/token, english share, deterministic crawl rank",
+        oracle=_HOST_ROLLUP_SQL.replace("{WORDS}", _DUCK_WORDS)
+        .replace("{SIZE}", "len"),
+    ),
+)
+
+
+# Cross-host mirror detection (frontier/pages.py mirror_hosts): host pairs
+# serving identical content — the inter-site duplication per-URL dedup never
+# sees. Spark runs the real operator (distinct (host, fp) → capped
+# collect_set per fp → JVM-side pair fan-out, NEVER a fp⋈fp self-join); the
+# oracle states the naive self-join, which is equivalent below the cap. The
+# corpus plants mirror blocks: every 4th doc's text is one of 7 shared
+# boilerplate blocks, hosts are (source × doc_id%3).
+def _mirror_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pages import mirror_hosts
+
+    _load(spark, sf_dir, "documents")
+    pages = spark.sql(
+        """
+        SELECT source || '-' || CAST(doc_id % 3 AS STRING) AS host,
+               CASE WHEN doc_id % 4 = 0
+                    THEN 'mirror-block-' || CAST(doc_id % 7 AS STRING)
+                    ELSE text END AS text
+        FROM documents
+        """
+    )
+    return (
+        mirror_hosts(pages, max_hosts_per_fp=256)
+        .orderBy("host_a", "host_b")
+    )
+
+
+_MIRROR_ORACLE = """
+WITH fps AS (
+    SELECT DISTINCT source || '-' || CAST(doc_id % 3 AS VARCHAR) AS host,
+           md5(CASE WHEN doc_id % 4 = 0
+                    THEN 'mirror-block-' || CAST(doc_id % 7 AS VARCHAR)
+                    ELSE text END) AS fp
+    FROM documents
+)
+SELECT a.host AS host_a, b.host AS host_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM fps a JOIN fps b ON a.fp = b.fp AND a.host < b.host
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+_register(
+    "mirror_detect_hosts",
+    QueryDef(
+        build=_mirror_build,
+        oracle=_MIRROR_ORACLE,
+        doc="cross-host mirror detection: shared-content host pairs via "
+            "capped per-fingerprint host sets (no quadratic self-join)",
+    ),
+)
+
+
+# Corpus vocabulary stats: per-language top-k tokens by document frequency
+# (df), the stopword/vocab audit every corpus build runs. The one heavy
+# shuffle is the map-side-combined distinct on (lang, doc, token); df
+# partial-aggregates to |vocab| rows and the per-lang top-k windows over
+# vocab, not pages. Ties break on token text for engine-identical output.
+_TOKEN_DF_SQL = """
+WITH tok AS (
+    SELECT DISTINCT lang, doc_id, token
+    FROM (SELECT lang, doc_id, {EXPLODE} AS token FROM documents) t
+),
+df AS (
+    SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS doc_freq
+    FROM tok GROUP BY lang, token
+)
+SELECT lang, token, doc_freq, rnk FROM (
+    SELECT lang, token, doc_freq,
+           CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                ORDER BY doc_freq DESC, token) AS BIGINT) AS rnk
+    FROM df
+) r WHERE rnk <= 20
+ORDER BY lang, rnk
+"""
+
+_register(
+    "token_df_topk",
+    _sql_query(
+        _TOKEN_DF_SQL.replace("{EXPLODE}", f"explode({_SPARK_WORDS})"),
+        ("documents",),
+        "per-language top-k tokens by document frequency (vocabulary "
+        "audit): one combined distinct shuffle, windows over vocab only",
+        oracle=_TOKEN_DF_SQL.replace("{EXPLODE}", f"unnest({_DUCK_WORDS})"),
+    ),
+)

@@ -54,7 +54,9 @@ __all__ = [
     "html_outlinks",
     "html_to_text",
     "latest_capture",
+    "mirror_hosts",
     "seeds_from_pages",
+    "snapshot_diff",
 ]
 
 _SKIP_CONTENT = {"script", "style"}
@@ -439,6 +441,92 @@ def seeds_from_pages(pages: DataFrame, url_col: str = "url") -> DataFrame:
         .filter((F.col("_s") != "") & F.col("_h").isNotNull())
         .select(F.concat("_s", F.lit("://"), "_h", F.lit("/")).alias("seed"))
         .distinct()
+    )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """URL-level change classification between two crawl snapshots.
+
+    Inputs are one-row-per-URL corpus snapshots (the output shape of
+    :func:`latest_capture`).  Output: one row per URL present in either
+    snapshot — ``(url, change, old_fp, new_fp)`` with ``change`` ∈
+    {'added', 'removed', 'changed', 'unchanged'} and ``*_fp`` the md5 hex
+    fingerprint of that side's text (NULL on the absent side).  This is
+    the incremental-crawl primitive: 'changed' ∪ 'added' is next round's
+    fetch list, 'removed' feeds tombstones.
+
+    Scale shape: each side collapses map-side to ``(url, md5(text))``
+    BEFORE the join, so page bodies never cross an exchange; the full
+    outer join moves one 32-hex-char fingerprint per row, keyed by url.
+    With both snapshots bucketed by url (the natural frontier-table
+    layout) the join is co-located and needs no shuffle at all.
+    """
+    o = old.select(
+        F.col(url_col).alias("url"), F.md5(F.col(text_col)).alias("old_fp")
+    )
+    n = new.select(
+        F.col(url_col).alias("url"), F.md5(F.col(text_col)).alias("new_fp")
+    )
+    change = (
+        F.when(F.col("old_fp").isNull(), F.lit("added"))
+        .when(F.col("new_fp").isNull(), F.lit("removed"))
+        .when(F.col("old_fp") == F.col("new_fp"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return o.join(n, "url", "full_outer").select(
+        "url", change.alias("change"), "old_fp", "new_fp"
+    )
+
+
+def mirror_hosts(
+    pages: DataFrame,
+    host_col: str = "host",
+    text_col: str = "text",
+    max_hosts_per_fp: int = 64,
+) -> DataFrame:
+    """Cross-host mirror detection: host pairs sharing identical content.
+
+    Output: ``(host_a, host_b, n_shared)`` with ``host_a < host_b`` — the
+    number of distinct content fingerprints (md5 of text) both hosts
+    serve.  High-overlap pairs are mirror/CDN-alias candidates, the
+    inter-site duplication that per-URL dedup never sees.
+
+    Scale shape: text collapses map-side to 32-char fingerprints; a
+    partial-agg distinct on ``(host, fp)``; then ``collect_set(host)``
+    per fingerprint (NOT a fp⋈fp self-join — that is quadratic in a hot
+    fingerprint's host count with no cap point).  The host set per
+    fingerprint is capped at ``max_hosts_per_fp`` (deterministically:
+    sorted, first k) so a boilerplate fingerprint served by 10⁶ hosts
+    contributes a bounded pair fan-out instead of 10¹² rows; pairs are
+    generated JVM-side with higher-order array functions (no UDF).
+    """
+    fps = pages.select(
+        F.col(host_col).alias("host"), F.md5(F.col(text_col)).alias("fp")
+    ).distinct()
+    hosts = (
+        fps.groupBy("fp")
+        .agg(F.slice(F.sort_array(F.collect_set("host")), 1, max_hosts_per_fp)
+             .alias("hosts"))
+        .filter(F.size("hosts") >= 2)
+    )
+    pairs = hosts.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(hosts, (x, i) -> "
+                "transform(slice(hosts, i + 2, size(hosts)), "
+                "y -> struct(x AS host_a, y AS host_b))))"
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.groupBy(F.col("p.host_a").alias("host_a"),
+                      F.col("p.host_b").alias("host_b"))
+        .agg(F.count("*").alias("n_shared"))
     )
 
 

@@ -16,7 +16,9 @@ from frontier.pages import (
     html_outlinks,
     html_to_text,
     latest_capture,
+    mirror_hosts,
     seeds_from_pages,
+    snapshot_diff,
 )
 from frontier.synth import synth_crawl_corpus, synth_pages_corpus
 from frontier.waves import sitemap_tree_for_homepages
@@ -333,3 +335,88 @@ def test_corpus_seeds_drive_crawl(spark, tmp_path):
         ).distinct().collect()
     }
     assert hosts == {f"host{i}.example.com" for i in range(3)}
+
+
+# --- snapshot diff (incremental crawl) ------------------------------------------
+
+
+def test_snapshot_diff_classifies(spark):
+    import hashlib
+
+    old = spark.createDataFrame(
+        [("u/removed", "gone"), ("u/same", "stable"), ("u/edit", "v1")],
+        "url string, text string",
+    )
+    new = spark.createDataFrame(
+        [("u/same", "stable"), ("u/edit", "v2"), ("u/added", "fresh")],
+        "url string, text string",
+    )
+    rows = {r["url"]: r for r in snapshot_diff(old, new).collect()}
+    assert {u: r["change"] for u, r in rows.items()} == {
+        "u/removed": "removed",
+        "u/same": "unchanged",
+        "u/edit": "changed",
+        "u/added": "added",
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert rows["u/edit"]["old_fp"] == md5("v1")
+    assert rows["u/edit"]["new_fp"] == md5("v2")
+    assert rows["u/added"]["old_fp"] is None
+    assert rows["u/removed"]["new_fp"] is None
+
+
+def test_snapshot_diff_plan_bodies_never_shuffle(spark):
+    """The md5 collapse happens below the join exchange: the shuffled
+    projection carries (url, fp) only — the text column name must not
+    appear anywhere in the physical plan above the scan projections."""
+    old = spark.createDataFrame([("u", "body-old")], "url string, page_body string")
+    new = spark.createDataFrame([("u", "body-new")], "url string, page_body string")
+    plan = (
+        snapshot_diff(old, new, text_col="page_body")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "md5" in plan
+    # every Exchange (if any — tiny frames may broadcast) partitions on url,
+    # never on or with the body column
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "url" in line and "page_body" not in line
+
+
+# --- cross-host mirror detection -------------------------------------------------
+
+
+def test_mirror_hosts_pairs(spark):
+    pages = spark.createDataFrame(
+        [
+            ("h1", "shared-X"),
+            ("h2", "shared-X"),
+            ("h3", "shared-X"),
+            ("h2", "shared-Y"),
+            ("h4", "shared-Y"),
+            ("h1", "unique-1"),
+            ("h4", "unique-2"),
+            ("h2", "shared-X"),  # duplicate (host, text) counts once
+        ],
+        "host string, text string",
+    )
+    got = sorted(map(tuple, mirror_hosts(pages).collect()))
+    assert got == [
+        ("h1", "h2", 1),
+        ("h1", "h3", 1),
+        ("h2", "h3", 1),
+        ("h2", "h4", 1),
+    ]
+
+
+def test_mirror_hosts_cap_is_deterministic(spark):
+    """Above the cap, the host set is truncated to the sorted first k —
+    a bounded, reproducible fan-out instead of a quadratic blow-up."""
+    pages = spark.createDataFrame(
+        [(f"h{i}", "boilerplate") for i in range(5)],
+        "host string, text string",
+    )
+    got = sorted(map(tuple, mirror_hosts(pages, max_hosts_per_fp=3).collect()))
+    assert got == [("h0", "h1", 1), ("h0", "h2", 1), ("h1", "h2", 1)]
