@@ -51,6 +51,10 @@ BENCH_QUERIES = [
     "html_outlinks",
     "dedup_cluster_cc",
     "corpus_pipeline_e2e",
+    "crawl_snapshot_diff",
+    "host_quality_rollup",
+    "mirror_detect_hosts",
+    "token_df_topk",
 ]
 
 
