@@ -2928,3 +2928,131 @@ _register(
         oracle=_TOKEN_DF_SQL.replace("{EXPLODE}", f"unnest({_DUCK_WORDS})"),
     ),
 )
+
+
+# Link-discovery e2e: how the frontier grows beyond sitemaps, end to end —
+# outlink extraction (real HTML kernel) → in-degree per discovered URL →
+# seen-set anti-join → salted per-host politeness top-k ranked by
+# (n_refs desc, url). The urgency signal is the in-degree: URLs many pages
+# point at get fetched first. Each page links to one fresh internal URL, one
+# cross-host URL (colliding across pages → n_refs > 1), and one already-seen
+# URL; every 6th internal target is also pre-seen. Scale shape: edges stay
+# (src, dst) strings after the shuffle-free kernel; the anti-join and the
+# in-degree groupBy both partial-agg; the top-k never sorts globally.
+_DISCOVERY_BUDGET = 5
+
+
+def _discovery_fetch_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .pages import extract_links
+    from .schedule import fetch_plan
+
+    _load(spark, sf_dir, "documents")
+    pages = spark.sql(
+        """
+        SELECT 'http://' || source || '.example.com/dir/d'
+                   || CAST(doc_id AS STRING) || '.html' AS url,
+               encode('<html><body>'
+                   || '<a href="new' || CAST(doc_id AS STRING)
+                   || '.html">n</a>'
+                   || '<a href="http://h' || CAST(doc_id % 11 AS STRING)
+                   || '.example.net/x' || CAST(doc_id % 40 AS STRING)
+                   || '.html">c</a>'
+                   || '<a href="http://seen.example.com/s'
+                   || CAST(doc_id % 17 AS STRING) || '.html">s</a>'
+                   || '</body></html>', 'utf-8') AS html
+        FROM documents
+        """
+    )
+    seen = spark.sql(
+        """
+        SELECT 'http://' || source || '.example.com/dir/new'
+                   || CAST(doc_id AS STRING) || '.html' AS seen_url
+        FROM documents WHERE doc_id % 6 = 0
+        UNION ALL
+        SELECT DISTINCT 'http://seen.example.com/s'
+                   || CAST(doc_id % 17 AS STRING) || '.html'
+        FROM documents
+        """
+    )
+    cand = (
+        extract_links(pages)
+        .join(seen, F.col("outlink") == F.col("seen_url"), "left_anti")
+        .groupBy(F.col("outlink").alias("url"))
+        .agg(F.count_distinct("url").cast("bigint").alias("n_refs"))
+    )
+    plan = fetch_plan(
+        cand,
+        budget_per_host=_DISCOVERY_BUDGET,
+        url_col="url",
+        salt_buckets=8,
+        ordered=(F.col("n_refs").desc(), F.col("url")),
+    )
+    return plan.select(
+        "canonical_host", "url", "fetch_rank", "n_refs"
+    ).orderBy("canonical_host", "fetch_rank")
+
+
+_DISCOVERY_FETCH_ORACLE = f"""
+WITH edges AS (
+    SELECT 'http://' || source || '.example.com/dir/d'
+               || CAST(doc_id AS VARCHAR) || '.html' AS src,
+           'http://' || source || '.example.com/dir/new'
+               || CAST(doc_id AS VARCHAR) || '.html' AS dst
+    FROM documents
+    UNION ALL
+    SELECT 'http://' || source || '.example.com/dir/d'
+               || CAST(doc_id AS VARCHAR) || '.html',
+           'http://h' || CAST(doc_id % 11 AS VARCHAR)
+               || '.example.net/x' || CAST(doc_id % 40 AS VARCHAR) || '.html'
+    FROM documents
+    UNION ALL
+    SELECT 'http://' || source || '.example.com/dir/d'
+               || CAST(doc_id AS VARCHAR) || '.html',
+           'http://seen.example.com/s' || CAST(doc_id % 17 AS VARCHAR)
+               || '.html'
+    FROM documents
+),
+seen AS (
+    SELECT 'http://' || source || '.example.com/dir/new'
+               || CAST(doc_id AS VARCHAR) || '.html' AS url
+    FROM documents WHERE doc_id % 6 = 0
+    UNION ALL
+    SELECT DISTINCT 'http://seen.example.com/s'
+               || CAST(doc_id % 17 AS VARCHAR) || '.html'
+    FROM documents
+),
+cand AS (
+    SELECT dst AS url, CAST(COUNT(DISTINCT src) AS BIGINT) AS n_refs
+    FROM edges
+    WHERE dst NOT IN (SELECT url FROM seen)
+    GROUP BY dst
+),
+ranked AS (
+    SELECT regexp_extract(url, 'http://([^/]+)/', 1) AS canonical_host,
+           url, n_refs,
+           ROW_NUMBER() OVER (
+               PARTITION BY regexp_extract(url, 'http://([^/]+)/', 1)
+               ORDER BY n_refs DESC, url
+           ) AS fetch_rank
+    FROM cand
+)
+SELECT canonical_host, url, CAST(fetch_rank AS INTEGER) AS fetch_rank,
+       n_refs
+FROM ranked
+WHERE fetch_rank <= {_DISCOVERY_BUDGET}
+ORDER BY canonical_host, fetch_rank
+"""
+
+_register(
+    "discovery_fetch_plan",
+    QueryDef(
+        build=_discovery_fetch_build,
+        oracle=_DISCOVERY_FETCH_ORACLE,
+        doc=(
+            "link-discovery e2e: outlink kernel -> in-degree -> seen-set "
+            "anti-join -> salted per-host top-k by (n_refs desc, url)"
+        ),
+    ),
+)
