@@ -26,6 +26,7 @@ from frontier.synth import (
     TEST_BASE_URL,
     reference_site_fetches,
     synth_crawl_corpus,
+    synth_audio_payloads,
     synth_media_payloads,
 )
 from frontier.waves import sitemap_tree_for_homepages
@@ -230,6 +231,47 @@ ORDER BY doc_id
 """
 
 
+def _media_audio_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WAV header parsing (RIFF chunk walk: channels / sample rate /
+    bit depth / sample count -> duration) over spec-correct synthesized PCM
+    WAV payloads; the oracle derives every field in closed form from the
+    synth_audio_payloads contract."""
+    from frontier.multimodal import extract_audio_metadata
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        extract_audio_metadata(synth_audio_payloads(docs))
+        .orderBy("doc_id")
+    )
+
+
+# synth_audio_payloads: channels = 1 + doc_id%2, rate =
+# [8000,16000,22050,44100][doc_id%4], bits = 8 if doc_id%3==0 else 16,
+# n_samples = 1 + (doc_id*31)%2000; n_bytes = 44 + data + (data odd-pad).
+_MEDIA_AUDIO_ORACLE = """
+WITH p AS (
+    SELECT doc_id,
+           1 + doc_id % 2 AS channels,
+           ([8000,16000,22050,44100])[doc_id % 4 + 1] AS rate,
+           CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END AS bits,
+           1 + (doc_id * 31) % 2000 AS n_samples
+    FROM documents
+), d AS (
+    SELECT *, n_samples * channels * (bits // 8) AS data_size FROM p
+)
+SELECT doc_id,
+       'wav' AS media_type,
+       CAST(44 + data_size + (data_size % 2) AS BIGINT) AS n_bytes,
+       CAST(channels AS INT) AS channels,
+       CAST(rate AS INT) AS sample_rate_hz,
+       CAST(bits AS INT) AS bits_per_sample,
+       CAST(n_samples AS BIGINT) AS n_samples,
+       CAST((n_samples * 1000) // rate AS BIGINT) AS duration_ms
+FROM d
+ORDER BY doc_id
+"""
+
+
 def _media_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return docs.select(F.col("doc_id"), F.encode("text", "utf-8").alias("payload"))
@@ -330,6 +372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["frontier_fetch_plan"] = _frontier_fetch_plan
     out["flagship_tree"] = _flagship_gate
     out["media_metadata"] = _media_metadata
+    out["media_audio_metadata"] = _media_audio_metadata
     out["media_resize"] = _media_resize
     out["media_frames"] = _media_frames
     out["media_features"] = _media_features
@@ -342,6 +385,7 @@ def oracle_sql() -> dict[str, str]:
     out["frontier_crawl"] = _CRAWL_ORACLE
     out["frontier_fetch_plan"] = _FETCH_PLAN_ORACLE
     out["media_metadata"] = _MEDIA_META_ORACLE
+    out["media_audio_metadata"] = _MEDIA_AUDIO_ORACLE
     out["media_resize"] = _MEDIA_RESIZE_ORACLE
     out["media_frames"] = _MEDIA_FRAMES_ORACLE
     out["media_features"] = _MEDIA_FEATURES_ORACLE

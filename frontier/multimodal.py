@@ -3,12 +3,14 @@ with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
 The Spark-side machinery (schemas, batch shapes, partitioning, UDF
 signatures) is real and tested. Image *header* parsing (format sniff +
-width/height for PNG/GIF/BMP/JPEG) is REAL — pure-stdlib byte parsing, no
-image library needed. Pixel-level decode / resize / frame extraction /
-embedding ARE STUBBED — those genuinely need Pillow/ffmpeg, absent from
-this container — behind deterministic fakes whose outputs are pure
-functions of ``sha256(payload)``, so the pipelines are testable end to end
-and oracle-checkable from SQL. Swap the stub callables for real
+width/height for PNG/GIF/BMP/JPEG) and audio *header* parsing (RIFF/WAVE
+chunk walk: channels, sample rate, bit depth, sample count → duration) are
+REAL — pure-stdlib byte parsing, no media library needed. Pixel/PCM-level
+decode / resize / frame extraction / embedding ARE STUBBED — those
+genuinely need Pillow/ffmpeg/soundfile, absent from this container —
+behind deterministic fakes whose outputs are pure functions of
+``sha256(payload)``, so the pipelines are testable end to end and
+oracle-checkable from SQL. Swap the stub callables for real
 Pillow/pyav/CLIP calls in a deployment; nothing else changes.
 """
 
@@ -220,6 +222,140 @@ def extract_media_metadata(
             )
 
     return media.select("doc_id", "payload").mapInPandas(run, MEDIA_META_SCHEMA)
+
+
+# --- audio (WAV) headers -------------------------------------------------------
+
+AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("sample_rate_hz", T.IntegerType()),
+        T.StructField("bits_per_sample", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+    ]
+)
+
+
+def parse_wav_header(payload: bytes) -> dict | None:
+    """Real RIFF/WAVE header parse — a pure-stdlib chunk walk, no audio
+    library: channels / sample rate / bit depth from the ``fmt `` chunk,
+    sample count (hence duration) from the ``data`` chunk size.  Chunks are
+    word-aligned (odd sizes carry a pad byte) and may appear in any order
+    with strangers (LIST, fact, …) interleaved.  Returns None unless both
+    required chunks are present and well-formed.
+    """
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, fmt, data_size = 12, None, None
+    while pos + 8 <= len(payload):
+        tag = payload[pos:pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        if tag == b"fmt " and pos + 8 + 16 <= len(payload) and size >= 16:
+            channels, rate = struct.unpack("<HI", payload[pos + 10:pos + 16])
+            (bits,) = struct.unpack("<H", payload[pos + 22:pos + 24])
+            fmt = (channels, rate, bits)
+        elif tag == b"data":
+            data_size = size
+        pos += 8 + size + (size & 1)
+    if fmt is None or data_size is None:
+        return None
+    channels, rate, bits = fmt
+    frame = channels * (bits // 8)
+    if frame <= 0 or rate <= 0:
+        return None
+    n_samples = data_size // frame
+    return {
+        "media_type": "wav",
+        "channels": channels,
+        "sample_rate_hz": rate,
+        "bits_per_sample": bits,
+        "n_samples": n_samples,
+        "duration_ms": (n_samples * 1000) // rate,
+    }
+
+
+def build_wav_payload(
+    channels: int, sample_rate: int, bits: int, n_samples: int,
+    fill_byte: int = 0x42,
+) -> bytes:
+    """Spec-correct minimal PCM WAV (test/synth harness — the *parser*
+    above is the operator under test).  Layout: 12-byte RIFF header +
+    24-byte fmt chunk + 8-byte data header + ``n_samples·channels·bits/8``
+    data bytes (+ 1 pad byte when odd), i.e. ``44 + data_size +
+    (data_size & 1)`` bytes total — the audio-metadata oracle's closed-form
+    n_bytes."""
+    frame = channels * (bits // 8)
+    data_size = n_samples * frame
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate,
+        sample_rate * frame, frame, bits,
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", data_size)
+        + bytes([fill_byte]) * data_size
+        + (b"\x00" if data_size & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_audio_stub(payload: bytes) -> dict:
+    """STUB decode fallback for non-WAV audio payloads (mp3/ogg/flac need a
+    real codec): deterministic fake parameters from a content hash.  Real
+    WAV headers never reach this; replace with soundfile/ffprobe in
+    production."""
+    digest = hashlib.sha256(payload).digest()
+    rate = 8000 * (1 + digest[1] % 4)
+    n_samples = 1 + int.from_bytes(digest[2:4], "big") % 48000
+    return {
+        "channels": 1 + digest[0] % 2,
+        "sample_rate_hz": rate,
+        "bits_per_sample": 16,
+        "n_samples": n_samples,
+        "duration_ms": (n_samples * 1000) // rate,
+    }
+
+
+def extract_audio_metadata(
+    media: DataFrame,
+    decode: Callable[[bytes], dict] = decode_audio_stub,
+    media_type: str = "audio",
+) -> DataFrame:
+    """``(doc_id, payload binary)`` → typed audio metadata rows.
+
+    WAV headers are parsed for REAL (:func:`parse_wav_header`);
+    unrecognized payloads fall back to ``decode`` (stub by default) with
+    ``media_type`` as their label.  Same scale shape as
+    :func:`extract_media_metadata`: Arrow-batched, embarrassingly parallel,
+    shuffle-free; payload bytes never leave the executor.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                blob = bytes(payload) if payload is not None else b""
+                meta = parse_wav_header(blob)
+                if meta is None:
+                    meta = {"media_type": media_type, **decode(blob)}
+                rows.append(
+                    {"doc_id": int(doc_id), "n_bytes": len(blob), **meta}
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "media_type", "n_bytes", "channels",
+                    "sample_rate_hz", "bits_per_sample", "n_samples",
+                    "duration_ms",
+                ],
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(run, AUDIO_META_SCHEMA)
 
 
 # --- resize ------------------------------------------------------------------

@@ -412,6 +412,43 @@ def synth_media_payloads(docs: DataFrame) -> DataFrame:
     )
 
 
+def synth_audio_payloads(docs: DataFrame) -> DataFrame:
+    """``documents`` → ``(doc_id, payload binary)`` of REAL minimal PCM WAV
+    files (spec-correct RIFF headers via
+    :func:`frontier.multimodal.build_wav_payload`), with closed-form
+    parameters so a SQL oracle can derive the expected parse:
+
+        channels    = 1 + doc_id % 2
+        sample_rate = [8000, 16000, 22050, 44100][doc_id % 4]
+        bits        = 8 if doc_id % 3 == 0 else 16
+        n_samples   = 1 + (doc_id * 31) % 2000
+
+    n_bytes = 44 + data_size + (data_size & 1) with
+    data_size = n_samples · channels · bits/8 (word-aligned data chunk)."""
+    from .multimodal import build_wav_payload
+
+    rates = [8000, 16000, 22050, 44100]
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            payloads = []
+            for doc_id in batch["doc_id"]:
+                i = int(doc_id)
+                payloads.append(
+                    build_wav_payload(
+                        1 + i % 2, rates[i % 4],
+                        8 if i % 3 == 0 else 16,
+                        1 + (i * 31) % 2000,
+                        fill_byte=i % 256,
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": batch["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    return docs.select("doc_id").mapInPandas(build, "doc_id long, payload binary")
+
+
 # --- Common-Crawl-style pages corpus (BASELINE.json input_hint shape) ----------
 
 _PAGE_LANGS = ["en", "de", "fr", "es"]

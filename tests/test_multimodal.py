@@ -175,3 +175,72 @@ def test_synth_media_payloads_contract(spark):
         assert meta["height"] == 1 + (i * 7) % 480
         text_bytes = min(64, len("word " * (i + 1)))
         assert len(out[i]) == hdr[fmt] + text_bytes
+
+
+# --- audio (WAV) headers ---------------------------------------------------------
+
+
+def test_parse_wav_header_roundtrip():
+    from frontier.multimodal import build_wav_payload, parse_wav_header
+
+    for ch, rate, bits, n in [
+        (1, 8000, 8, 1),          # odd data size -> pad byte
+        (2, 44100, 16, 2000),
+        (1, 22050, 16, 441),
+        (2, 16000, 8, 7),
+    ]:
+        wav = build_wav_payload(ch, rate, bits, n)
+        meta = parse_wav_header(wav)
+        assert meta == {
+            "media_type": "wav",
+            "channels": ch,
+            "sample_rate_hz": rate,
+            "bits_per_sample": bits,
+            "n_samples": n,
+            "duration_ms": (n * 1000) // rate,
+        }
+        data = n * ch * (bits // 8)
+        assert len(wav) == 44 + data + (data & 1)
+
+
+def test_parse_wav_header_chunk_walk_and_garbage():
+    import struct
+
+    from frontier.multimodal import build_wav_payload, parse_wav_header
+
+    # a stranger chunk (odd-sized LIST, word-aligned) before fmt/data
+    wav = build_wav_payload(1, 8000, 16, 4)
+    stranger = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"
+    spliced = wav[:12] + stranger + wav[12:]
+    spliced = b"RIFF" + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    meta = parse_wav_header(spliced)
+    assert meta is not None and meta["n_samples"] == 4
+
+    assert parse_wav_header(b"") is None
+    assert parse_wav_header(b"RIFF\x00\x00\x00\x00JUNK") is None
+    assert parse_wav_header(b"not audio at all") is None
+    # truncated right after the WAVE tag: no chunks -> None
+    assert parse_wav_header(wav[:12]) is None
+    # fmt present but no data chunk
+    no_data = wav[: 12 + 8 + 16]
+    assert parse_wav_header(no_data) is None
+
+
+def test_extract_audio_metadata_real_and_stub(spark):
+    from frontier.multimodal import build_wav_payload, extract_audio_metadata
+
+    rows = [
+        (0, build_wav_payload(2, 44100, 16, 441)),  # real WAV: 10 ms
+        (1, b"\xffOggS pretend-stream"),            # stub fallback
+        (2, None),                                   # null payload -> stub
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in extract_audio_metadata(df).collect()}
+    assert got[0]["media_type"] == "wav"
+    assert got[0]["channels"] == 2
+    assert got[0]["sample_rate_hz"] == 44100
+    assert got[0]["duration_ms"] == 10
+    assert got[0]["n_bytes"] == 44 + 441 * 2 * 2
+    assert got[1]["media_type"] == "audio"  # stub label
+    assert got[1]["channels"] in (1, 2)
+    assert got[2]["media_type"] == "audio"
