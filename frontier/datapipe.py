@@ -3056,3 +3056,54 @@ _register(
         ),
     ),
 )
+
+
+# Nofollow-aware link discovery: the same real kernel with crawl
+# link-exclusion semantics ON — rel="nofollow" anchors dropped, pages with
+# <meta name=robots … nofollow> contribute nothing. Every page carries one
+# followable and one rel-nofollow link; every 5th page adds the meta tag.
+# The oracle states the surviving edges closed-form: followable links from
+# non-meta pages only.
+def _outlinks_nofollow_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pages import extract_links
+
+    _load(spark, sf_dir, "documents")
+    pages = spark.sql(
+        """
+        SELECT 'http://' || source || '.example.com/d'
+                   || CAST(doc_id AS STRING) || '.html' AS url,
+               encode('<html><head>'
+                   || CASE WHEN doc_id % 5 = 0
+                        THEN '<meta name="robots" content="noindex,nofollow">'
+                        ELSE '' END
+                   || '</head><body>'
+                   || '<a href="keep' || CAST(doc_id AS STRING)
+                   || '.html">k</a>'
+                   || '<a rel="nofollow" href="drop'
+                   || CAST(doc_id AS STRING) || '.html">d</a>'
+                   || '</body></html>', 'utf-8') AS html
+        FROM documents
+        """
+    )
+    return extract_links(pages, respect_nofollow=True).orderBy("url", "outlink")
+
+
+_OUTLINKS_NOFOLLOW_ORACLE = """
+SELECT 'http://' || source || '.example.com/d'
+           || CAST(doc_id AS VARCHAR) || '.html' AS url,
+       'http://' || source || '.example.com/keep'
+           || CAST(doc_id AS VARCHAR) || '.html' AS outlink
+FROM documents
+WHERE doc_id % 5 <> 0
+ORDER BY url, outlink
+"""
+
+_register(
+    "html_outlinks_nofollow",
+    QueryDef(
+        build=_outlinks_nofollow_build,
+        oracle=_OUTLINKS_NOFOLLOW_ORACLE,
+        doc="nofollow-aware link discovery: rel + meta-robots exclusion "
+            "in the real kernel vs closed-form surviving edges",
+    ),
+)

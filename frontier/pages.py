@@ -34,6 +34,7 @@ on a short host string; ``latest_capture`` shuffles compact
 
 from __future__ import annotations
 
+import re
 from html.parser import HTMLParser
 from typing import Iterator
 from urllib.parse import urldefrag, urljoin
@@ -145,29 +146,52 @@ def extract_text(
 
 
 class _LinkCollector(HTMLParser):
-    """Collects ``(href, anchor text)`` pairs in document order.  Anchor
-    text is the concatenated character data between ``<a href>`` and the
-    matching ``</a>`` (entities decoded by ``convert_charrefs``),
-    whitespace-stripped; a dangling anchor flushes at document end."""
+    """Collects ``(href, anchor text, nofollow)`` triples in document order,
+    plus the page's first ``<base href>`` and its ``<meta name=robots>``
+    nofollow flag.  Anchor text is the concatenated character data between
+    ``<a href>`` and the matching ``</a>`` (entities decoded by
+    ``convert_charrefs``), whitespace-stripped; a dangling anchor flushes at
+    document end.  ``nofollow`` is true when the anchor's ``rel`` lists the
+    nofollow token (space- or comma-separated, case-insensitive)."""
 
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
-        self.links: list[tuple[str, str]] = []
+        self.links: list[tuple[str, str, bool]] = []
+        self.base_href: str | None = None
+        self.meta_nofollow = False
         self._href: str | None = None
+        self._nofollow = False
         self._text: list[str] = []
 
     def _flush(self) -> None:
         if self._href is not None:
-            self.links.append((self._href, "".join(self._text).strip()))
-        self._href, self._text = None, []
+            self.links.append(
+                (self._href, "".join(self._text).strip(), self._nofollow)
+            )
+        self._href, self._nofollow, self._text = None, False, []
 
     def handle_starttag(self, tag, attrs) -> None:
         if tag == "a":
             self._flush()  # nested/unclosed <a>: the new anchor supersedes
+            rel = None
+            for name, value in attrs:
+                if name == "href" and value and self._href is None:
+                    self._href = value
+                elif name == "rel" and value and rel is None:
+                    rel = value
+            self._nofollow = bool(rel) and "nofollow" in re.split(
+                r"[\s,]+", rel.lower()
+            )
+        elif tag == "base" and self.base_href is None:
             for name, value in attrs:
                 if name == "href" and value:
-                    self._href = value
+                    self.base_href = value
                     break
+        elif tag == "meta":
+            d = {name: (value or "") for name, value in attrs}
+            if (d.get("name", "").lower() in ("robots", "googlebot")
+                    and "nofollow" in d.get("content", "").lower()):
+                self.meta_nofollow = True
 
     def handle_startendtag(self, tag, attrs) -> None:
         self.handle_starttag(tag, attrs)
@@ -212,34 +236,60 @@ def _resolve_href(href: str, base_url: str) -> str | None:
     return resolved
 
 
-def _collect_links(html: bytes | str | None) -> list[tuple[str, str]]:
-    if html is None:
-        return []
-    if isinstance(html, (bytes, bytearray, memoryview)):
-        html = bytes(html).decode("utf-8", errors="replace")
+def _collect_links(html: bytes | str | None) -> _LinkCollector:
     collector = _LinkCollector()
-    collector.feed(html)
-    collector.close()
-    return collector.links
+    if html is not None:
+        if isinstance(html, (bytes, bytearray, memoryview)):
+            html = bytes(html).decode("utf-8", errors="replace")
+        collector.feed(html)
+        collector.close()
+    return collector
 
 
-def html_outlinks(html: bytes | str | None, base_url: str) -> list[str]:
+def _effective_base(base_url: str, base_href: str | None) -> str:
+    """Resolution base for a page's hrefs: the page URL, overridden by the
+    page's first ``<base href>`` (itself resolved against the page URL —
+    browsers' behavior)."""
+    if base_href is None:
+        return base_url
+    try:
+        return urljoin(base_url, base_href.strip())
+    except ValueError:
+        return base_url
+
+
+def html_outlinks(
+    html: bytes | str | None, base_url: str, respect_nofollow: bool = False
+) -> list[str]:
     """Absolute, defragmented http(s) outlinks of one page, first-occurrence
     deduped.  Only ``<a href>`` counts (not ``<link>``/``<img>`` — frontier
-    edges, not assets); per-href skip/resolve rules are
-    :func:`_resolve_href`'s; malformed markup never raises.
+    edges, not assets); hrefs resolve against the page's ``<base href>``
+    when present; per-href skip/resolve rules are :func:`_resolve_href`'s;
+    malformed markup never raises.
+
+    ``respect_nofollow=True`` applies crawl link-exclusion semantics: drop
+    anchors whose ``rel`` carries the nofollow token, and drop everything
+    when ``<meta name=robots|googlebot content=…nofollow…>`` is present.
     """
     out: list[str] = []
     seen: set[str] = set()
-    for href, _text in _collect_links(html):
-        resolved = _resolve_href(href, base_url)
+    collector = _collect_links(html)
+    if respect_nofollow and collector.meta_nofollow:
+        return out
+    base = _effective_base(base_url, collector.base_href)
+    for href, _text, nofollow in collector.links:
+        if respect_nofollow and nofollow:
+            continue
+        resolved = _resolve_href(href, base)
         if resolved is not None and resolved not in seen:
             seen.add(resolved)
             out.append(resolved)
     return out
 
 
-def html_anchors(html: bytes | str | None, base_url: str) -> list[tuple[str, str]]:
+def html_anchors(
+    html: bytes | str | None, base_url: str, respect_nofollow: bool = False
+) -> list[tuple[str, str]]:
     """``(outlink, anchor text)`` pairs of one page — same link contract as
     :func:`html_outlinks` (first occurrence per resolved URL wins, so each
     outlink carries the anchor text of its first appearance).  Anchor text
@@ -247,8 +297,14 @@ def html_anchors(html: bytes | str | None, base_url: str) -> list[tuple[str, str
     possibly empty (image links)."""
     out: list[tuple[str, str]] = []
     seen: set[str] = set()
-    for href, text in _collect_links(html):
-        resolved = _resolve_href(href, base_url)
+    collector = _collect_links(html)
+    if respect_nofollow and collector.meta_nofollow:
+        return out
+    base = _effective_base(base_url, collector.base_href)
+    for href, text, nofollow in collector.links:
+        if respect_nofollow and nofollow:
+            continue
+        resolved = _resolve_href(href, base)
         if resolved is not None and resolved not in seen:
             seen.add(resolved)
             out.append((resolved, text))
@@ -260,6 +316,7 @@ def extract_links(
     html_col: str = "html",
     url_col: str = "url",
     extra_cols: tuple[str, ...] = (),
+    respect_nofollow: bool = False,
 ) -> DataFrame:
     """``(url, [extra_cols...,] outlink)`` edge list from a pages corpus.
 
@@ -269,7 +326,8 @@ def extract_links(
     10¹⁰ pages the edges flow straight into the Bloom seen-set anti-join —
     the corpus rows themselves never move.  ``extra_cols`` carries small
     metadata columns (e.g. ``fetch_ts``) through unchanged; works on
-    streaming DataFrames too (stateless).
+    streaming DataFrames too (stateless).  ``respect_nofollow=True``
+    applies rel/meta nofollow link exclusion (see :func:`html_outlinks`).
     """
     import pyspark.sql.types as T
 
@@ -285,7 +343,7 @@ def extract_links(
             for c in extra_cols:
                 out[c] = batch[c]
             out["outlinks"] = [
-                html_outlinks(h, u)
+                html_outlinks(h, u, respect_nofollow)
                 for h, u in zip(batch[html_col], batch[url_col])
             ]
             yield pd.DataFrame(out)
@@ -296,7 +354,8 @@ def extract_links(
 
 
 def extract_anchors(
-    pages: DataFrame, html_col: str = "html", url_col: str = "url"
+    pages: DataFrame, html_col: str = "html", url_col: str = "url",
+    respect_nofollow: bool = False,
 ) -> DataFrame:
     """``(url, outlink, anchor)`` labeled edge list from a pages corpus —
     :func:`extract_links` plus the anchor text of each outlink's first
@@ -327,7 +386,7 @@ def extract_anchors(
                 {
                     url_col: batch[url_col],
                     "links": [
-                        html_anchors(h, u)
+                        html_anchors(h, u, respect_nofollow)
                         for h, u in zip(batch[html_col], batch[url_col])
                     ],
                 }

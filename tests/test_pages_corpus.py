@@ -420,3 +420,81 @@ def test_mirror_hosts_cap_is_deterministic(spark):
     )
     got = sorted(map(tuple, mirror_hosts(pages, max_hosts_per_fp=3).collect()))
     assert got == [("h0", "h1", 1), ("h0", "h2", 1), ("h1", "h2", 1)]
+
+
+# --- nofollow + <base href> crawl semantics --------------------------------------
+
+
+def test_html_outlinks_nofollow_and_base():
+    html = (
+        b'<head><base href="/sub/dir/"></head>'
+        b'<a href="a.html">kept</a>'
+        b'<a rel="nofollow" href="b.html">dropped when respected</a>'
+        b'<a rel="NOFOLLOW,noopener" href="c.html">token list, any case</a>'
+        b'<a rel="nofollowish" href="d.html">substring does NOT match</a>'
+    )
+    base = "http://h.com/page.html"
+    # default: nofollow ignored, base honored
+    assert html_outlinks(html, base) == [
+        "http://h.com/sub/dir/a.html",
+        "http://h.com/sub/dir/b.html",
+        "http://h.com/sub/dir/c.html",
+        "http://h.com/sub/dir/d.html",
+    ]
+    assert html_outlinks(html, base, respect_nofollow=True) == [
+        "http://h.com/sub/dir/a.html",
+        "http://h.com/sub/dir/d.html",
+    ]
+    # anchors stay in lockstep
+    assert [a for a, _ in html_anchors(html, base, respect_nofollow=True)] == (
+        html_outlinks(html, base, respect_nofollow=True)
+    )
+
+
+def test_html_outlinks_meta_robots_nofollow():
+    html = (
+        b'<head><meta name="ROBOTS" content="noindex, NoFollow"></head>'
+        b'<a href="x.html">gone</a>'
+    )
+    assert html_outlinks(html, "http://h.com/") == ["http://h.com/x.html"]
+    assert html_outlinks(html, "http://h.com/", respect_nofollow=True) == []
+    # an unrelated meta must not trip the flag
+    other = b'<meta name="viewport" content="nofollow-looking"><a href="y">t</a>'
+    assert html_outlinks(other, "http://h.com/", respect_nofollow=True) == [
+        "http://h.com/y"
+    ]
+
+
+def test_html_outlinks_base_href_edge_cases():
+    # absolute <base>, first-wins on duplicates, malformed base falls back
+    html = (
+        b'<base href="http://other.example.net/root/">'
+        b'<base href="http://ignored.example.com/">'
+        b'<a href="p.html">x</a>'
+    )
+    assert html_outlinks(html, "http://h.com/deep/page.html") == [
+        "http://other.example.net/root/p.html"
+    ]
+    bad = b'<base href="http://["><a href="q.html">y</a>'
+    assert html_outlinks(bad, "http://h.com/dir/page.html") == [
+        "http://h.com/dir/q.html"
+    ]
+
+
+def test_extract_links_respect_nofollow(spark):
+    pages = spark.createDataFrame(
+        [
+            (
+                "http://h0.com/p.html",
+                b'<a href="a.html"></a><a rel="nofollow" href="b.html"></a>',
+            )
+        ],
+        "url string, html binary",
+    )
+    default = sorted(r["outlink"] for r in extract_links(pages).collect())
+    strict = sorted(
+        r["outlink"]
+        for r in extract_links(pages, respect_nofollow=True).collect()
+    )
+    assert default == ["http://h0.com/a.html", "http://h0.com/b.html"]
+    assert strict == ["http://h0.com/a.html"]
