@@ -3107,3 +3107,53 @@ _register(
             "in the real kernel vs closed-form surviving edges",
     ),
 )
+
+
+# Boilerplate removal (frontier/pages.py html_main_text): nav bars (pure
+# anchor text -> link density 1.0) and short footers drop; the real
+# paragraph survives iff it clears the 30-char block minimum — every 6th
+# page gets a deliberately short paragraph to exercise the drop path. The
+# Spark side runs the real block-segmentation kernel; the oracle states the
+# surviving content closed-form.
+def _main_text_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pages import extract_main_text
+
+    _load(spark, sf_dir, "documents")
+    pages = spark.sql(
+        """
+        SELECT 'http://' || source || '.example.com/d'
+                   || CAST(doc_id AS STRING) || '.html' AS url,
+               encode('<html><body>'
+                   || '<nav><a href="/">Home</a><a href="/a">About</a>'
+                   || '<a href="/c">Contact us today</a></nav>'
+                   || '<p>' || CASE WHEN doc_id % 6 = 0 THEN 'tiny.'
+                                    ELSE text END || '</p>'
+                   || '<div class="footer">(c) 2025</div>'
+                   || '</body></html>', 'utf-8') AS html
+        FROM documents
+        """
+    )
+    return (
+        extract_main_text(pages)
+        .select("url", "main_text")
+        .orderBy("url")
+    )
+
+
+_MAIN_TEXT_ORACLE = """
+SELECT 'http://' || source || '.example.com/d'
+           || CAST(doc_id AS VARCHAR) || '.html' AS url,
+       CASE WHEN doc_id % 6 = 0 THEN '' ELSE text END AS main_text
+FROM documents
+ORDER BY url
+"""
+
+_register(
+    "pages_main_text",
+    QueryDef(
+        build=_main_text_build,
+        oracle=_MAIN_TEXT_ORACLE,
+        doc="boilerplate removal: block segmentation + link-density / "
+            "min-length gates (real kernel) vs closed-form surviving text",
+    ),
+)

@@ -244,3 +244,38 @@ def test_extract_audio_metadata_real_and_stub(spark):
     assert got[1]["media_type"] == "audio"  # stub label
     assert got[1]["channels"] in (1, 2)
     assert got[2]["media_type"] == "audio"
+
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    _HAS_HYP = True
+except ImportError:  # pragma: no cover
+    _HAS_HYP = False
+
+
+if _HAS_HYP:
+
+    @given(payload=st.binary(max_size=300))
+    @settings(max_examples=200, deadline=None)
+    def test_parse_wav_header_never_raises(payload):
+        from frontier.multimodal import parse_wav_header
+
+        meta = parse_wav_header(payload)
+        assert meta is None or meta["media_type"] == "wav"
+
+    @given(
+        ch=st.integers(1, 8),
+        rate=st.integers(1, 192000),
+        bits=st.sampled_from([8, 16, 24, 32]),
+        n=st.integers(0, 5000),
+    )
+    @settings(max_examples=100, deadline=None)
+    def test_wav_roundtrip_property(ch, rate, bits, n):
+        from frontier.multimodal import build_wav_payload, parse_wav_header
+
+        meta = parse_wav_header(build_wav_payload(ch, rate, bits, n))
+        assert meta is not None
+        assert (meta["channels"], meta["sample_rate_hz"],
+                meta["bits_per_sample"], meta["n_samples"]) == (ch, rate, bits, n)
+        assert meta["duration_ms"] == (n * 1000) // rate

@@ -498,3 +498,66 @@ def test_extract_links_respect_nofollow(spark):
     )
     assert default == ["http://h0.com/a.html", "http://h0.com/b.html"]
     assert strict == ["http://h0.com/a.html"]
+
+
+# --- main-content extraction (boilerplate removal) --------------------------------
+
+
+def test_html_main_text_contract():
+    from frontier.pages import html_main_text
+
+    html = (
+        b'<body>'
+        b'<nav><a href="/">Home</a><a href="/x">Products and services</a></nav>'
+        b'<p>This paragraph is long enough to clear the minimum and has '
+        b'no links at all inside it.</p>'
+        b'<p>Mostly <a href="/y">anchor text that dominates this whole '
+        b'block by far, way past half</a>.</p>'
+        b'<div>short</div>'
+        b'<script>var boilerplate = "This is long enough but must never '
+        b'appear in output";</script>'
+        b'<p>Inline <b>bold</b> and <em>emphasis</em> do not split this '
+        b'block into pieces.</p>'
+        b'</body>'
+    )
+    got = html_main_text(html)
+    assert got == (
+        "This paragraph is long enough to clear the minimum and has "
+        "no links at all inside it.\n"
+        "Inline bold and emphasis do not split this block into pieces."
+    )
+    # knobs: lower the bar and the short div survives
+    assert "short" in html_main_text(html, min_block_chars=3)
+    # raise allowed density and the link-heavy block survives
+    assert "dominates" in html_main_text(html, max_link_density=1.0)
+
+
+def test_html_main_text_edges():
+    from frontier.pages import html_main_text
+
+    assert html_main_text(None) == ""
+    assert html_main_text(b"") == ""
+    assert html_main_text(b"no markup at all but long enough to keep here") == (
+        "no markup at all but long enough to keep here"
+    )
+    # exactly-half link density is kept (strict > drops)
+    half = b'<p>' + b'x' * 20 + b'<a href="/">' + b'y' * 20 + b'</a></p>'
+    assert html_main_text(half, min_block_chars=10) == "x" * 20 + "y" * 20
+
+
+def test_extract_main_text_dataframe(spark):
+    from frontier.pages import extract_main_text
+
+    pages = spark.createDataFrame(
+        [
+            ("u1", b"<p>a genuinely long enough paragraph of content</p>"
+                   b"<nav><a href='/'>HomeHomeHomeHomeHomeHomeHome</a></nav>"),
+            ("u2", None),
+        ],
+        "url string, html binary",
+    )
+    got = {r["url"]: r["main_text"] for r in extract_main_text(pages).collect()}
+    assert got == {
+        "u1": "a genuinely long enough paragraph of content",
+        "u2": "",
+    }
