@@ -55,6 +55,8 @@ BENCH_QUERIES = [
     "host_quality_rollup",
     "mirror_detect_hosts",
     "token_df_topk",
+    "pages_main_text",
+    "webtext_pipeline_e2e",
 ]
 
 

@@ -3157,3 +3157,98 @@ _register(
             "min-length gates (real kernel) vs closed-form surviving text",
     ),
 )
+
+
+# Webtext pipeline e2e — the input_hint story end to end in ONE plan:
+# raw pages (url, html) -> boilerplate-removed main text (real kernel) ->
+# token quality gate -> exact-dup removal (first URL wins). Planted rows
+# exercise every gate: every 9th page's paragraph is too short for the
+# block minimum (main text comes back empty -> token gate drops it); every
+# 10th page carries a FIXED shared paragraph (the dedup collapses the whole
+# group to its min-url representative). The oracle re-derives the surviving
+# set closed-form — it asserts the kernel (nav/footer stripped, paragraph
+# preserved verbatim) AND the relational tail in one hash. Scale shape:
+# kernel is shuffle-free; gates are scan-side filters; the one shuffle is
+# the dedup window on 32-hex fingerprints.
+_WEBTEXT_DUP_PARA = (
+    "shared boilerplate paragraph that repeats verbatim across mirrored pages"
+)
+
+_WEBTEXT_PAGES_SQL = """
+SELECT 'http://' || source || '.example.com/d'
+           || CAST(doc_id AS STRING) || '.html' AS url,
+       encode('<html><body>'
+           || '<nav><a href="/">Home</a><a href="/a">About</a>'
+           || '<a href="/c">Contact us today</a></nav>'
+           || '<p>' || CASE WHEN doc_id % 9 = 0 THEN 'too few words here'
+                            WHEN doc_id % 10 = 0 THEN '{DUP}'
+                            ELSE text END || '</p>'
+           || '<div class="footer">(c) 2025</div>'
+           || '</body></html>', 'utf-8') AS html
+FROM documents
+"""
+
+_WEBTEXT_TAIL_SQL = """
+WITH scored AS (
+    SELECT url, main_text,
+           CAST({SIZE}({WORDS}) AS BIGINT) AS n_tokens,
+           md5(main_text) AS fp
+    FROM webtext_main
+),
+gated AS (
+    SELECT url, n_tokens, fp FROM scored WHERE n_tokens BETWEEN 5 AND 1000
+),
+dedup AS (
+    SELECT url, n_tokens, fp,
+           ROW_NUMBER() OVER (PARTITION BY fp ORDER BY url) AS rn
+    FROM gated
+)
+SELECT url, n_tokens, fp FROM dedup WHERE rn = 1
+ORDER BY url
+"""
+
+_WEBTEXT_ORACLE_MAIN = """
+webtext_main AS (
+    SELECT 'http://' || source || '.example.com/d'
+               || CAST(doc_id AS VARCHAR) || '.html' AS url,
+           CASE WHEN doc_id % 9 = 0 THEN ''
+                WHEN doc_id % 10 = 0 THEN '{DUP}'
+                ELSE text END AS main_text
+    FROM documents
+)
+"""
+
+
+def _webtext_e2e_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pages import extract_main_text
+
+    _load(spark, sf_dir, "documents")
+    pages = spark.sql(
+        _WEBTEXT_PAGES_SQL.replace("{DUP}", _WEBTEXT_DUP_PARA)
+    )
+    extract_main_text(pages).select("url", "main_text").createOrReplaceTempView(
+        "webtext_main"
+    )
+    words = _SPARK_WORDS.replace("text", "main_text")
+    return spark.sql(
+        _WEBTEXT_TAIL_SQL.replace("{WORDS}", words).replace("{SIZE}", "size")
+    )
+
+
+def _webtext_e2e_oracle() -> str:
+    words = _DUCK_WORDS.replace("text", "main_text")
+    tail = _WEBTEXT_TAIL_SQL.replace("{WORDS}", words).replace("{SIZE}", "len")
+    main = _WEBTEXT_ORACLE_MAIN.replace("{DUP}", _WEBTEXT_DUP_PARA)
+    return tail.replace("WITH scored AS (", f"WITH {main.strip()},\nscored AS (")
+
+
+_register(
+    "webtext_pipeline_e2e",
+    QueryDef(
+        build=_webtext_e2e_build,
+        oracle=_webtext_e2e_oracle(),
+        doc="input-hint pipeline e2e: raw html -> boilerplate-removed main "
+            "text (real kernel) -> token gate -> exact dedup, one plan; "
+            "oracle asserts kernel output AND relational tail together",
+    ),
+)
