@@ -3252,3 +3252,72 @@ _register(
             "oracle asserts kernel output AND relational tail together",
     ),
 )
+
+
+# Paragraph-level dedup (the FineWeb-style pass): explode documents into
+# ordered paragraphs, keep only the globally FIRST occurrence of each
+# paragraph fingerprint (first = smallest (url, pos)), and reassemble each
+# document from its surviving paragraphs in original order. Repeated
+# boilerplate paragraphs vanish corpus-wide while unique prose survives.
+# Scale shape: paragraphs shuffle once as (fp, url, pos) triples for the
+# first-wins window (fp-partitioned, never all-pairs); reassembly is one
+# groupBy(url) with an in-agg sort over each doc's own (tiny) paragraph
+# list. Three paragraphs per doc: unique prose, a shared block (7 variants
+# corpus-wide), a unique tail.
+_PARA_DEDUP_SQL = """
+WITH paras AS (
+    SELECT url, pos, para FROM (
+        SELECT 'http://' || source || '.example.com/d'
+                   || CAST(doc_id AS {STR}) || '.html' AS url,
+               {EXPLODE}
+        FROM documents
+    ) t
+),
+firsts AS (
+    SELECT url, pos, para,
+           ROW_NUMBER() OVER (
+               PARTITION BY md5(para) ORDER BY url, pos
+           ) AS occurrence
+    FROM paras
+)
+SELECT url,
+       {REASSEMBLE} AS deduped_text,
+       CAST(COUNT(*) AS BIGINT) AS n_kept
+FROM firsts
+WHERE occurrence = 1
+GROUP BY url
+ORDER BY url
+"""
+
+_PARA_EXPLODE_SPARK = (
+    "posexplode(array(text, 'shared paragraph block '"
+    " || CAST(doc_id % 7 AS STRING), 'unique tail ' ||"
+    " CAST(doc_id AS STRING))) AS (pos, para)"
+)
+_PARA_EXPLODE_DUCK = (
+    "unnest([{'pos': 0, 'para': text},"
+    " {'pos': 1, 'para': 'shared paragraph block ' || CAST(doc_id % 7 AS VARCHAR)},"
+    " {'pos': 2, 'para': 'unique tail ' || CAST(doc_id AS VARCHAR)}],"
+    " recursive := true)"
+)
+_PARA_REASSEMBLE_SPARK = (
+    "array_join(transform(array_sort(collect_list(struct(pos, para))),"
+    " s -> s.para), chr(10))"
+)
+_PARA_REASSEMBLE_DUCK = "string_agg(para, chr(10) ORDER BY pos)"
+
+_register(
+    "paragraph_dedup",
+    _sql_query(
+        _PARA_DEDUP_SQL.replace("{STR}", "STRING")
+        .replace("{EXPLODE}", _PARA_EXPLODE_SPARK)
+        .replace("{REASSEMBLE}", _PARA_REASSEMBLE_SPARK),
+        ("documents",),
+        "corpus-wide paragraph dedup with in-order document reassembly: "
+        "global first-wins per paragraph fingerprint, one fp-partitioned "
+        "window, never all-pairs",
+        oracle=_PARA_DEDUP_SQL.replace("{STR}", "VARCHAR")
+        .replace("{EXPLODE}", _PARA_EXPLODE_DUCK)
+        .replace("{REASSEMBLE}", _PARA_REASSEMBLE_DUCK),
+    ),
+)
