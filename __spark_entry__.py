@@ -27,6 +27,7 @@ from frontier.synth import (
     reference_site_fetches,
     synth_crawl_corpus,
     synth_audio_payloads,
+    synth_mp3_payloads,
     synth_media_payloads,
 )
 from frontier.waves import sitemap_tree_for_homepages
@@ -272,6 +273,33 @@ ORDER BY doc_id
 """
 
 
+def _media_mp3_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MPEG-1 Layer III frame-header parsing (ID3v2 skip + spec
+    bitrate/sample-rate tables) over spec-correct synthesized payloads;
+    the oracle re-derives every field from the synth_mp3_payloads
+    contract and the same spec tables."""
+    from frontier.multimodal import extract_mp3_metadata
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return extract_mp3_metadata(synth_mp3_payloads(docs)).orderBy("doc_id")
+
+
+# synth_mp3_payloads: bitrate_idx = 1 + doc_id%14, rate_idx = doc_id%3,
+# mono = doc_id%2==0, id3_pad = doc_id%50, n_data = 100 + doc_id%300.
+_MEDIA_MP3_ORACLE = """
+SELECT doc_id,
+       'mp3' AS media_type,
+       CAST(CASE WHEN doc_id % 50 = 0 THEN 0 ELSE 10 + doc_id % 50 END
+            + 4 + 100 + doc_id % 300 AS BIGINT) AS n_bytes,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS INT) AS channels,
+       CAST(([44100,48000,32000])[doc_id % 3 + 1] AS INT) AS sample_rate_hz,
+       CAST(([32,40,48,56,64,80,96,112,128,160,192,224,256,320])
+            [(1 + doc_id % 14)] AS INT) AS bitrate_kbps
+FROM documents
+ORDER BY doc_id
+"""
+
+
 def _media_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return docs.select(F.col("doc_id"), F.encode("text", "utf-8").alias("payload"))
@@ -373,6 +401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["flagship_tree"] = _flagship_gate
     out["media_metadata"] = _media_metadata
     out["media_audio_metadata"] = _media_audio_metadata
+    out["media_mp3_metadata"] = _media_mp3_metadata
     out["media_resize"] = _media_resize
     out["media_frames"] = _media_frames
     out["media_features"] = _media_features
@@ -386,6 +415,7 @@ def oracle_sql() -> dict[str, str]:
     out["frontier_fetch_plan"] = _FETCH_PLAN_ORACLE
     out["media_metadata"] = _MEDIA_META_ORACLE
     out["media_audio_metadata"] = _MEDIA_AUDIO_ORACLE
+    out["media_mp3_metadata"] = _MEDIA_MP3_ORACLE
     out["media_resize"] = _MEDIA_RESIZE_ORACLE
     out["media_frames"] = _MEDIA_FRAMES_ORACLE
     out["media_features"] = _MEDIA_FEATURES_ORACLE

@@ -358,6 +358,118 @@ def extract_audio_metadata(
     return media.select("doc_id", "payload").mapInPandas(run, AUDIO_META_SCHEMA)
 
 
+MP3_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("sample_rate_hz", T.IntegerType()),
+        T.StructField("bitrate_kbps", T.IntegerType()),
+    ]
+)
+
+#: MPEG-1 Layer III bitrate table (index 1-14; 0 = free, 15 = invalid).
+_MP3_BITRATES = (
+    None, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, None,
+)
+#: MPEG-1 sample-rate table (index 0-2; 3 = reserved).
+_MP3_RATES = (44100, 48000, 32000, None)
+
+
+def _skip_id3v2(payload: bytes) -> int:
+    """Offset past a leading ID3v2 tag (syncsafe 28-bit size), else 0."""
+    if len(payload) >= 10 and payload[:3] == b"ID3":
+        size = (
+            (payload[6] & 0x7F) << 21 | (payload[7] & 0x7F) << 14
+            | (payload[8] & 0x7F) << 7 | (payload[9] & 0x7F)
+        )
+        return 10 + size
+    return 0
+
+
+def parse_mp3_header(payload: bytes) -> dict | None:
+    """Real MPEG-1 Layer III frame-header parse — pure-stdlib bit picking,
+    no codec: skip a leading ID3v2 tag (syncsafe size), locate the first
+    frame sync, decode bitrate / sample rate / channel mode from the spec
+    tables.  Only MPEG-1 Layer III (the dominant web mp3 profile) parses;
+    other versions/layers and free/invalid table indices return None (→
+    stub fallback).
+    """
+    pos = _skip_id3v2(payload)
+    head = payload[pos:pos + 4]
+    if len(head) < 4 or head[0] != 0xFF or (head[1] & 0xE0) != 0xE0:
+        return None
+    version = (head[1] >> 3) & 0x3   # 3 = MPEG-1
+    layer = (head[1] >> 1) & 0x3     # 1 = Layer III
+    if version != 3 or layer != 1:
+        return None
+    bitrate = _MP3_BITRATES[(head[2] >> 4) & 0xF]
+    rate = _MP3_RATES[(head[2] >> 2) & 0x3]
+    if bitrate is None or rate is None:
+        return None
+    mode = (head[3] >> 6) & 0x3      # 3 = mono, else stereo-family
+    return {
+        "media_type": "mp3",
+        "channels": 1 if mode == 3 else 2,
+        "sample_rate_hz": rate,
+        "bitrate_kbps": bitrate,
+    }
+
+
+def build_mp3_payload(
+    bitrate_idx: int, rate_idx: int, mono: bool,
+    id3_pad: int = 0, n_data: int = 100,
+) -> bytes:
+    """Spec-correct minimal MPEG-1 Layer III payload (test/synth harness):
+    optional ID3v2 tag of ``id3_pad`` body bytes, one frame header, and
+    ``n_data`` placeholder data bytes.  Total size = (10 + id3_pad if
+    id3_pad else 0) + 4 + n_data — the mp3-metadata oracle's closed-form
+    n_bytes."""
+    out = b""
+    if id3_pad:
+        out += (
+            b"ID3\x04\x00\x00"
+            + bytes([
+                (id3_pad >> 21) & 0x7F, (id3_pad >> 14) & 0x7F,
+                (id3_pad >> 7) & 0x7F, id3_pad & 0x7F,
+            ])
+            + b"\x00" * id3_pad
+        )
+    out += bytes([
+        0xFF,
+        0xE0 | (3 << 3) | (1 << 1),              # MPEG-1, Layer III
+        ((bitrate_idx & 0xF) << 4) | ((rate_idx & 0x3) << 2),
+        (0x3 << 6) if mono else 0x00,            # mono vs stereo
+    ])
+    return out + b"\x55" * n_data
+
+
+def extract_mp3_metadata(media: DataFrame) -> DataFrame:
+    """``(doc_id, payload binary)`` → mp3 frame metadata rows; non-MPEG-1-
+    Layer-III payloads come back with media_type='unknown' and NULL fields
+    (honest: estimating them needs a codec).  Same shuffle-free Arrow
+    shape as the other metadata extractors."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                blob = bytes(payload) if payload is not None else b""
+                meta = parse_mp3_header(blob) or {
+                    "media_type": "unknown", "channels": None,
+                    "sample_rate_hz": None, "bitrate_kbps": None,
+                }
+                rows.append({"doc_id": int(doc_id), "n_bytes": len(blob), **meta})
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "media_type", "n_bytes", "channels",
+                         "sample_rate_hz", "bitrate_kbps"],
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(run, MP3_META_SCHEMA)
+
+
 # --- resize ------------------------------------------------------------------
 
 RESIZED_SCHEMA = T.StructType(

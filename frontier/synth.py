@@ -449,6 +449,39 @@ def synth_audio_payloads(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(build, "doc_id long, payload binary")
 
 
+def synth_mp3_payloads(docs: DataFrame) -> DataFrame:
+    """``documents`` → ``(doc_id, payload binary)`` of REAL minimal MPEG-1
+    Layer III payloads (:func:`frontier.multimodal.build_mp3_payload`),
+    with closed-form parameters so a SQL oracle can derive the expected
+    parse:
+
+        bitrate_idx = 1 + doc_id % 14          (all valid table entries)
+        rate_idx    = doc_id % 3
+        mono        = doc_id % 2 == 0
+        id3_pad     = doc_id % 50              (0 → no ID3v2 tag)
+        n_data      = 100 + doc_id % 300
+
+    n_bytes = (10 + id3_pad if id3_pad else 0) + 4 + n_data."""
+    from .multimodal import build_mp3_payload
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            payloads = []
+            for doc_id in batch["doc_id"]:
+                i = int(doc_id)
+                payloads.append(
+                    build_mp3_payload(
+                        1 + i % 14, i % 3, i % 2 == 0,
+                        id3_pad=i % 50, n_data=100 + i % 300,
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": batch["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    return docs.select("doc_id").mapInPandas(build, "doc_id long, payload binary")
+
+
 # --- Common-Crawl-style pages corpus (BASELINE.json input_hint shape) ----------
 
 _PAGE_LANGS = ["en", "de", "fr", "es"]

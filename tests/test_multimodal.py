@@ -279,3 +279,59 @@ if _HAS_HYP:
         assert (meta["channels"], meta["sample_rate_hz"],
                 meta["bits_per_sample"], meta["n_samples"]) == (ch, rate, bits, n)
         assert meta["duration_ms"] == (n * 1000) // rate
+
+
+def test_parse_mp3_header_roundtrip_and_tables():
+    from frontier.multimodal import build_mp3_payload, parse_mp3_header
+
+    # all valid (bitrate, rate) table entries roundtrip
+    rates = [44100, 48000, 32000]
+    brs = [32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
+    for bi in range(1, 15):
+        for ri in range(3):
+            meta = parse_mp3_header(build_mp3_payload(bi, ri, mono=bool(bi % 2)))
+            assert meta == {
+                "media_type": "mp3",
+                "channels": 1 if bi % 2 else 2,
+                "sample_rate_hz": rates[ri],
+                "bitrate_kbps": brs[bi - 1],
+            }
+
+
+def test_parse_mp3_header_id3_skip_and_rejects():
+    from frontier.multimodal import build_mp3_payload, parse_mp3_header
+
+    # ID3v2 tag skipped via syncsafe size (including sizes > 127)
+    tagged = build_mp3_payload(9, 0, mono=False, id3_pad=300)
+    meta = parse_mp3_header(tagged)
+    assert meta is not None and meta["bitrate_kbps"] == 128
+    assert len(tagged) == 10 + 300 + 4 + 100
+
+    assert parse_mp3_header(b"") is None
+    assert parse_mp3_header(b"ID3\x04\x00\x00\x00\x00\x00\x05trunc") is None
+    assert parse_mp3_header(b"\xff\xe0\x00\x00") is None  # MPEG2.5 reserved
+    # free bitrate (0) and invalid (15) indices reject
+    assert parse_mp3_header(build_mp3_payload(0, 0, False)) is None
+    assert parse_mp3_header(build_mp3_payload(15, 0, False)) is None
+    # reserved sample-rate index rejects
+    assert parse_mp3_header(build_mp3_payload(9, 3, False)) is None
+    assert parse_mp3_header(b"plain text, not audio") is None
+
+
+def test_extract_mp3_metadata_dataframe(spark):
+    from frontier.multimodal import build_mp3_payload, extract_mp3_metadata
+
+    df = spark.createDataFrame(
+        [(0, build_mp3_payload(14, 1, mono=True, n_data=50)),
+         (1, b"OggS not an mp3"), (2, None)],
+        "doc_id long, payload binary",
+    )
+    got = {r["doc_id"]: r for r in extract_mp3_metadata(df).collect()}
+    assert got[0]["media_type"] == "mp3"
+    assert got[0]["bitrate_kbps"] == 320
+    assert got[0]["sample_rate_hz"] == 48000
+    assert got[0]["channels"] == 1
+    assert got[0]["n_bytes"] == 4 + 50
+    assert got[1]["media_type"] == "unknown"
+    assert got[1]["bitrate_kbps"] is None
+    assert got[2]["media_type"] == "unknown"
