@@ -204,3 +204,42 @@ def test_pipe_sql_fragments_stay_in_sync():
     assert window in _PIPE_SQL and window in _PACK_SQL
     assert "tokens_before / 512.0" in _PIPE_SQL
     assert "tokens_before / 512.0" in _PACK_SQL
+
+
+def test_round3_widening_plan_shapes(spark):
+    """Scale-critical plan properties of the round-3 widening queries,
+    pinned so regressions surface in plan form:
+
+    - crawl_snapshot_diff: the md5 collapse happens in the scan-side
+      Project BELOW the join exchange — the text column never crosses it;
+    - webtext_pipeline_e2e: the dedup's first-wins rank is partially
+      evaluated map-side (WindowGroupLimit below the exchange) and the
+      token gate adds no extra shuffle;
+    - paragraph_dedup: exactly two hash exchanges (first-wins window on
+      fp, reassembly groupBy on url) — never an all-pairs join;
+    - mirror_detect_hosts: aggregation-only (collect_set pair fan-out),
+      no join operator of any kind.
+    """
+    diff = REGISTRY["crawl_snapshot_diff"].build(spark, SF_DIR)
+    plan = _plan_of(diff)
+    for line in plan.splitlines():
+        if "Arguments: hashpartitioning" in line:
+            assert "text" not in line
+    # md5 must appear in a Project, and the join is on url
+    assert "md5" in plan and "FullOuter" in plan
+
+    webtext = REGISTRY["webtext_pipeline_e2e"].build(spark, SF_DIR)
+    plan = _plan_of(webtext)
+    assert "WindowGroupLimit" in plan
+    # shuffles: dedup window + final ORDER BY range partitioning only
+    assert plan.count("Arguments: hashpartitioning") == 1
+
+    para = REGISTRY["paragraph_dedup"].build(spark, SF_DIR)
+    plan = _plan_of(para)
+    assert plan.count("Arguments: hashpartitioning") == 2
+    assert "Join" not in plan
+
+    mirror = REGISTRY["mirror_detect_hosts"].build(spark, SF_DIR)
+    plan = _plan_of(mirror)
+    assert "Join" not in plan
+    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan
