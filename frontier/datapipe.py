@@ -3321,3 +3321,130 @@ _register(
         .replace("{REASSEMBLE}", _PARA_REASSEMBLE_DUCK),
     ),
 )
+
+
+# URL template mining: collapse numeric path segments to a placeholder and
+# count pages per (host, template) — how crawl systems discover the
+# /product/{n}/view shape of a site to budget, dedup, and prioritize by
+# page TYPE instead of by page. Pure codegen regexp projection + one
+# partial-agg groupBy on two short strings.
+_URL_TEMPLATE_SQL = """
+WITH urls AS (
+    SELECT source || '.example.com' AS host,
+           CASE CAST(doc_id % 3 AS INTEGER)
+                WHEN 0 THEN '/product/' || CAST(doc_id AS {STR}) || '/view'
+                WHEN 1 THEN '/blog/2024/' || CAST(doc_id % 12 AS {STR})
+                     || '/post-' || CAST(doc_id AS {STR})
+                ELSE '/static/about.html'
+           END AS path
+    FROM documents
+)
+SELECT host,
+       {DIGITS} AS template,
+       CAST(COUNT(*) AS BIGINT) AS n_pages,
+       CAST(COUNT(DISTINCT path) AS BIGINT) AS n_distinct_paths
+FROM urls
+GROUP BY host, template
+ORDER BY host, template
+"""
+
+_register(
+    "url_template_mining",
+    _sql_query(
+        _URL_TEMPLATE_SQL.replace("{STR}", "STRING")
+        .replace("{DIGITS}", "regexp_replace(path, '[0-9]+', '{n}')"),
+        ("documents",),
+        "URL template mining: numeric segments -> {n} placeholder, pages "
+        "per (host, template) — crawl budgeting by page TYPE",
+        oracle=_URL_TEMPLATE_SQL.replace("{STR}", "VARCHAR")
+        .replace("{DIGITS}", "regexp_replace(path, '[0-9]+', '{n}', 'g')"),
+    ),
+)
+
+
+# Winnowing fingerprints (the MOSS scheme): md5-hash every 3-word shingle,
+# slide a window of W hashes, keep each window's minimum, emit the distinct
+# selected fingerprints per document. Guarantees any shared run of
+# W+2 words produces at least one shared fingerprint — the standard
+# local-fingerprinting scheme for contamination / clone detection. All
+# list ops are codegen higher-order functions; the only shuffle is the
+# final presentation sort (fingerprints stay inside their document row
+# until the explode).
+_WINNOW_W = 4
+
+_WINNOW_SQL = """
+WITH toks AS (
+    SELECT doc_id, {WORDS} AS words FROM documents
+),
+sh AS (
+    SELECT doc_id, {SHINGLES} AS shingles FROM toks
+),
+hashes AS (
+    SELECT doc_id,
+           {TRANSFORM}(shingles, s -> {H56}) AS hs
+    FROM sh
+),
+selected AS (
+    SELECT doc_id,
+           CASE WHEN {SIZE}(hs) = 0 THEN {EMPTY}
+                WHEN {SIZE}(hs) <= {W} THEN {WRAPMIN}
+                ELSE {ARRAY_DISTINCT}({TRANSFORM}({SEQ},
+                     i -> {WINMIN}))
+           END AS fps
+    FROM hashes
+)
+SELECT doc_id, fp
+FROM ({EXPLODE_FPS})
+ORDER BY doc_id, fp
+"""
+
+
+def _winnow_spark() -> str:
+    return (
+        _WINNOW_SQL
+        .replace("{WORDS}", _SPARK_WORDS)
+        .replace("{SHINGLES}", _SPARK_SHINGLES)
+        .replace("{TRANSFORM}", "transform")
+        .replace("{H56}", "CAST(conv(substring(md5(s), 1, 14), 16, 10) AS BIGINT)")
+        .replace("{SIZE}", "size")
+        .replace("{EMPTY}", "array()")
+        .replace("{WRAPMIN}", "array(array_min(hs))")
+        .replace("{ARRAY_DISTINCT}", "array_distinct")
+        .replace("{SEQ}", "sequence(1, size(hs) - {W} + 1)")
+        .replace("{WINMIN}", "array_min(slice(hs, i, {W}))")
+        .replace("{EXPLODE_FPS}",
+                 "SELECT doc_id, explode(fps) AS fp FROM selected")
+        .replace("{W}", str(_WINNOW_W))
+    )
+
+
+def _winnow_duck() -> str:
+    return (
+        _WINNOW_SQL
+        .replace("{WORDS}", _DUCK_WORDS)
+        .replace("{SHINGLES}", _DUCK_SHINGLES)
+        .replace("{TRANSFORM}", "list_transform")
+        .replace("{H56}", "('0x' || substr(md5(s), 1, 14))::BIGINT")
+        .replace("{SIZE}", "len")
+        .replace("{EMPTY}", "[]::BIGINT[]")
+        .replace("{WRAPMIN}", "[list_min(hs)]")
+        .replace("{ARRAY_DISTINCT}", "list_distinct")
+        .replace("{SEQ}", "range(1, len(hs) - {W} + 2)")
+        .replace("{WINMIN}", "list_min(hs[i:i + {W} - 1])")
+        .replace("{EXPLODE_FPS}",
+                 "SELECT doc_id, unnest(fps) AS fp FROM selected")
+        .replace("{W}", str(_WINNOW_W))
+    )
+
+
+_register(
+    "text_winnow_fingerprints",
+    _sql_query(
+        _winnow_spark(),
+        ("documents",),
+        "winnowing (MOSS) fingerprint selection: per-window minima over "
+        "shingle hashes, distinct per doc — all codegen list ops, "
+        "fingerprints never leave their row until the explode",
+        oracle=_winnow_duck(),
+    ),
+)

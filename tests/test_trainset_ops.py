@@ -243,3 +243,24 @@ def test_round3_widening_plan_shapes(spark):
     plan = _plan_of(mirror)
     assert "Join" not in plan
     assert "HashAggregate" in plan or "ObjectHashAggregate" in plan
+
+
+def test_winnowing_shared_run_guarantee(spark, tmp_path):
+    """The winnowing invariant: two documents sharing a run of W+2 = 6
+    words must share at least one selected fingerprint, while documents
+    with no shared shingle share none."""
+    shared = "alpha bravo charlie delta echo foxtrot"
+    rows = [
+        (0, f"unique preamble one {shared} unique tail one", "en", "s"),
+        (1, f"other opening text {shared} different ending here", "en", "s"),
+        (2, "completely disjoint vocabulary nothing matches at all ever",
+         "en", "s"),
+    ]
+    sf = _write_docs(tmp_path, rows)
+    got = REGISTRY["text_winnow_fingerprints"].build(spark, sf).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[0] & by_doc[1], "shared 6-word run must share a fingerprint"
+    assert not (by_doc[0] & by_doc[2])
+    assert not (by_doc[1] & by_doc[2])
