@@ -3448,3 +3448,101 @@ _register(
         oracle=_winnow_duck(),
     ),
 )
+
+
+# Per-host crawl-budget allocation: split a global fetch budget across
+# hosts proportionally to their (token-volume) weight with the
+# largest-remainder method — all integer arithmetic, so the allocation is
+# bit-identical under any partitioning, and the budgets sum EXACTLY to the
+# global budget (floor division + deterministic remainder distribution by
+# (remainder desc, host)). The per-host numbers then feed fetch_plan as
+# budget_per_host. Scale shape: one partial-agg groupBy to |hosts| rows;
+# everything after operates on the tiny host table.
+_ALLOC_BUDGET = 1000
+
+_ALLOC_SQL = """
+WITH w AS (
+    SELECT source AS host,
+           CAST(SUM(CAST({SIZE}({WORDS}) AS BIGINT)) AS BIGINT) AS wt
+    FROM documents
+    GROUP BY source
+),
+tot AS (
+    SELECT CAST(SUM(wt) AS BIGINT) AS total_wt FROM w
+),
+base AS (
+    SELECT host, wt,
+           CAST(({B} * wt) {IDIV} total_wt AS BIGINT) AS floor_alloc,
+           CAST(({B} * wt) % total_wt AS BIGINT) AS rem
+    FROM w CROSS JOIN tot
+),
+leftover AS (
+    SELECT CAST({B} - SUM(floor_alloc) AS BIGINT) AS n_extra FROM base
+),
+ranked AS (
+    SELECT host, wt, floor_alloc,
+           CAST(ROW_NUMBER() OVER (ORDER BY rem DESC, host) AS BIGINT) AS rnk
+    FROM base
+)
+SELECT host, wt AS weight,
+       CAST(floor_alloc + CASE WHEN rnk <= (SELECT n_extra FROM leftover)
+                               THEN 1 ELSE 0 END AS BIGINT) AS budget
+FROM ranked
+ORDER BY host
+"""
+
+_register(
+    "host_budget_allocation",
+    _sql_query(
+        _ALLOC_SQL.replace("{WORDS}", _SPARK_WORDS)
+        .replace("{SIZE}", "size").replace("{IDIV}", "DIV")
+        .replace("{B}", str(_ALLOC_BUDGET)),
+        ("documents",),
+        "global fetch budget -> per-host integer allocation (largest-"
+        "remainder): exact, partitioning-invariant, sums to the budget",
+        oracle=_ALLOC_SQL.replace("{WORDS}", _DUCK_WORDS)
+        .replace("{SIZE}", "len").replace("{IDIV}", "//")
+        .replace("{B}", str(_ALLOC_BUDGET)),
+    ),
+)
+
+
+# Sitemap coverage audit: relate what a host DECLARES (its sitemap URL
+# set) to what it SERVES (the pages corpus) — per host, how many URLs are
+# in both, declared-but-missing (zombies: sitemap rot), and
+# served-but-undeclared (orphans: invisible to sitemap-driven crawling,
+# reachable only via link discovery). One co-partitioned full outer join
+# on url; per-host rollup partial-aggregates to |hosts| rows.
+_COVERAGE_SQL = """
+WITH sitemap_urls AS (
+    SELECT source AS host,
+           'http://' || source || '.example.com/p'
+               || CAST(doc_id AS {STR}) AS url
+    FROM documents WHERE doc_id % 3 <> 0
+),
+corpus_urls AS (
+    SELECT source AS host,
+           'http://' || source || '.example.com/p'
+               || CAST(doc_id AS {STR}) AS url
+    FROM documents WHERE doc_id % 4 <> 0
+)
+SELECT COALESCE(s.host, c.host) AS host,
+       CAST(COUNT(CASE WHEN s.url IS NOT NULL AND c.url IS NOT NULL
+                       THEN 1 END) AS BIGINT) AS n_ok,
+       CAST(COUNT(CASE WHEN c.url IS NULL THEN 1 END) AS BIGINT) AS n_zombie,
+       CAST(COUNT(CASE WHEN s.url IS NULL THEN 1 END) AS BIGINT) AS n_orphan
+FROM sitemap_urls s FULL OUTER JOIN corpus_urls c ON s.url = c.url
+GROUP BY COALESCE(s.host, c.host)
+ORDER BY host
+"""
+
+_register(
+    "sitemap_coverage_audit",
+    _sql_query(
+        _COVERAGE_SQL.replace("{STR}", "STRING"),
+        ("documents",),
+        "sitemap coverage audit: per-host ok / zombie (declared-but-"
+        "missing) / orphan (served-but-undeclared) URL counts",
+        oracle=_COVERAGE_SQL.replace("{STR}", "VARCHAR"),
+    ),
+)

@@ -264,3 +264,13 @@ def test_winnowing_shared_run_guarantee(spark, tmp_path):
     assert by_doc[0] & by_doc[1], "shared 6-word run must share a fingerprint"
     assert not (by_doc[0] & by_doc[2])
     assert not (by_doc[1] & by_doc[2])
+
+
+def test_budget_allocation_sums_exactly(spark):
+    rows = REGISTRY["host_budget_allocation"].build(spark, SF_DIR).collect()
+    assert sum(r["budget"] for r in rows) == 1000
+    # proportionality: every host's budget is floor or floor+1 of its share
+    total_w = sum(r["weight"] for r in rows)
+    for r in rows:
+        lo = (1000 * r["weight"]) // total_w
+        assert r["budget"] in (lo, lo + 1)
