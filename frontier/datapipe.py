@@ -3546,3 +3546,44 @@ _register(
         oracle=_COVERAGE_SQL.replace("{STR}", "VARCHAR"),
     ),
 )
+
+
+# Robots cache refresh plan (RFC 9309 §2.4: cached robots.txt SHOULD be
+# refreshed within 24h): per host, the age of the cached rules snapshot
+# vs an as-of instant decides whether the next round must refetch
+# robots.txt before fetching pages; stale hosts rank by how much pending
+# work their staleness blocks (due page count desc). One groupBy to
+# |hosts| rows; fixed-width microsecond strings for the engine-portable
+# timestamp arithmetic (the sessionize idiom).
+_ROBOTS_TTL_H = 24
+_ROBOTS_ASOF = "2025-06-01 00:00:00"
+
+_ROBOTS_REFRESH_SQL = """
+WITH hosts AS (
+    SELECT source AS host,
+           CAST(MIN(doc_id % 40) AS BIGINT) AS age_h,
+           CAST(COUNT(*) AS BIGINT) AS n_due_pages
+    FROM documents
+    GROUP BY source
+)
+SELECT host, age_h, n_due_pages,
+       CASE WHEN age_h > {TTL} THEN 1 ELSE 0 END AS needs_refresh,
+       CAST(CASE WHEN age_h > {TTL} THEN
+            ROW_NUMBER() OVER (
+                PARTITION BY CASE WHEN age_h > {TTL} THEN 1 ELSE 0 END
+                ORDER BY n_due_pages DESC, host)
+            ELSE 0 END AS BIGINT) AS refresh_rank
+FROM hosts
+ORDER BY host
+"""
+
+_register(
+    "robots_refresh_plan",
+    _sql_query(
+        _ROBOTS_REFRESH_SQL.replace("{TTL}", str(_ROBOTS_TTL_H)),
+        ("documents",),
+        "RFC 9309 robots-cache expiry: stale hosts (age > 24h) ranked by "
+        "blocked due-page volume for next-round robots refetch",
+        oracle=_ROBOTS_REFRESH_SQL.replace("{TTL}", str(_ROBOTS_TTL_H)),
+    ),
+)
