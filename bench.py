@@ -57,6 +57,8 @@ BENCH_QUERIES = [
     "token_df_topk",
     "pages_main_text",
     "webtext_pipeline_e2e",
+    "paragraph_dedup",
+    "text_winnow_fingerprints",
 ]
 
 

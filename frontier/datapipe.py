@@ -3366,10 +3366,20 @@ _register(
 # slide a window of W hashes, keep each window's minimum, emit the distinct
 # selected fingerprints per document. Guarantees any shared run of
 # W+2 words produces at least one shared fingerprint — the standard
-# local-fingerprinting scheme for contamination / clone detection. All
-# list ops are codegen higher-order functions; the only shuffle is the
-# final presentation sort (fingerprints stay inside their document row
-# until the explode).
+# local-fingerprinting scheme for contamination / clone detection.
+#
+# Spark plan shape: posexplode the shingle array, hash BEFORE the exchange
+# (only (doc_id, pos, int64) rows ever shuffle — never shingle strings),
+# then a sliding ROWS frame min partitioned by doc_id. The per-doc count
+# window and the frame min share one sort; the final DISTINCT reuses the
+# doc_id hash partitioning (no second exchange). An earlier formulation
+# kept hashes in an array and took per-window minima with nested
+# higher-order functions (transform(sequence(...), i -> array_min(slice(
+# hs, i, W)))); Catalyst re-inlines the CTE-defined `hs` into every lambda
+# reference and evaluates the nested HOFs interpreted, re-running the
+# tokenize→shingle→md5 chain per window — measured 169 s vs ~1 s at sf0.01
+# for this window-function plan. Same lesson as the minhash persisted
+# views: never reference an expensive CTE column inside a lambda.
 _WINNOW_W = 4
 
 _WINNOW_SQL = """
@@ -3398,22 +3408,43 @@ FROM ({EXPLODE_FPS})
 ORDER BY doc_id, fp
 """
 
+# Spark side: window-frame formulation (see block comment above). The frame
+# from each position covers the next W hashes; positions past n - W are
+# partial windows the MOSS scheme does not select — EXCEPT when the whole
+# document has <= W shingles, where the single window is the whole doc
+# (pos 0's frame, kept by greatest(n - W, 0)).
+_WINNOW_SPARK_SQL = """
+WITH toks AS (
+    SELECT doc_id, {WORDS} AS words FROM documents
+),
+sh AS (
+    SELECT doc_id, {SHINGLES} AS shingles FROM toks
+),
+hashes AS (
+    SELECT doc_id, pos,
+           CAST(conv(substring(md5(s), 1, 14), 16, 10) AS BIGINT) AS h
+    FROM sh LATERAL VIEW posexplode(shingles) t AS pos, s
+),
+wins AS (
+    SELECT doc_id, pos,
+           min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND {W1} FOLLOWING) AS fp,
+           count(*) OVER (PARTITION BY doc_id) AS n
+    FROM hashes
+)
+SELECT DISTINCT doc_id, fp
+FROM wins
+WHERE pos <= greatest(n - {W}, 0)
+ORDER BY doc_id, fp
+"""
+
 
 def _winnow_spark() -> str:
     return (
-        _WINNOW_SQL
+        _WINNOW_SPARK_SQL
         .replace("{WORDS}", _SPARK_WORDS)
         .replace("{SHINGLES}", _SPARK_SHINGLES)
-        .replace("{TRANSFORM}", "transform")
-        .replace("{H56}", "CAST(conv(substring(md5(s), 1, 14), 16, 10) AS BIGINT)")
-        .replace("{SIZE}", "size")
-        .replace("{EMPTY}", "array()")
-        .replace("{WRAPMIN}", "array(array_min(hs))")
-        .replace("{ARRAY_DISTINCT}", "array_distinct")
-        .replace("{SEQ}", "sequence(1, size(hs) - {W} + 1)")
-        .replace("{WINMIN}", "array_min(slice(hs, i, {W}))")
-        .replace("{EXPLODE_FPS}",
-                 "SELECT doc_id, explode(fps) AS fp FROM selected")
+        .replace("{W1}", str(_WINNOW_W - 1))
         .replace("{W}", str(_WINNOW_W))
     )
 
