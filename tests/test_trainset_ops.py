@@ -245,6 +245,33 @@ def test_round3_widening_plan_shapes(spark):
     assert "HashAggregate" in plan or "ObjectHashAggregate" in plan
 
 
+def test_winnowing_plan_shape(spark):
+    """Pin the window-function winnowing plan (an earlier nested-HOF form
+    re-ran the tokenize→shingle→md5 chain per window, 55× slower):
+
+    - exactly one hash exchange, on doc_id, carrying only
+      (doc_id, pos, int64 hash) — shingle strings are hashed in the
+      Project BELOW the exchange and never shuffle;
+    - the frame-min and per-doc-count windows share the one sort;
+    - the final DISTINCT reuses the doc_id partitioning (back-to-back
+      HashAggregates, no second hash exchange);
+    - never a join; posexplode (Generate) feeds the exchange.
+    """
+    plan = _plan_of(REGISTRY["text_winnow_fingerprints"].build(spark, SF_DIR))
+    assert plan.count("Arguments: hashpartitioning") == 1
+    assert "hashpartitioning(doc_id" in plan
+    assert "Generate" in plan and "posexplode" in plan
+    assert "Join" not in plan
+    import re
+
+    assert len(re.findall(r"\(\d+\) Window\n", plan)) == 2
+    assert re.search(
+        r"Exchange\nInput \[3\]: \[doc_id#\d+L, pos#\d+, h#\d+L\]\n"
+        r"Arguments: hashpartitioning",
+        plan,
+    ), "hash exchange must carry only (doc_id, pos, int64 hash)"
+
+
 def test_winnowing_shared_run_guarantee(spark, tmp_path):
     """The winnowing invariant: two documents sharing a run of W+2 = 6
     words must share at least one selected fingerprint, while documents
