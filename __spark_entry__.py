@@ -392,6 +392,57 @@ ORDER BY doc_id
 """
 
 
+def _warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC segment ingest (the Common-Crawl container format): documents
+    → spec-correct synthesized .warc / .warc.gz segments
+    (frontier.synth.synth_warc_segments) → Content-Length-framed record
+    walk (frontier.warc.warc_records, shuffle-free mapInPandas) → the
+    north-rule page-table projection.  The oracle re-derives every field
+    in closed form from the synth contract — including bodies that embed
+    the "WARC/1.0" banner, which only framing-correct parsing survives."""
+    from frontier.synth import synth_warc_segments
+    from frontier.warc import warc_records
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    recs = warc_records(synth_warc_segments(docs), responses_only=True)
+    return recs.select(
+        "url",
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("capture_ts"),
+        "http_status",
+        "content_type",
+        F.length("html").alias("n_bytes"),
+        F.md5("html").alias("body_md5"),
+    ).orderBy("url")
+
+
+# synth_warc_segments contract: url/date/status/ctype/body are all
+# closed-form in doc_id (see its docstring); DuckDB strlen/md5 operate on
+# the same UTF-8 bytes the parser extracts from the HTTP response block.
+_WARC_INGEST_ORACLE = """
+WITH b AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN 'WARC/1.0' || chr(13) || chr(10) || chr(13) || chr(10)
+              ELSE '' END
+           || '<html><body>' || coalesce(text, '') || '</body></html>'
+           AS body
+  FROM documents
+)
+SELECT 'http://host' || CAST(doc_id % 50 AS VARCHAR)
+         || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+       strftime(TIMESTAMP '2025-01-01 00:00:00' + INTERVAL 1 SECOND * doc_id,
+                '%Y-%m-%d %H:%M:%S') AS capture_ts,
+       CAST(CASE WHEN doc_id % 13 = 0 THEN 404 ELSE 200 END AS INT)
+         AS http_status,
+       CASE WHEN doc_id % 5 = 0 THEN 'text/plain' ELSE 'text/html' END
+         AS content_type,
+       CAST(strlen(body) AS BIGINT) AS n_bytes,
+       md5(body) AS body_md5
+FROM b
+ORDER BY url
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         name: qd.build for name, qd in REGISTRY.items()
@@ -400,6 +451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["frontier_fetch_plan"] = _frontier_fetch_plan
     out["flagship_tree"] = _flagship_gate
     out["media_metadata"] = _media_metadata
+    out["warc_ingest"] = _warc_ingest
     out["media_audio_metadata"] = _media_audio_metadata
     out["media_mp3_metadata"] = _media_mp3_metadata
     out["media_resize"] = _media_resize
@@ -414,6 +466,7 @@ def oracle_sql() -> dict[str, str]:
     out["frontier_crawl"] = _CRAWL_ORACLE
     out["frontier_fetch_plan"] = _FETCH_PLAN_ORACLE
     out["media_metadata"] = _MEDIA_META_ORACLE
+    out["warc_ingest"] = _WARC_INGEST_ORACLE
     out["media_audio_metadata"] = _MEDIA_AUDIO_ORACLE
     out["media_mp3_metadata"] = _MEDIA_MP3_ORACLE
     out["media_resize"] = _MEDIA_RESIZE_ORACLE

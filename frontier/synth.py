@@ -560,3 +560,88 @@ def synth_pages_corpus(
     return spark.range(0, n_hosts * pages_per_host, numPartitions=n_parts).mapInPandas(
         build, PAGES_CORPUS_SCHEMA
     )
+
+
+# --- synthetic WARC segments (warc_ingest oracle input) -------------------------
+
+
+def synth_warc_segments(docs: DataFrame) -> DataFrame:
+    """``documents`` → ``(segment_id, payload binary)`` of spec-correct
+    WARC 1.0 segments (via :func:`frontier.warc.build_warc_record`), the
+    Common-Crawl container layout: a ``warcinfo`` record, then one
+    request + response record pair per document.  Closed-form contract so
+    a SQL oracle can derive the expected ingest:
+
+        segment_id   = doc_id // 8
+        url          = http://host{doc_id % 50}.example.com/doc/{doc_id}
+        warc_ts      = 2025-01-01T00:00:00Z + doc_id seconds
+        http_status  = 404 if doc_id % 13 == 0 else 200
+        content_type = text/plain if doc_id % 5 == 0 else text/html
+                       (the raw header carries ``; charset=UTF-8`` when
+                       doc_id % 2 == 0 — the parser must strip parameters)
+        html         = [b"WARC/1.0\\r\\n\\r\\n" when doc_id % 7 == 0]
+                       + b"<html><body>" + text(utf-8) + b"</body></html>"
+
+    The doc_id%7 prefix plants the record banner INSIDE a body so naive
+    banner-scanning (instead of Content-Length framing) fails loudly.
+    Segments with odd ``segment_id`` are ``.warc.gz``-style concatenated
+    per-record gzip members.  Construction is synth/test harness — the
+    framing-correct *parsing* downstream is the operator under test."""
+    from .warc import build_http_response, build_warc_record
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        out_ids, out_payloads = [], []
+        for seg_id, grp in pdf.groupby("segment_id", sort=True):
+            parts = [
+                build_warc_record(
+                    "warcinfo",
+                    b"software: frontier-synth\r\n",
+                    date="2025-01-01T00:00:00Z",
+                )
+            ]
+            for doc_id, text in zip(grp["doc_id"], grp["text"]):
+                i = int(doc_id)
+                url = f"http://host{i % 50}.example.com/doc/{i}"
+                ts = _dt.datetime(2025, 1, 1) + _dt.timedelta(seconds=i)
+                date = ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+                body = (
+                    (b"WARC/1.0\r\n\r\n" if i % 7 == 0 else b"")
+                    + b"<html><body>"
+                    + (text or "").encode("utf-8")
+                    + b"</body></html>"
+                )
+                main = "text/plain" if i % 5 == 0 else "text/html"
+                ctype = main + ("; charset=UTF-8" if i % 2 == 0 else "")
+                status, reason = (404, "Not Found") if i % 13 == 0 else (200, "OK")
+                parts.append(
+                    build_warc_record(
+                        "request",
+                        f"GET /doc/{i} HTTP/1.1\r\nHost: host{i % 50}.example.com\r\n".encode(),
+                        url=url,
+                        date=date,
+                    )
+                )
+                parts.append(
+                    build_warc_record(
+                        "response",
+                        build_http_response(status, reason, ctype, body),
+                        url=url,
+                        date=date,
+                    )
+                )
+            if int(seg_id) % 2 == 1:
+                payload = b"".join(
+                    _gzip.compress(p, compresslevel=1, mtime=0) for p in parts
+                )
+            else:
+                payload = b"".join(parts)
+            out_ids.append(int(seg_id))
+            out_payloads.append(payload)
+        return pd.DataFrame({"segment_id": out_ids, "payload": out_payloads})
+
+    return (
+        docs.selectExpr("doc_id DIV 8 AS segment_id", "doc_id", "text")
+        .groupBy("segment_id")
+        .applyInPandas(build, "segment_id long, payload binary")
+    )
