@@ -60,6 +60,8 @@ BENCH_QUERIES = [
     "paragraph_dedup",
     "text_winnow_fingerprints",
     "warc_ingest",
+    "crawl_trap_detect",
+    "index_postings",
 ]
 
 

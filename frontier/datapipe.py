@@ -3618,3 +3618,120 @@ _register(
         oracle=_ROBOTS_REFRESH_SQL.replace("{TTL}", str(_ROBOTS_TTL_H)),
     ),
 )
+
+
+# Crawler-trap detection: a URL template whose PATH space grows much faster
+# than its CONTENT space (calendar pages, faceted-search permutations,
+# session-id echoes) wastes fetch budget at crawl scale. Over the mined
+# (host, template) groups, compare distinct paths vs distinct content
+# fingerprints; flag templates where paths >= 2x contents past a minimum
+# fan-out. Synthetic content contract: /product/ pages carry boilerplate
+# (doc_id % 3 variants — the planted trap), /blog/ pages carry the real
+# document text, /static/ is a single page. One partial-agg groupBy on two
+# short strings — the 10^10-row URL table reduces map-side; nothing but
+# (host, template, counts) ever shuffles.
+_TRAP_SQL = """
+WITH urls AS (
+    SELECT source || '.example.com' AS host,
+           CASE CAST(doc_id % 3 AS INTEGER)
+                WHEN 0 THEN '/product/' || CAST(doc_id AS {STR}) || '/view'
+                WHEN 1 THEN '/blog/2024/' || CAST(doc_id % 12 AS {STR})
+                     || '/post-' || CAST(doc_id AS {STR})
+                ELSE '/static/about.html'
+           END AS path,
+           CASE WHEN doc_id % 3 = 0
+                THEN md5('boilerplate-' || CAST(doc_id % 3 AS {STR}))
+                ELSE md5(coalesce(text, '')) END AS fp
+    FROM documents
+),
+t AS (
+    SELECT host, {DIGITS} AS template,
+           COUNT(*) AS n_pages,
+           COUNT(DISTINCT path) AS n_paths,
+           COUNT(DISTINCT fp) AS n_contents
+    FROM urls
+    GROUP BY host, {DIGITS}
+)
+SELECT host, template,
+       CAST(n_pages AS BIGINT) AS n_pages,
+       CAST(n_paths AS BIGINT) AS n_paths,
+       CAST(n_contents AS BIGINT) AS n_contents,
+       (n_paths > 4 AND n_paths >= 2 * n_contents) AS is_trap
+FROM t
+ORDER BY host, template
+"""
+
+_register(
+    "crawl_trap_detect",
+    _sql_query(
+        _TRAP_SQL.replace("{STR}", "STRING")
+        .replace("{DIGITS}", "regexp_replace(path, '[0-9]+', '{n}')"),
+        ("documents",),
+        "crawler-trap detection: URL templates whose path space outgrows "
+        "their content space (distinct paths >= 2x distinct fingerprints)",
+        oracle=_TRAP_SQL.replace("{STR}", "VARCHAR")
+        .replace("{DIGITS}", "regexp_replace(path, '[0-9]+', '{n}', 'g')"),
+    ),
+)
+
+
+# Inverted-index postings build (search-engine / retrieval shape): token →
+# document frequency + the first-K doc ids as the postings head. The scale
+# plan: per-doc-distinct tokens reduce map-side; the postings head is a
+# rank-in-partition filter that Spark 3.5+ evaluates with a map-side
+# WindowGroupLimit (each task forwards at most K rows per token — a
+# stopword's millions of postings never congregate before the cap), while
+# df comes from a partial-agg count; both sides then meet on the token
+# partitioning. Postings render as a comma string so the value hash is
+# engine-portable (list cells round-trip differently through pandas).
+_POSTINGS_K = 16
+
+_POSTINGS_SPARK_SQL = """
+WITH words AS (
+    SELECT doc_id, explode(array_distinct({WORDS})) AS token FROM documents
+),
+ranked AS (
+    SELECT token, doc_id,
+           row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn
+    FROM words
+),
+heads AS (
+    SELECT token,
+           array_join(transform(sort_array(collect_list(doc_id)),
+                                x -> CAST(x AS STRING)), ',') AS postings_head
+    FROM ranked WHERE rn <= {K}
+    GROUP BY token
+),
+dfs AS (
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM words GROUP BY token
+)
+SELECT d.token, d.df, h.postings_head
+FROM dfs d JOIN heads h ON d.token = h.token
+ORDER BY d.token
+"""
+
+_POSTINGS_DUCK_SQL = """
+WITH words AS (
+    SELECT DISTINCT doc_id, unnest({WORDS}) AS token FROM documents
+)
+SELECT token,
+       CAST(COUNT(*) AS BIGINT) AS df,
+       array_to_string((list(doc_id ORDER BY doc_id))[1:{K}], ',')
+         AS postings_head
+FROM words
+GROUP BY token
+ORDER BY token
+"""
+
+_register(
+    "index_postings",
+    _sql_query(
+        _POSTINGS_SPARK_SQL.replace("{WORDS}", _SPARK_WORDS)
+        .replace("{K}", str(_POSTINGS_K)),
+        ("documents",),
+        "inverted-index postings: token -> df + first-K doc-id head; "
+        "map-side WindowGroupLimit caps per-token rows before the exchange",
+        oracle=_POSTINGS_DUCK_SQL.replace("{WORDS}", _DUCK_WORDS)
+        .replace("{K}", str(_POSTINGS_K)),
+    ),
+)

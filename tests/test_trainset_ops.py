@@ -301,3 +301,38 @@ def test_budget_allocation_sums_exactly(spark):
     for r in rows:
         lo = (1000 * r["weight"]) // total_w
         assert r["budget"] in (lo, lo + 1)
+
+
+def test_crawl_trap_detect_flags_only_boilerplate_template(spark):
+    """The planted /product/ template (few content variants over many
+    paths) must trap; /blog/ (distinct text per path) and /static/
+    (single path) must not."""
+    rows = REGISTRY["crawl_trap_detect"].build(spark, SF_DIR).collect()
+    by_template = {}
+    for r in rows:
+        by_template.setdefault(r["template"], []).append(r)
+    for r in by_template["/product/{n}/view"]:
+        assert r["is_trap"] and r["n_paths"] >= 2 * r["n_contents"]
+    for t in ("/blog/{n}/{n}/post-{n}", "/static/about.html"):
+        assert all(not r["is_trap"] for r in by_template[t])
+
+
+def test_index_postings_head_and_df(spark, tmp_path):
+    """df counts EVERY posting; the head is the K smallest doc_ids; and
+    the plan caps per-token rows map-side (WindowGroupLimit) instead of
+    congregating a stopword's full posting list before the limit."""
+    from frontier.datapipe import _POSTINGS_K
+
+    n = _POSTINGS_K + 9
+    rows = [(i, f"common word{i}", "en", "s") for i in range(n)]
+    sf = _write_docs(tmp_path, rows)
+    got = {r["token"]: r for r in REGISTRY["index_postings"].build(spark, sf).collect()}
+    assert got["common"]["df"] == n
+    assert got["common"]["postings_head"] == ",".join(
+        str(i) for i in range(_POSTINGS_K)
+    )
+    assert got["word3"]["df"] == 1 and got["word3"]["postings_head"] == "3"
+
+    plan = _plan_of(REGISTRY["index_postings"].build(spark, SF_DIR))
+    assert "WindowGroupLimit" in plan
+    assert plan.count("Arguments: hashpartitioning") == 2
