@@ -3735,3 +3735,135 @@ _register(
         .replace("{K}", str(_POSTINGS_K)),
     ),
 )
+
+
+# Feed autodiscovery: RSS/Atom <link rel=alternate> elements in page HTML —
+# sitemap discovery's sibling channel (the reference PARSES the feed
+# formats, usp/parser.py RSS/Atom classes; autodiscovery is how a crawler
+# finds those feed documents from HTML). Real HTMLParser kernel
+# (frontier.pages.html_feed_links): rel token lists, type parameters,
+# <base href> resolution, stylesheet/text-html decoys rejected,
+# first-occurrence dedup — vs a closed-form expected feed list. Same
+# shuffle-free Arrow shape as link discovery.
+def _feed_autodiscovery_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pages import extract_feed_links
+
+    _load(spark, sf_dir, "documents")
+    pages = spark.sql(
+        """
+        SELECT url, encode(page_html, 'utf-8') AS html FROM (
+          SELECT 'http://' || source || '.example.com/dir/p'
+                   || CAST(doc_id AS STRING) || '.html' AS url,
+            CASE CAST(doc_id % 3 AS INTEGER)
+              WHEN 0 THEN '<html><head><base href="/sub/">'
+                || '<link rel="alternate" type="application/rss+xml" href="/feed.xml">'
+                || '<link rel="alternate" type="application/atom+xml" href="feed.atom"/>'
+                || '</head><body>x</body></html>'
+              WHEN 1 THEN '<html><head>'
+                || '<link rel="alternate stylesheet" type="application/atom+xml" href="http://feeds.example.org/a'
+                || CAST(doc_id AS STRING) || '.xml"></head></html>'
+              ELSE '<html><head><link rel="stylesheet" href="s.css">'
+                || '<link rel="alternate" type="text/html" href="x.html">'
+                || '</head><body><a href="y.html">y</a></body></html>'
+            END AS page_html
+          FROM documents)
+        """
+    )
+    return extract_feed_links(pages).orderBy("url", "feed_url")
+
+
+_FEED_AUTODISCOVERY_ORACLE = """
+WITH base AS (
+    SELECT doc_id, source,
+           'http://' || source || '.example.com/dir/p'
+             || CAST(doc_id AS VARCHAR) || '.html' AS url
+    FROM documents
+)
+SELECT url,
+       'http://' || source || '.example.com/feed.xml' AS feed_url,
+       'rss' AS feed_kind
+FROM base WHERE doc_id % 3 = 0
+UNION ALL
+SELECT url,
+       'http://' || source || '.example.com/sub/feed.atom' AS feed_url,
+       'atom' AS feed_kind
+FROM base WHERE doc_id % 3 = 0
+UNION ALL
+SELECT url,
+       'http://feeds.example.org/a' || CAST(doc_id AS VARCHAR) || '.xml'
+         AS feed_url,
+       'atom' AS feed_kind
+FROM base WHERE doc_id % 3 = 1
+ORDER BY url, feed_url
+"""
+
+_register(
+    "feed_autodiscovery",
+    QueryDef(
+        build=_feed_autodiscovery_build,
+        oracle=_FEED_AUTODISCOVERY_ORACLE,
+        doc=(
+            "RSS/Atom autodiscovery from <link rel=alternate> elements: "
+            "real HTMLParser kernel with base-href resolution and decoy "
+            "rejection vs closed-form expected feeds"
+        ),
+    ),
+)
+
+
+# Conditional-refetch planning (RFC 9110 validators): at recrawl time a
+# crawler that sends If-None-Match / If-Modified-Since turns every
+# unchanged page into a ~200-byte 304 instead of a full body — at
+# 10^10-URL scale this IS the recrawl bandwidth budget. Per URL: pick the
+# validator (ETag wins when the previous capture recorded one, RFC 9110
+# §13.1.2 precedence), render the exact request header, and predict the
+# 304 + bytes saved from the known change state. Pure codegen column
+# expressions over the scan; the only exchange is the presentation sort.
+# Synth contract: etag = quoted md5(text) present when doc_id % 3 != 0;
+# content unchanged when doc_id % 4 != 0; body bytes = strlen(text) + 26.
+_COND_FETCH_SQL = """
+WITH prev AS (
+    SELECT doc_id,
+           'http://host' || CAST(doc_id % 50 AS {STR})
+             || '.example.com/doc/' || CAST(doc_id AS {STR}) AS url,
+           CASE WHEN doc_id % 3 <> 0
+                THEN '"' || md5(coalesce(text, '')) || '"' END AS etag,
+           {TS} AS last_fetch_ts,
+           {BYTELEN}(coalesce(text, '')) + 26 AS n_bytes,
+           (doc_id % 4 <> 0) AS unchanged
+    FROM documents
+)
+SELECT url,
+       CASE WHEN etag IS NOT NULL THEN 'if-none-match'
+            ELSE 'if-modified-since' END AS strategy,
+       CASE WHEN etag IS NOT NULL THEN 'If-None-Match: ' || etag
+            ELSE 'If-Modified-Since: ' || {HTTPDATE} END AS cond_header,
+       unchanged AS predicted_304,
+       CAST(CASE WHEN unchanged THEN n_bytes ELSE 0 END AS BIGINT)
+         AS bytes_saved
+FROM prev
+ORDER BY url
+"""
+
+_register(
+    "conditional_fetch_plan",
+    _sql_query(
+        _COND_FETCH_SQL.replace("{STR}", "STRING")
+        .replace("{TS}", "timestampadd(SECOND, CAST(doc_id AS INT), "
+                         "TIMESTAMP '2025-01-01 00:00:00')")
+        .replace("{BYTELEN}", "octet_length")
+        .replace("{HTTPDATE}",
+                 "date_format(last_fetch_ts, 'EEE, dd MMM yyyy HH:mm:ss')"
+                 " || ' GMT'"),
+        ("documents",),
+        "RFC 9110 conditional-refetch plan: ETag-over-Last-Modified "
+        "validator choice, rendered request headers, predicted 304 "
+        "bandwidth savings — pure codegen over the scan",
+        oracle=_COND_FETCH_SQL.replace("{STR}", "VARCHAR")
+        .replace("{TS}", "TIMESTAMP '2025-01-01 00:00:00' "
+                         "+ INTERVAL 1 SECOND * doc_id")
+        .replace("{BYTELEN}", "strlen")
+        .replace("{HTTPDATE}",
+                 "strftime(last_fetch_ts, '%a, %d %b %Y %H:%M:%S GMT')"),
+    ),
+)

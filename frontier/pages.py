@@ -528,6 +528,111 @@ def extract_anchors(
     )
 
 
+_FEED_TYPES = {
+    "application/rss+xml": "rss",
+    "application/atom+xml": "atom",
+}
+
+
+class _FeedLinkCollector(HTMLParser):
+    """Collects RSS/Atom autodiscovery ``<link>`` elements — the HTML-spec
+    convention feed readers and crawlers use: ``<link rel="alternate"
+    type="application/rss+xml|application/atom+xml" href=...>`` — plus the
+    page's first ``<base href>`` (same resolution rule as anchors)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.feeds: list[tuple[str, str]] = []  # (href, kind)
+        self.base_href: str | None = None
+
+    def handle_starttag(self, tag, attrs) -> None:
+        if tag == "link":
+            d = {name: (value or "") for name, value in attrs}
+            rel = re.split(r"[\s,]+", d.get("rel", "").lower())
+            kind = _FEED_TYPES.get(d.get("type", "").split(";")[0].strip().lower())
+            if "alternate" in rel and kind and d.get("href"):
+                self.feeds.append((d["href"], kind))
+        elif tag == "base" and self.base_href is None:
+            for name, value in attrs:
+                if name == "href" and value:
+                    self.base_href = value
+                    break
+
+    def handle_startendtag(self, tag, attrs) -> None:
+        self.handle_starttag(tag, attrs)
+
+
+def html_feed_links(html: bytes | str | None, base_url: str) -> list[tuple[str, str]]:
+    """``(feed_url, kind)`` pairs discovered in one page's ``<link>``
+    elements (kind ∈ rss|atom), resolved against the page's effective base
+    and first-occurrence deduped — sitemap discovery's sibling channel:
+    feeds carry the freshest URLs of exactly the hosts whose sitemaps lag
+    (the reference parses the feed FORMATS, usp/parser.py RSS/Atom classes;
+    autodiscovery is how a crawler finds those documents from HTML)."""
+    collector = _FeedLinkCollector()
+    if html is not None:
+        if isinstance(html, (bytes, bytearray, memoryview)):
+            html = bytes(html).decode("utf-8", errors="replace")
+        collector.feed(html)
+        collector.close()
+    out: list[tuple[str, str]] = []
+    seen: set[str] = set()
+    base = _effective_base(base_url, collector.base_href)
+    for href, kind in collector.feeds:
+        resolved = _resolve_href(href, base)
+        if resolved is not None and resolved not in seen:
+            seen.add(resolved)
+            out.append((resolved, kind))
+    return out
+
+
+def extract_feed_links(
+    pages: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """``(url, feed_url, feed_kind)`` from a pages corpus — RSS/Atom
+    autodiscovery over the ``html`` binary.  Same shuffle-free Arrow shape
+    as :func:`extract_links`: one kernel row per page, explode on the
+    already-deduped array; discovered feed URLs flow into the frontier's
+    seen-set anti-join exactly like sitemap children."""
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            pages.schema[url_col],
+            T.StructField(
+                "feeds",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("feed_url", T.StringType()),
+                            T.StructField("feed_kind", T.StringType()),
+                        ]
+                    )
+                ),
+            ),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            yield pd.DataFrame(
+                {
+                    url_col: batch[url_col],
+                    "feeds": [
+                        html_feed_links(h, u)
+                        for h, u in zip(batch[html_col], batch[url_col])
+                    ],
+                }
+            )
+
+    return (
+        pages.mapInPandas(kernel, schema)
+        .select(url_col, F.explode("feeds").alias("_f"))
+        .select(url_col, F.col("_f.feed_url").alias("feed_url"),
+                F.col("_f.feed_kind").alias("feed_kind"))
+    )
+
+
 def host_link_graph(
     edges: DataFrame, src_col: str = "url", dst_col: str = "outlink"
 ) -> DataFrame:

@@ -561,3 +561,51 @@ def test_extract_main_text_dataframe(spark):
         "u1": "a genuinely long enough paragraph of content",
         "u2": "",
     }
+
+
+def test_html_feed_links_kernel():
+    from frontier.pages import html_feed_links
+
+    html = (
+        '<html><head><base href="/sub/">'
+        '<link rel="ALTERNATE" type="application/rss+xml; charset=utf-8" href="r.xml">'
+        '<link rel="alternate home" type="APPLICATION/ATOM+XML" href="/a.xml"/>'
+        '<link rel="alternate" type="application/rss+xml" href="r.xml">'  # dup
+        '<link rel="alternate" type="text/html" href="not-a-feed.html">'
+        '<link rel="stylesheet" href="s.css">'
+        '<link rel="alternate" type="application/rss+xml">'  # no href
+        "</head><body></body></html>"
+    )
+    got = html_feed_links(html.encode(), "http://h.example.com/dir/p.html")
+    assert got == [
+        ("http://h.example.com/sub/r.xml", "rss"),
+        ("http://h.example.com/a.xml", "atom"),
+    ]
+    assert html_feed_links(None, "http://h/") == []
+    assert html_feed_links(b"<<<garbage", "http://h/") == []
+    # skip-scheme and fragment rules inherited from _resolve_href
+    assert html_feed_links(
+        b'<link rel="alternate" type="application/rss+xml" href="javascript:x()">',
+        "http://h/",
+    ) == []
+
+
+def test_extract_feed_links_plan_and_rows(spark):
+    from frontier.pages import extract_feed_links
+
+    pages = spark.createDataFrame(
+        [
+            ("http://a.example.com/",
+             bytearray(b'<link rel="alternate" type="application/atom+xml" href="f.atom">')),
+            ("http://b.example.com/", bytearray(b"<p>no feeds</p>")),
+        ],
+        "url string, html binary",
+    )
+    rows = extract_feed_links(pages).collect()
+    assert [(r.url, r.feed_url, r.feed_kind) for r in rows] == [
+        ("http://a.example.com/", "http://a.example.com/f.atom", "atom")
+    ]
+    plan = extract_feed_links(pages)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "Exchange" not in plan  # shuffle-free kernel + explode

@@ -336,3 +336,28 @@ def test_index_postings_head_and_df(spark, tmp_path):
     plan = _plan_of(REGISTRY["index_postings"].build(spark, SF_DIR))
     assert "WindowGroupLimit" in plan
     assert plan.count("Arguments: hashpartitioning") == 2
+
+
+def test_conditional_fetch_plan_semantics(spark):
+    """RFC 9110 precedence (ETag over Last-Modified), rendered header
+    formats, and the savings arithmetic."""
+    import re as _re
+
+    rows = REGISTRY["conditional_fetch_plan"].build(spark, SF_DIR).collect()
+    docs = pd.read_parquet(os.path.join(SF_DIR, "documents.parquet"))
+    assert len(rows) == len(docs)
+    for r in rows:
+        doc_id = int(r["url"].rsplit("/", 1)[1])
+        if doc_id % 3 != 0:
+            assert r["strategy"] == "if-none-match"
+            assert _re.fullmatch(r'If-None-Match: "[0-9a-f]{32}"', r["cond_header"])
+        else:
+            assert r["strategy"] == "if-modified-since"
+            assert _re.fullmatch(
+                r"If-Modified-Since: (Mon|Tue|Wed|Thu|Fri|Sat|Sun), "
+                r"\d{2} (Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec) "
+                r"2025 \d{2}:\d{2}:\d{2} GMT",
+                r["cond_header"],
+            )
+        assert r["predicted_304"] == (doc_id % 4 != 0)
+        assert (r["bytes_saved"] > 0) == r["predicted_304"]
