@@ -3867,3 +3867,53 @@ _register(
                  "strftime(last_fetch_ts, '%a, %d %b %Y %H:%M:%S GMT')"),
     ),
 )
+
+
+# Charset sniff + decode (WHATWG precedence: BOM > Content-Type header >
+# <meta charset> > utf-8 default) — the ingest step between a WARC record
+# walk and every downstream text operator; a 10^10-page corpus is NOT all
+# utf-8. Real kernel (frontier.pages.decode_html_bytes: BOM stripping,
+# alias normalization, U+FFFD replacement, never raises) over payloads
+# synthesized in four real encodings; the oracle re-derives charset,
+# sniff source, and the decoded text in closed form. Shuffle-free Arrow
+# mapInPandas, pass-through columns.
+def _charset_decode_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pages import decode_pages
+    from .synth import synth_charset_payloads
+
+    _load(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    pages = synth_charset_payloads(docs)
+    return (
+        decode_pages(pages, html_col="payload", ctype_col="content_type")
+        .select("doc_id", "charset", "charset_source", "text")
+        .orderBy("doc_id")
+    )
+
+
+_CHARSET_DECODE_ORACLE = """
+SELECT doc_id,
+       (['utf-8','utf-16-le','iso-8859-1','windows-1252'])[doc_id % 4 + 1]
+         AS charset,
+       (['bom','bom','header','meta'])[doc_id % 4 + 1] AS charset_source,
+       CASE CAST(doc_id % 4 AS INTEGER)
+            WHEN 0 THEN '<html><body>é ' || coalesce(text, '')
+            WHEN 1 THEN '<html>é ' || coalesce(text, '')
+            WHEN 2 THEN '<html><body>é café ' || coalesce(text, '')
+            ELSE '<meta charset=Windows-1252><body>€ ' || coalesce(text, '')
+       END AS text
+FROM documents
+ORDER BY doc_id
+"""
+
+_register(
+    "charset_decode",
+    QueryDef(
+        build=_charset_decode_build,
+        oracle=_CHARSET_DECODE_ORACLE,
+        doc=(
+            "charset sniff (BOM > header > meta > default) + decode over "
+            "four real encodings vs closed-form expected text"
+        ),
+    ),
+)

@@ -34,6 +34,7 @@ on a short host string; ``latest_capture`` shuffles compact
 
 from __future__ import annotations
 
+import codecs
 import re
 from html.parser import HTMLParser
 from typing import Iterator
@@ -845,3 +846,129 @@ def latest_capture(pages: DataFrame) -> DataFrame:
         F.col("_w.lang").alias("lang"),
         "n_captures",
     )
+
+
+# --- charset sniffing + decoding (webtext ingest: the corpus is NOT all
+# utf-8) ------------------------------------------------------------------------
+
+# label normalization for the handful of aliases that dominate real crawls
+_CHARSET_ALIASES = {
+    "utf8": "utf-8",
+    "utf-8": "utf-8",
+    "latin-1": "iso-8859-1",
+    "latin1": "iso-8859-1",
+    "iso8859-1": "iso-8859-1",
+    "iso-8859-1": "iso-8859-1",
+    "cp1252": "windows-1252",
+    "windows1252": "windows-1252",
+    "windows-1252": "windows-1252",
+    "us-ascii": "iso-8859-1",  # ascii is a latin-1 subset; same decode
+}
+
+_META_CHARSET_RE = re.compile(
+    rb"""<meta[^>]{0,512}?charset\s*=\s*["']?\s*([a-zA-Z0-9_.:\-]+)""",
+    re.IGNORECASE,
+)
+
+
+def _normalize_charset(label: str) -> str | None:
+    label = label.strip().strip("\"'").lower()
+    if not label:
+        return None
+    norm = _CHARSET_ALIASES.get(label, label)
+    try:
+        codecs.lookup(norm)
+    except LookupError:
+        return None
+    return norm
+
+
+def sniff_charset(
+    payload: bytes | None, content_type: str | None = None
+) -> tuple[str, str]:
+    """``(charset, source)`` for an HTML payload, WHATWG-encoding-sniff
+    precedence: BOM beats the transport header beats an in-document
+    ``<meta charset>`` (scanned in the first 1024 bytes, both the
+    ``charset=`` attribute and the ``http-equiv`` content form) beats the
+    utf-8 default.  ``source`` ∈ bom|header|meta|default is the audit
+    column: at corpus scale the header/meta disagreement rate is a fetch
+    pipeline health metric."""
+    if payload:
+        if payload[:3] == b"\xef\xbb\xbf":
+            return "utf-8", "bom"
+        if payload[:2] == b"\xff\xfe":
+            return "utf-16-le", "bom"
+        if payload[:2] == b"\xfe\xff":
+            return "utf-16-be", "bom"
+    if content_type and "charset=" in content_type.lower():
+        label = content_type.lower().split("charset=", 1)[1].split(";")[0]
+        norm = _normalize_charset(label)
+        if norm:
+            return norm, "header"
+    if payload:
+        m = _META_CHARSET_RE.search(payload[:1024])
+        if m:
+            norm = _normalize_charset(m.group(1).decode("latin-1"))
+            if norm:
+                return norm, "meta"
+    return "utf-8", "default"
+
+
+def decode_html_bytes(
+    payload: bytes | None, content_type: str | None = None
+) -> tuple[str, str, str]:
+    """``(charset, source, text)``: sniff then decode, BOM stripped,
+    undecodable bytes replaced (U+FFFD) — never raises."""
+    charset, source = sniff_charset(payload, content_type)
+    if payload is None:
+        return charset, source, ""
+    data = bytes(payload)
+    try:
+        if source == "bom":
+            if charset == "utf-8":
+                text = data.decode("utf-8-sig", errors="replace")
+            else:
+                # utf-16 codec consumes the BOM it finds
+                text = data.decode("utf-16", errors="replace")
+        else:
+            text = data.decode(charset, errors="replace")
+    except (LookupError, UnicodeError):
+        text = data.decode("utf-8", errors="replace")
+    return charset, source, text
+
+
+def decode_pages(
+    pages: DataFrame,
+    html_col: str = "html",
+    ctype_col: str | None = None,
+    out_cols: tuple[str, str, str] = ("charset", "charset_source", "text"),
+) -> DataFrame:
+    """Adds ``(charset, charset_source, text)`` to a pages corpus by
+    sniff-decoding the ``html`` binary — the ingest step between a WARC
+    record walk and every downstream text operator.  Shuffle-free Arrow
+    ``mapInPandas``; all input columns pass through unchanged."""
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        pages.schema.fields
+        + [
+            T.StructField(out_cols[0], T.StringType()),
+            T.StructField(out_cols[1], T.StringType()),
+            T.StructField(out_cols[2], T.StringType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ctypes = batch[ctype_col] if ctype_col else [None] * len(batch)
+            decoded = [
+                decode_html_bytes(h, c)
+                for h, c in zip(batch[html_col], ctypes)
+            ]
+            out = batch.copy()
+            out[out_cols[0]] = [d[0] for d in decoded]
+            out[out_cols[1]] = [d[1] for d in decoded]
+            out[out_cols[2]] = [d[2] for d in decoded]
+            yield out
+
+    return pages.mapInPandas(kernel, schema)

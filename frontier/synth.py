@@ -645,3 +645,59 @@ def synth_warc_segments(docs: DataFrame) -> DataFrame:
         .groupBy("segment_id")
         .applyInPandas(build, "segment_id long, payload binary")
     )
+
+
+def synth_charset_payloads(docs: DataFrame) -> DataFrame:
+    """``documents`` → ``(doc_id, content_type, payload binary)`` of HTML
+    bytes in the four encodings that dominate real crawls, with closed-form
+    charset declarations so a SQL oracle can derive the expected sniff +
+    decode (doc text is ASCII; the non-ASCII markers make the decode
+    observable):
+
+        doc_id % 4 == 0: utf-8 BOM    + '<html><body>é ' + text
+        doc_id % 4 == 1: utf-16-le BOM + '<html>é ' + text
+        doc_id % 4 == 2: iso-8859-1 body 'é café ', charset in the
+                         Content-Type header
+        doc_id % 4 == 3: windows-1252 body '€ ' declared by <meta charset>
+                         (€ = 0x80 — a cp1252-only byte, so decoding with
+                         latin-1 instead would NOT round-trip)
+    """
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ctypes, payloads = [], []
+            for doc_id, text in zip(batch["doc_id"], batch["text"]):
+                i, t = int(doc_id), text or ""
+                if i % 4 == 0:
+                    ctypes.append("text/html")
+                    payloads.append(
+                        b"\xef\xbb\xbf" + f"<html><body>é {t}".encode("utf-8")
+                    )
+                elif i % 4 == 1:
+                    ctypes.append(None)
+                    payloads.append(
+                        b"\xff\xfe" + f"<html>é {t}".encode("utf-16-le")
+                    )
+                elif i % 4 == 2:
+                    ctypes.append("text/html; charset=ISO-8859-1")
+                    payloads.append(
+                        f"<html><body>é café {t}".encode("iso-8859-1")
+                    )
+                else:
+                    ctypes.append("text/html")
+                    payloads.append(
+                        f"<meta charset=Windows-1252><body>€ {t}".encode(
+                            "windows-1252"
+                        )
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"].astype("int64"),
+                    "content_type": pd.array(ctypes, dtype="string"),
+                    "payload": payloads,
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        build, "doc_id long, content_type string, payload binary"
+    )

@@ -609,3 +609,55 @@ def test_extract_feed_links_plan_and_rows(spark):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     assert "Exchange" not in plan  # shuffle-free kernel + explode
+
+
+def test_sniff_charset_precedence_and_edges():
+    from frontier.pages import decode_html_bytes, sniff_charset
+
+    # BOM beats a contradicting header
+    assert sniff_charset(b"\xef\xbb\xbfx", "text/html; charset=ISO-8859-1") == (
+        "utf-8", "bom",
+    )
+    # header beats meta
+    assert sniff_charset(
+        b"<meta charset=windows-1252>", "text/html; charset=utf-8"
+    ) == ("utf-8", "header")
+    # bogus header label falls through to meta
+    assert sniff_charset(
+        b'<meta charset="ISO-8859-1">', "text/html; charset=bogus-enc"
+    ) == ("iso-8859-1", "meta")
+    # meta past the first 1024 bytes is not scanned
+    far = b" " * 1025 + b"<meta charset=windows-1252>"
+    assert sniff_charset(far) == ("utf-8", "default")
+    # alias normalization via header
+    assert sniff_charset(b"", "text/html; charset=Latin1")[0] == "iso-8859-1"
+    # undecodable bytes replace, never raise
+    charset, source, text = decode_html_bytes(b"\xff\xff\xfa", None)
+    assert (charset, source) == ("utf-8", "default") and "�" in text
+    assert decode_html_bytes(None) == ("utf-8", "default", "")
+
+
+def test_warc_to_text_ingest_pipeline(spark):
+    """End-to-end webtext ingest: WARC segments → record walk → charset
+    decode → text extraction, composed as one shuffle-free plan."""
+    from frontier.pages import decode_pages, extract_text
+    from frontier.synth import synth_warc_segments
+    from frontier.warc import warc_records
+
+    docs = spark.createDataFrame(
+        [(i, f"doc body {i}", "en", "s", 10) for i in range(12)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    recs = warc_records(synth_warc_segments(docs), responses_only=True)
+    decoded = decode_pages(recs, html_col="html", ctype_col="content_type")
+    out = extract_text(decoded, html_col="html", out_col="extracted")
+    rows = out.select("url", "charset", "text", "extracted").collect()
+    assert len(rows) == 12
+    for r in rows:
+        i = int(r.url.rsplit("/", 1)[1])
+        assert r.charset == "utf-8"  # synth WARC bodies are utf-8
+        assert f"doc body {i}" in r.text
+        # tags stripped; i%7==0 bodies keep their planted WARC banner as
+        # leading character data (it IS page text, not a record boundary)
+        banner = "WARC/1.0\r\n\r\n\n" if i % 7 == 0 else ""
+        assert r.extracted == f"{banner}doc body {i}"
