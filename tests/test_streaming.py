@@ -339,3 +339,35 @@ def test_stream_outlinks_matches_batch_kernel(spark, tmp_path):
         ("http://h3.example.com/dir/p.html", "http://h3.example.com/dir/b.html",
          "h3.example.com", t0),
     ]
+
+
+def test_stream_warc_ingest_matches_batch(spark, tmp_path):
+    """WARC segment ingest is stateless mapInPandas, so the same kernel
+    runs unchanged on a segment STREAM — continuous Common-Crawl-style
+    landing of .warc/.warc.gz blobs — and yields exactly the batch rows."""
+    from frontier.synth import synth_warc_segments
+    from frontier.warc import warc_records
+
+    docs = spark.createDataFrame(
+        [(i, f"stream doc {i}", "en", "s", 11) for i in range(16)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    segs = synth_warc_segments(docs)
+    landing = str(tmp_path / "warc_landing")
+    segs.write.mode("overwrite").parquet(landing)
+
+    stream = spark.readStream.schema("segment_id long, payload binary").parquet(
+        landing
+    )
+    out = warc_records(stream, responses_only=True)
+    assert out.isStreaming
+    run_available_now(out, str(tmp_path / "ck_warc"), "warc_sink")
+    got = sorted(
+        (r.url, r.http_status, bytes(r.html))
+        for r in spark.sql("SELECT * FROM warc_sink").collect()
+    )
+    want = sorted(
+        (r.url, r.http_status, bytes(r.html))
+        for r in warc_records(segs, responses_only=True).collect()
+    )
+    assert got == want and len(got) == 16
