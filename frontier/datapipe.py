@@ -3917,3 +3917,85 @@ _register(
         ),
     ),
 )
+
+
+# Gopher-rules quality gating (Rae et al. 2021, the published web-corpus
+# filter set): per-document boolean gates — word count, mean word length,
+# symbol-to-word ratio, bullet/ellipsis line fractions, alphabetic-word
+# fraction, stopword presence — and their conjunction. All thresholds are
+# INTEGER cross-multiplications (3*n <= sum_len, 5*alpha >= 4*n, ...) so
+# the gate bits are bit-identical across engines and partitionings: no
+# float division anywhere. Pure codegen over the scan; zero shuffles
+# beyond the presentation sort. This is the standard pre-dedup gate of a
+# webtext training pipeline (feeds webtext_pipeline_e2e's quality stage).
+_GOPHER_STOPWORDS = "'the','be','to','of','and','that','have','with'"
+
+_GOPHER_SQL = """
+WITH toks AS (
+    SELECT doc_id, {WORDS} AS words, text FROM documents
+),
+m AS (
+    SELECT doc_id,
+           CAST({SIZE}(words) AS BIGINT) AS n_words,
+           CAST({SUMLEN} AS BIGINT) AS sum_word_len,
+           CAST({SIZE}({FILTER}(words, x -> {ALPHA})) AS BIGINT)
+             AS n_alpha_words,
+           CAST({SIZE}({FILTER}(words, x -> {STOPIN})) AS BIGINT)
+             AS n_stopword_hits,
+           CAST(length(text) - length(replace(text, '#', ''))
+                + (length(text) - length(replace(text, '...', ''))) / 3
+                AS BIGINT) AS n_symbols,
+           CAST({SIZE}({LINES}) AS BIGINT) AS n_lines,
+           CAST({SIZE}({FILTER}({LINES}, x -> x LIKE '-%' OR x LIKE '*%'))
+                AS BIGINT) AS n_bullet_lines,
+           CAST({SIZE}({FILTER}({LINES}, x -> x LIKE '%...'))
+                AS BIGINT) AS n_ellipsis_lines
+    FROM toks
+)
+SELECT doc_id, n_words,
+       (n_words BETWEEN 50 AND 100000) AS pass_word_count,
+       (3 * n_words <= sum_word_len AND sum_word_len <= 10 * n_words)
+         AS pass_mean_word_len,
+       (10 * n_symbols <= n_words) AS pass_symbol_ratio,
+       (10 * n_bullet_lines <= 9 * n_lines) AS pass_bullets,
+       (10 * n_ellipsis_lines <= 3 * n_lines) AS pass_ellipsis,
+       (5 * n_alpha_words >= 4 * n_words) AS pass_alpha_ratio,
+       (n_stopword_hits >= 2) AS pass_stopwords,
+       ((n_words BETWEEN 50 AND 100000)
+        AND 3 * n_words <= sum_word_len AND sum_word_len <= 10 * n_words
+        AND 10 * n_symbols <= n_words
+        AND 10 * n_bullet_lines <= 9 * n_lines
+        AND 10 * n_ellipsis_lines <= 3 * n_lines
+        AND 5 * n_alpha_words >= 4 * n_words
+        AND n_stopword_hits >= 2) AS gopher_pass
+FROM m
+ORDER BY doc_id
+"""
+
+_register(
+    "text_gopher_gates",
+    _sql_query(
+        _GOPHER_SQL.replace("{WORDS}", _SPARK_WORDS)
+        .replace("{SIZE}", "size")
+        .replace("{SUMLEN}",
+                 "aggregate(words, CAST(0 AS BIGINT), (a, x) -> a + length(x))")
+        .replace("{FILTER}", "filter")
+        .replace("{ALPHA}", "x rlike '[a-z]'")
+        .replace("{STOPIN}",
+                 f"array_contains(array({_GOPHER_STOPWORDS}), x)")
+        .replace("{LINES}", "split(text, '\\n')"),
+        ("documents",),
+        "Gopher quality gates: integer-arithmetic rule bits "
+        "(word count, mean word length, symbol/bullet/ellipsis ratios, "
+        "alpha fraction, stopwords) + conjunction — pure codegen",
+        oracle=_GOPHER_SQL.replace("{WORDS}", _DUCK_WORDS)
+        .replace("{SIZE}", "len")
+        .replace("{SUMLEN}",
+                 "coalesce(list_sum(list_transform(words, x -> length(x))), 0)")
+        .replace("{FILTER}", "list_filter")
+        .replace("{ALPHA}", "regexp_matches(x, '[a-z]')")
+        .replace("{STOPIN}",
+                 f"list_contains([{_GOPHER_STOPWORDS}], x)")
+        .replace("{LINES}", "string_split(text, chr(10))"),
+    ),
+)

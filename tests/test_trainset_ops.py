@@ -361,3 +361,37 @@ def test_conditional_fetch_plan_semantics(spark):
             )
         assert r["predicted_304"] == (doc_id % 4 != 0)
         assert (r["bytes_saved"] > 0) == r["predicted_304"]
+
+
+def test_gopher_gates_rule_by_rule(spark, tmp_path):
+    """Each gate trips on a doc engineered to fail exactly that rule."""
+    base = ("the and " + "sensible words flow here nicely ") * 12  # ~62 words
+    rows = [
+        (0, base, "en", "s"),                                   # passes all
+        (1, "too short really", "en", "s"),                     # word count
+        (2, "the and " + "extraordinarily " * 60, "en", "s"),   # mean word len
+        (3, base + " " + "# " * 30, "en", "s"),                 # symbol ratio
+        (4, "\n".join(["- the and bullet item here"] * 60), "en", "s"),  # bullets
+        (5, "\n".join(["the and trailing thought..."] * 60), "en", "s"), # ellipsis
+        (6, "the and " + "12345 67890 " * 40, "en", "s"),       # alpha fraction
+        (7, base.replace("the and ", "zz yy "), "en", "s"),     # stopwords
+    ]
+    sf = _write_docs(tmp_path, rows)
+    got = {r["doc_id"]: r for r in REGISTRY["text_gopher_gates"].build(spark, sf).collect()}
+    assert got[0]["gopher_pass"]
+    failing_gate = {
+        1: "pass_word_count",
+        2: "pass_mean_word_len",
+        3: "pass_symbol_ratio",
+        4: "pass_bullets",
+        5: "pass_ellipsis",
+        6: "pass_alpha_ratio",
+        7: "pass_stopwords",
+    }
+    for doc_id, gate in failing_gate.items():
+        assert not got[doc_id][gate], (doc_id, gate)
+        assert not got[doc_id]["gopher_pass"]
+
+    plan = _plan_of(REGISTRY["text_gopher_gates"].build(spark, SF_DIR))
+    assert "Arguments: hashpartitioning" not in plan  # pure scan-side codegen
+    assert "Join" not in plan and "HashAggregate" not in plan
