@@ -246,16 +246,19 @@ def test_round3_widening_plan_shapes(spark):
 
 
 def test_winnowing_plan_shape(spark):
-    """Pin the window-function winnowing plan (an earlier nested-HOF form
-    re-ran the tokenize→shingle→md5 chain per window, 55× slower):
+    """Pin the window-function winnowing plan (two earlier forms were
+    orders of magnitude slower: nested HOFs re-ran tokenize→shingle→md5
+    per window; a shingle-ARRAY posexplode made InferFiltersFromGenerate
+    inline an O(words²) re-tokenizing filter above the scan):
 
     - exactly one hash exchange, on doc_id, carrying only
-      (doc_id, pos, int64 hash) — shingle strings are hashed in the
-      Project BELOW the exchange and never shuffle;
-    - the frame-min and per-doc-count windows share the one sort;
+      (doc_id, pos, word token) — never full text or shingle arrays;
+    - the Generate explodes the flat WORDS array (the inferred size()>0
+      filter costs one tokenization, not O(words²));
+    - lead-shingle, frame-min and per-doc-count windows share the one
+      exchange (exactly one Sort besides the final ORDER BY);
     - the final DISTINCT reuses the doc_id partitioning (back-to-back
-      HashAggregates, no second hash exchange);
-    - never a join; posexplode (Generate) feeds the exchange.
+      HashAggregates, no second hash exchange); never a join.
     """
     plan = _plan_of(REGISTRY["text_winnow_fingerprints"].build(spark, SF_DIR))
     assert plan.count("Arguments: hashpartitioning") == 1
@@ -264,12 +267,13 @@ def test_winnowing_plan_shape(spark):
     assert "Join" not in plan
     import re
 
-    assert len(re.findall(r"\(\d+\) Window\n", plan)) == 2
+    assert len(re.findall(r"\(\d+\) Window\n", plan)) == 3
+    assert len(re.findall(r"\(\d+\) Sort\n", plan)) == 2
     assert re.search(
-        r"Exchange\nInput \[3\]: \[doc_id#\d+L, pos#\d+, h#\d+L\]\n"
+        r"Exchange\nInput \[3\]: \[doc_id#\d+L, pos#\d+, w#\d+\]\n"
         r"Arguments: hashpartitioning",
         plan,
-    ), "hash exchange must carry only (doc_id, pos, int64 hash)"
+    ), "hash exchange must carry only (doc_id, pos, word)"
 
 
 def test_winnowing_shared_run_guarantee(spark, tmp_path):
