@@ -2290,13 +2290,24 @@ def _decontam_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         h.unpersist()
     _DECON_HANDLES.clear()
     _load(spark, sf_dir, "documents")
-    grams = spark.sql(f"""
-        SELECT doc_id, g.gram AS gram
-        FROM (SELECT doc_id, {_SPARK_GRAMS5} AS grams
-              FROM (SELECT doc_id, {_SPARK_WORDS} AS words FROM documents) w)
-        LATERAL VIEW explode(grams) g AS gram
+    # materialization boundary BELOW the explode: InferFiltersFromGenerate
+    # puts a size(grams) > 0 filter above every Generate, and pushdown
+    # inlines the gram expression into it — for element_at-built grams that
+    # filter re-tokenizes the document per element_at call, O(words²) regex
+    # splits per doc (measured 9.0 s vs 1.9 s at sf0.1 for this build).
+    # Persisting the (doc_id, grams) arrays first makes the inferred filter
+    # probe a cached column instead.
+    gram_arrays = spark.sql(f"""
+        SELECT doc_id, {_SPARK_GRAMS5} AS grams
+        FROM (SELECT doc_id, {_SPARK_WORDS} AS words FROM documents) w
     """).persist()
+    gram_arrays.createOrReplaceTempView("gram_arrays")
+    grams = spark.sql(
+        "SELECT doc_id, g.gram AS gram FROM gram_arrays"
+        " LATERAL VIEW explode(grams) g AS gram"
+    ).persist()
     grams.createOrReplaceTempView("grams")
+    _DECON_HANDLES["gram_arrays"] = gram_arrays
     _DECON_HANDLES["grams"] = grams
     spark.sql(
         f"SELECT DISTINCT gram FROM grams WHERE doc_id % {_DECON_EVAL_MOD} = 0"
