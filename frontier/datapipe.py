@@ -4029,3 +4029,68 @@ _register(
         .replace("{LINES}", "string_split(text, chr(10))"),
     ),
 )
+
+
+# CCNet-style corpus bucketing (head/middle/tail): CCNet buckets documents
+# by LM perplexity; the engine-portable stand-in is an integer-exact token
+# RARITY score against the corpus's own per-language unigram counts —
+# surprisal of token t ~ floor(N_lang / tf(t)), doc score = per-token mean
+# (floor). All BIGINT sums, so the score is ORDER-INDEPENDENT (no float
+# log whose last bit differs between libm builds) and the driver hash is
+# exact. Plan: one (lang, token) partial-agg for the vocab, the vocab
+# BROADCAST back onto the token stream (Zipf-bounded small side — the
+# 10^10-token stream never shuffles on the join key), one per-doc
+# partial-agg, then ntile(3) per lang over the doc-level rows only.
+# Token-less docs have no perplexity and are absent, as in CCNet.
+_RARITY_SQL = """
+WITH words AS (
+    SELECT doc_id, lang, {EXPLODE} AS token FROM documents
+),
+tf AS (
+    SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM words GROUP BY lang, token
+),
+tot AS (
+    SELECT lang, CAST(SUM(tf) AS BIGINT) AS total FROM tf GROUP BY lang
+),
+scored AS (
+    SELECT {JOINHINT} w.doc_id, w.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(t.total {DIV} f.tf) AS BIGINT) AS surprisal_sum
+    FROM words w
+    JOIN tf f ON f.lang = w.lang AND f.token = w.token
+    JOIN tot t ON t.lang = w.lang
+    GROUP BY w.doc_id, w.lang
+),
+ranked AS (
+    SELECT doc_id, lang, n_tokens,
+           surprisal_sum {DIV} n_tokens AS rarity,
+           ntile(3) OVER (PARTITION BY lang
+                          ORDER BY surprisal_sum {DIV} n_tokens, doc_id)
+             AS tile
+    FROM scored
+)
+SELECT doc_id, lang, n_tokens, CAST(rarity AS BIGINT) AS rarity,
+       {BUCKET} AS bucket
+FROM ranked
+ORDER BY doc_id
+"""
+
+_register(
+    "text_rarity_buckets",
+    _sql_query(
+        _RARITY_SQL.replace("{EXPLODE}", f"explode({_SPARK_WORDS})")
+        .replace("{DIV}", "DIV")
+        .replace("{JOINHINT}", "/*+ BROADCAST(f) */")
+        .replace("{BUCKET}",
+                 "element_at(array('head','middle','tail'), tile)"),
+        ("documents",),
+        "CCNet-style head/middle/tail bucketing by integer-exact token "
+        "rarity vs the per-lang corpus unigram counts — vocab broadcast, "
+        "token stream never shuffles on the join key",
+        oracle=_RARITY_SQL.replace("{EXPLODE}", f"unnest({_DUCK_WORDS})")
+        .replace("{DIV}", "//")
+        .replace("{JOINHINT}", "")
+        .replace("{BUCKET}", "(['head','middle','tail'])[tile]"),
+    ),
+)

@@ -399,3 +399,27 @@ def test_gopher_gates_rule_by_rule(spark, tmp_path):
     plan = _plan_of(REGISTRY["text_gopher_gates"].build(spark, SF_DIR))
     assert "Arguments: hashpartitioning" not in plan  # pure scan-side codegen
     assert "Join" not in plan and "HashAggregate" not in plan
+
+
+def test_rarity_buckets_order_and_plan(spark, tmp_path):
+    """Docs made of corpus-common tokens bucket 'head'; docs of hapax
+    tokens bucket 'tail'; token-less docs are absent. The vocab join is a
+    broadcast — the token stream is never exchanged on the join key."""
+    common = "alpha beta gamma " * 20
+    rows = (
+        [(i, common, "en", "s") for i in range(6)]
+        + [(10 + i, f"hapax{i}a hapax{i}b hapax{i}c", "en", "s") for i in range(6)]
+        + [(99, "...", "en", "s")]  # tokenizes to nothing
+    )
+    sf = _write_docs(tmp_path, rows)
+    got = {r["doc_id"]: r for r in REGISTRY["text_rarity_buckets"].build(spark, sf).collect()}
+    assert 99 not in got
+    # ntile(3) over 12 docs = 4/4/4 in (rarity, doc_id) order: the common
+    # docs fill head (+2 spill to middle), the hapax docs fill tail
+    assert all(got[i]["bucket"] == "head" for i in range(4))
+    assert all(got[i]["bucket"] == "middle" for i in (4, 5, 10, 11))
+    assert all(got[10 + i]["bucket"] == "tail" for i in range(2, 6))
+    assert all(got[i]["rarity"] < got[10]["rarity"] for i in range(6))
+
+    plan = _plan_of(REGISTRY["text_rarity_buckets"].build(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
