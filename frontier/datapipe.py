@@ -4094,3 +4094,77 @@ _register(
         .replace("{BUCKET}", "(['head','middle','tail'])[tile]"),
     ),
 )
+
+
+# Inbound anchor-text rollup: aggregate the labeled edge list per TARGET —
+# inlink count, distinct anchor count, and the most common anchor (the
+# web's own label for the page: the classic retrieval / title-synthesis
+# signal). Spark runs the real HTMLParser anchor kernel over synthesized
+# pages whose targets and labels are closed-form in doc_id; the oracle
+# reconstructs the edge list directly and runs the IDENTICAL aggregation.
+# Scale shape: one partial-agg groupBy on (target, anchor) — bounded by
+# distinct labels, not edges — then rank/rollup windows over those tiny
+# agg rows; a mega-inlink target (every page links the homepage) costs
+# its distinct-anchor count, never its edge count, past the first agg.
+_ANCHOR_ROLLUP_AGG = """
+WITH agg AS (
+    SELECT outlink, anchor, COUNT(*) AS cnt FROM {EDGES} GROUP BY outlink, anchor
+),
+tot AS (
+    SELECT outlink, CAST(SUM(cnt) AS BIGINT) AS n_inlinks,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_anchors
+    FROM agg GROUP BY outlink
+),
+best AS (
+    SELECT outlink, anchor AS top_anchor,
+           ROW_NUMBER() OVER (PARTITION BY outlink
+                              ORDER BY cnt DESC, anchor) AS rn
+    FROM agg
+)
+SELECT t.outlink AS target, t.n_inlinks, t.n_distinct_anchors, b.top_anchor
+FROM tot t JOIN best b ON b.outlink = t.outlink AND b.rn = 1
+ORDER BY target
+"""
+
+
+def _anchor_rollup_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pages import extract_anchors
+
+    _load(spark, sf_dir, "documents")
+    pages = spark.sql(
+        """
+        SELECT 'http://' || source || '.example.com/p'
+                 || CAST(doc_id AS STRING) || '.html' AS url,
+               encode('<html><body><a href="http://t.example.org/page'
+                 || CAST(doc_id % 13 AS STRING) || '">label '
+                 || CAST(doc_id % 3 AS STRING) || '</a></body></html>',
+                 'utf-8') AS html
+        FROM documents
+        """
+    )
+    extract_anchors(pages).createOrReplaceTempView("anchor_edges")
+    return spark.sql(_ANCHOR_ROLLUP_AGG.replace("{EDGES}", "anchor_edges"))
+
+
+_ANCHOR_ROLLUP_ORACLE = _ANCHOR_ROLLUP_AGG.replace(
+    "{EDGES}",
+    """(
+    SELECT 'http://t.example.org/page' || CAST(doc_id % 13 AS VARCHAR)
+             AS outlink,
+           'label ' || CAST(doc_id % 3 AS VARCHAR) AS anchor
+    FROM documents
+) e""",
+)
+
+_register(
+    "anchor_text_rollup",
+    QueryDef(
+        build=_anchor_rollup_build,
+        oracle=_ANCHOR_ROLLUP_ORACLE,
+        doc=(
+            "inbound anchor-text rollup per target: inlink count, distinct "
+            "anchors, most-common anchor — real kernel edges, identical "
+            "aggregation on both engines"
+        ),
+    ),
+)
