@@ -410,6 +410,11 @@ def _warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("capture_ts"),
         "http_status",
         "content_type",
+        "etag",
+        F.date_format("last_modified", "yyyy-MM-dd HH:mm:ss").alias(
+            "last_modified_ts"
+        ),
+        "x_robots",
         F.length("html").alias("n_bytes"),
         F.md5("html").alias("body_md5"),
     ).orderBy("url")
@@ -420,7 +425,7 @@ def _warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the same UTF-8 bytes the parser extracts from the HTTP response block.
 _WARC_INGEST_ORACLE = """
 WITH b AS (
-  SELECT doc_id,
+  SELECT doc_id, text,
          CASE WHEN doc_id % 7 = 0
               THEN 'WARC/1.0' || chr(13) || chr(10) || chr(13) || chr(10)
               ELSE '' END
@@ -436,6 +441,11 @@ SELECT 'http://host' || CAST(doc_id % 50 AS VARCHAR)
          AS http_status,
        CASE WHEN doc_id % 5 = 0 THEN 'text/plain' ELSE 'text/html' END
          AS content_type,
+       CASE WHEN doc_id % 3 <> 0
+            THEN chr(34) || md5(coalesce(text, '')) || chr(34) END AS etag,
+       strftime(TIMESTAMP '2025-01-01 00:00:00' + INTERVAL 1 SECOND * doc_id,
+                '%Y-%m-%d %H:%M:%S') AS last_modified_ts,
+       CASE WHEN doc_id % 11 = 0 THEN 'noindex' END AS x_robots,
        CAST(strlen(body) AS BIGINT) AS n_bytes,
        md5(body) AS body_md5
 FROM b

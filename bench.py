@@ -62,6 +62,12 @@ BENCH_QUERIES = [
     "warc_ingest",
     "crawl_trap_detect",
     "index_postings",
+    "charset_decode",
+    "feed_autodiscovery",
+    "conditional_fetch_plan",
+    "text_gopher_gates",
+    "text_rarity_buckets",
+    "anchor_text_rollup",
 ]
 
 

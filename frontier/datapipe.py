@@ -4168,3 +4168,53 @@ _register(
         ),
     ),
 )
+
+
+# Robots indexing opt-out compliance (the corpus-builder's obligation): a
+# page leaves the training corpus when EITHER the X-Robots-Tag header or
+# an in-document <meta name=robots|googlebot> carries noindex (or none,
+# which implies it). Real HTMLParser meta scan (frontier.pages
+# .noindex_flags) OR'd with the header column — shuffle-free Arrow kernel,
+# pass-through columns; the oracle re-derives both opt-out channels in
+# closed form. At 10^10 pages this gate is scan-side: excluded rows never
+# reach dedup or packing.
+def _noindex_filter_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pages import noindex_flags
+
+    _load(spark, sf_dir, "documents")
+    pages = spark.sql(
+        """
+        SELECT doc_id,
+               CASE WHEN doc_id % 11 = 0 THEN 'noindex, nofollow' END
+                 AS x_robots,
+               encode(CASE CAST(doc_id % 9 AS INTEGER)
+                 WHEN 0 THEN '<html><head><meta name="robots" content="NOINDEX, follow"></head><body>x</body></html>'
+                 WHEN 1 THEN '<html><head><meta name="googlebot" content="none"></head><body>x</body></html>'
+                 WHEN 2 THEN '<html><head><meta name="robots" content="nofollow"></head><body>x</body></html>'
+                 ELSE '<html><body>plain page</body></html>'
+               END, 'utf-8') AS html
+        FROM documents
+        """
+    )
+    out = noindex_flags(pages, x_robots_col="x_robots")
+    return out.select("doc_id", "noindex").orderBy("doc_id")
+
+
+_NOINDEX_ORACLE = """
+SELECT doc_id,
+       (doc_id % 11 = 0 OR doc_id % 9 IN (0, 1)) AS noindex
+FROM documents
+ORDER BY doc_id
+"""
+
+_register(
+    "noindex_filter",
+    QueryDef(
+        build=_noindex_filter_build,
+        oracle=_NOINDEX_ORACLE,
+        doc=(
+            "robots indexing opt-out: meta robots/googlebot noindex|none "
+            "OR X-Robots-Tag header — the compliance gate after ingest"
+        ),
+    ),
+)

@@ -972,3 +972,71 @@ def decode_pages(
             yield out
 
     return pages.mapInPandas(kernel, schema)
+
+
+class _MetaRobotsCollector(HTMLParser):
+    """Collects ``<meta name=robots|googlebot>`` directive tokens."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.tokens: set[str] = set()
+
+    def handle_starttag(self, tag, attrs) -> None:
+        if tag != "meta":
+            return
+        d = {name: (value or "") for name, value in attrs}
+        if d.get("name", "").lower() in ("robots", "googlebot"):
+            for tok in re.split(r"[\s,]+", d.get("content", "").lower()):
+                if tok:
+                    self.tokens.add(tok)
+
+    def handle_startendtag(self, tag, attrs) -> None:
+        self.handle_starttag(tag, attrs)
+
+
+def html_noindex(html: bytes | str | None) -> bool:
+    """True when the page's ``<meta name=robots|googlebot>`` directives
+    include ``noindex`` (or ``none``, which implies it) — the in-document
+    half of the robots exclusion protocol's indexing opt-out.  The
+    transport half is the ``X-Robots-Tag`` header, captured per record by
+    :func:`frontier.warc.warc_records`; a compliant corpus builder drops a
+    page when EITHER says noindex.  Malformed markup never raises."""
+    collector = _MetaRobotsCollector()
+    if html is not None:
+        if isinstance(html, (bytes, bytearray, memoryview)):
+            html = bytes(html).decode("utf-8", errors="replace")
+        collector.feed(html)
+        collector.close()
+    return "noindex" in collector.tokens or "none" in collector.tokens
+
+
+def noindex_flags(
+    pages: DataFrame,
+    html_col: str = "html",
+    x_robots_col: str | None = None,
+    out_col: str = "noindex",
+) -> DataFrame:
+    """Adds a ``noindex`` boolean: meta-robots opt-out from the ``html``
+    binary, OR'd with the ``X-Robots-Tag`` header column when given.
+    Shuffle-free Arrow kernel, pass-through columns — the compliance gate
+    a webtext pipeline applies right after ingest."""
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        pages.schema.fields + [T.StructField(out_col, T.BooleanType())]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            meta = [html_noindex(h) for h in batch[html_col]]
+            if x_robots_col:
+                hdr = [
+                    bool(x) and "noindex" in str(x).lower()
+                    for x in batch[x_robots_col]
+                ]
+                meta = [m or h for m, h in zip(meta, hdr)]
+            out = batch.copy()
+            out[out_col] = meta
+            yield out
+
+    return pages.mapInPandas(kernel, schema)

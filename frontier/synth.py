@@ -13,6 +13,7 @@ Two families:
 from __future__ import annotations
 
 import datetime as _dt
+import hashlib as _hashlib
 import gzip as _gzip
 from email.utils import format_datetime
 from typing import Iterator
@@ -576,6 +577,9 @@ def synth_warc_segments(docs: DataFrame) -> DataFrame:
         url          = http://host{doc_id % 50}.example.com/doc/{doc_id}
         warc_ts      = 2025-01-01T00:00:00Z + doc_id seconds
         http_status  = 404 if doc_id % 13 == 0 else 200
+        etag         = quoted md5(text) when doc_id % 3 != 0
+        last_modified= warc_ts as an RFC 9110 HTTP-date header (always)
+        x_robots     = 'noindex' when doc_id % 11 == 0
         content_type = text/plain if doc_id % 5 == 0 else text/html
                        (the raw header carries ``; charset=UTF-8`` when
                        doc_id % 2 == 0 — the parser must strip parameters)
@@ -614,6 +618,17 @@ def synth_warc_segments(docs: DataFrame) -> DataFrame:
                 main = "text/plain" if i % 5 == 0 else "text/html"
                 ctype = main + ("; charset=UTF-8" if i % 2 == 0 else "")
                 status, reason = (404, "Not Found") if i % 13 == 0 else (200, "OK")
+                extra = {
+                    "Last-Modified": ts.strftime("%a, %d %b %Y %H:%M:%S GMT")
+                }
+                if i % 3 != 0:
+                    extra["ETag"] = (
+                        chr(34)
+                        + _hashlib.md5((text or "").encode()).hexdigest()
+                        + chr(34)
+                    )
+                if i % 11 == 0:
+                    extra["X-Robots-Tag"] = "noindex"
                 parts.append(
                     build_warc_record(
                         "request",
@@ -625,7 +640,9 @@ def synth_warc_segments(docs: DataFrame) -> DataFrame:
                 parts.append(
                     build_warc_record(
                         "response",
-                        build_http_response(status, reason, ctype, body),
+                        build_http_response(
+                            status, reason, ctype, body, extra=extra
+                        ),
                         url=url,
                         date=date,
                     )

@@ -21,7 +21,8 @@ failing the task, mirroring the engine's parse-error contract
 from __future__ import annotations
 
 import zlib
-from datetime import datetime
+from datetime import datetime, timezone as _tz
+from email.utils import parsedate_to_datetime
 from typing import Iterator
 
 import pandas as pd
@@ -102,24 +103,40 @@ def iter_warc_records(data: bytes) -> Iterator[tuple[dict[str, str], bytes]]:
 
 
 def parse_http_response(block: bytes):
-    """HTTP response block → ``(status, media_type, body_bytes)``.
+    """HTTP response block → ``(status, media_type, body_bytes, headers)``.
     ``media_type`` is the ``Content-Type`` main type, lowercased, with
-    parameters (``; charset=...``) stripped.  Returns
-    ``(None, None, block)`` when the block is not an HTTP response."""
+    parameters (``; charset=...``) stripped; ``headers`` is the full
+    lowercase-keyed header dict (callers pick out validators like ETag /
+    Last-Modified and policy like X-Robots-Tag).  Returns
+    ``(None, None, block, {})`` when the block is not an HTTP response."""
     head, sep, body = block.partition(_HDR_END)
     if not sep or not head.startswith(b"HTTP/"):
-        return None, None, block
+        return None, None, block, {}
     status_line, _, hdr_rest = head.partition(_CRLF)
     parts = status_line.split(b" ", 2)
     try:
         status = int(parts[1])
     except (IndexError, ValueError):
-        return None, None, block
+        return None, None, block, {}
     headers = _parse_header_block(hdr_rest)
     ctype = headers.get("content-type")
     if ctype is not None:
         ctype = ctype.split(";", 1)[0].strip().lower() or None
-    return status, ctype, body
+    return status, ctype, body, headers
+
+
+def parse_http_date(value: str | None):
+    """RFC 9110 HTTP-date (``Sun, 09 Mar 2025 14:05:06 GMT``) → UTC-naive
+    datetime, or None when absent/malformed."""
+    if not value:
+        return None
+    try:
+        parsed = parsedate_to_datetime(value)
+    except (TypeError, ValueError):
+        return None
+    if parsed.tzinfo is not None:
+        parsed = parsed.astimezone(_tz.utc).replace(tzinfo=None)
+    return parsed
 
 
 def parse_warc_date(value: str | None):
@@ -143,6 +160,9 @@ WARC_RECORDS_SCHEMA = T.StructType(
         T.StructField("warc_ts", T.TimestampType()),
         T.StructField("http_status", T.IntegerType()),
         T.StructField("content_type", T.StringType()),
+        T.StructField("etag", T.StringType()),
+        T.StructField("last_modified", T.TimestampType()),
+        T.StructField("x_robots", T.StringType()),
         T.StructField("html", T.BinaryType()),
     ]
 )
@@ -171,10 +191,14 @@ def warc_records(
                 data = gunzip_members(bytes(payload))
                 for seq, (headers, block) in enumerate(iter_warc_records(data)):
                     wtype = headers.get("warc-type", "unknown").lower()
+                    etag = last_mod = x_robots = None
                     if wtype == "response":
-                        status, ctype, body = parse_http_response(block)
+                        status, ctype, body, http = parse_http_response(block)
                         url = headers.get("warc-target-uri")
                         html = body
+                        etag = http.get("etag")
+                        last_mod = parse_http_date(http.get("last-modified"))
+                        x_robots = http.get("x-robots-tag")
                     else:
                         if responses_only:
                             continue
@@ -188,11 +212,15 @@ def warc_records(
                     )
                     rows["http_status"].append(status)
                     rows["content_type"].append(ctype)
+                    rows["etag"].append(etag)
+                    rows["last_modified"].append(last_mod)
+                    rows["x_robots"].append(x_robots)
                     rows["html"].append(html)
             out = pd.DataFrame(rows)
             out["rec_seq"] = out["rec_seq"].astype("int32")
             out["http_status"] = out["http_status"].astype("Int32")
             out["warc_ts"] = pd.to_datetime(out["warc_ts"])
+            out["last_modified"] = pd.to_datetime(out["last_modified"])
             yield out
 
     df = segments.select(id_col, payload_col).mapInPandas(
@@ -230,10 +258,13 @@ def build_http_response(
     reason: str,
     content_type: str,
     body: bytes,
+    extra: dict[str, str] | None = None,
 ) -> bytes:
     head = (
         f"HTTP/1.1 {status} {reason}\r\n"
         f"Content-Type: {content_type}\r\n"
         f"Content-Length: {len(body)}\r\n"
     ).encode()
+    for k, v in (extra or {}).items():
+        head += f"{k}: {v}\r\n".encode()
     return head + _CRLF + body

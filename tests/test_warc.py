@@ -50,7 +50,7 @@ def test_framing_survives_banner_in_body():
         "warcinfo", "request", "response", "request", "response",
         "request", "response",
     ]
-    _, _, body1 = parse_http_response(recs[4][1])
+    _, _, body1, _ = parse_http_response(recs[4][1])
     assert body1 == fake  # the decoy came back intact as payload
 
 
@@ -83,13 +83,19 @@ def test_truncated_tail_is_dropped_not_raised():
 
 
 def test_http_response_split_and_params():
-    status, ctype, body = parse_http_response(
-        build_http_response(301, "Moved", "Text/HTML; charset=latin-1", b"x\r\n\r\ny")
+    status, ctype, body, http = parse_http_response(
+        build_http_response(
+            301, "Moved", "Text/HTML; charset=latin-1", b"x\r\n\r\ny",
+            extra={"ETag": chr(34) + "abc" + chr(34), "X-Robots-Tag": "noindex, nofollow"},
+        )
     )
     assert (status, ctype) == (301, "text/html")
     assert body == b"x\r\n\r\ny"  # body's own CRLFCRLF untouched
-    status, ctype, body = parse_http_response(b"not http at all")
+    assert http["etag"] == chr(34) + "abc" + chr(34)
+    assert http["x-robots-tag"] == "noindex, nofollow"
+    status, ctype, body, http = parse_http_response(b"not http at all")
     assert status is None and ctype is None and body == b"not http at all"
+    assert http == {}
 
 
 def test_header_continuation_and_date():
@@ -173,3 +179,12 @@ def test_synth_contract_matches_oracle_formulas(spark):
         )
         assert bytes(r.html) == expect
         assert r.warc_ts == datetime(2025, 1, 1, 0, i // 60, i % 60)
+        # validator + robots-policy headers captured at ingest
+        import hashlib
+
+        if i % 3 != 0:
+            assert r.etag == '"' + hashlib.md5(f"text {i}".encode()).hexdigest() + '"'
+        else:
+            assert r.etag is None
+        assert r.last_modified == r.warc_ts  # synth stamps them equal
+        assert r.x_robots == ("noindex" if i % 11 == 0 else None)
