@@ -215,14 +215,23 @@ def main() -> None:
 
         for name in BENCH_QUERIES:
             build = _builder(name)
-            best = float("inf")
-            for _ in range(2):  # min-of-2: see crawl noise note above
+            runs: list[float] = []
+            # min-of-2, plus a third run when the two disagree >1.5x on a
+            # non-trivial query: this sandbox gets multi-second contention
+            # windows (hypervisor neighbors) that can poison BOTH runs of
+            # an unlucky query; one retry outside the window fixes the
+            # reported floor without tripling total bench time.
+            while len(runs) < 2 or (
+                len(runs) == 2
+                and min(runs) > 1.0
+                and max(runs) > 1.5 * min(runs)
+            ):
                 start = time.perf_counter()
                 build(spark, SF_DIR).write.format("noop").mode(
                     "overwrite"
                 ).save()
-                best = min(best, time.perf_counter() - start)
-            timings[name] = round(best, 3)
+                runs.append(time.perf_counter() - start)
+            timings[name] = round(min(runs), 3)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
         spark.stop()
