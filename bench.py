@@ -68,6 +68,9 @@ BENCH_QUERIES = [
     "text_gopher_gates",
     "text_rarity_buckets",
     "anchor_text_rollup",
+    "text_hashngram_classifier",
+    "text_dup_span_fraction",
+    "embedding_kmeans_refine",
 ]
 
 

@@ -4218,3 +4218,248 @@ _register(
         ),
     ),
 )
+
+
+# =============================================================================
+# J. Round-3 tail 2: classifier scoring, duplicate-span signal, k-means
+# =============================================================================
+
+# fastText/CCNet-style hashed-feature linear quality classifier: each token
+# is feature-hashed into one of 4096 buckets (md5 56-bit -> % 4096), the
+# bucket's weight is a deterministic integer in [-1000, 1000] (derived from
+# md5 of the bucket id — the stand-in for a learned weight table; the
+# operator shape is the point: hash, bucket, weight-lookup, sum, sign), and
+# the document score is the BIGINT weight sum — order-independent, so the
+# driver hash is exact. Plan: tokens explode map-side, the two md5s are
+# pure codegen per token, one partial-agg groupBy(doc_id) — only
+# (doc_id, partial sums) ever shuffle. At 10^10 docs a REAL weight table
+# (learned, not derived) would be a 4096-row broadcast join on bucket; the
+# derived-weight form keeps even that join out of the plan.
+_HASHCLS_SQL = """
+WITH toks AS (
+    SELECT doc_id, {WORDS} AS words FROM documents
+),
+tok AS (
+    SELECT doc_id, {EXPLODE} AS w FROM toks
+),
+feat AS (
+    SELECT doc_id,
+           ({H56W} % 2001) - 1000 AS wgt
+    FROM (SELECT doc_id,
+                 'w:' || CAST({H56T} % 4096 AS {STR}) AS bucket
+          FROM tok)
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(wgt) AS BIGINT) AS score,
+       CAST(CASE WHEN SUM(wgt) >= 0 THEN 1 ELSE 0 END AS INT) AS keep
+FROM feat
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+_SPARK_H56 = "CAST(conv(substr(md5({X}), 1, 14), 16, 10) AS BIGINT)"
+_DUCK_H56 = "('0x' || substr(md5({X}), 1, 14))::BIGINT"
+
+_register(
+    "text_hashngram_classifier",
+    _sql_query(
+        _HASHCLS_SQL.replace("{EXPLODE}", "explode(words)")
+        .replace("{WORDS}", _SPARK_WORDS)
+        .replace("{H56W}", _SPARK_H56.replace("{X}", "bucket"))
+        .replace("{H56T}", _SPARK_H56.replace("{X}", "w"))
+        .replace("{STR}", "STRING"),
+        ("documents",),
+        "hashed-feature linear classifier score (fastText-style feature "
+        "hashing, 4096 buckets, integer weights): hash+sum pure codegen, "
+        "one partial-agg shuffle of (doc_id, sum)",
+        oracle=_HASHCLS_SQL.replace("{EXPLODE}", "unnest(words)")
+        .replace("{WORDS}", _DUCK_WORDS)
+        .replace("{H56W}", _DUCK_H56.replace("{X}", "bucket"))
+        .replace("{H56T}", _DUCK_H56.replace("{X}", "w"))
+        .replace("{STR}", "VARCHAR"),
+    ),
+)
+
+
+# Duplicate-span signal (the per-document scalar behind Lee et al. 2022
+# "Deduplicating Training Data Makes Language Models Better" exact
+# substring dedup): the fraction of a document's 8-token grams whose hash
+# occurs in >= 2 DISTINCT documents. A document with dup_permille near
+# 1000 is (near-)entirely boilerplate shared with the rest of the corpus;
+# the 50-token-span removal of the paper keys on exactly these gram-level
+# matches. Spark plan: grams are built with lead() windows over
+# pos-exploded words (one (doc_id, pos) exchange shared by all 7 leads —
+# NOT a shingle array, see the winnowing block comment on
+# InferFiltersFromGenerate re-evaluation), hashed to 56-bit ints before
+# any exchange, duplicate grams found by a distinct + count >= 2 on the
+# 8-byte hash, and re-joined to the gram stream on that same hash — at
+# 10^10 docs every shuffle in the plan carries only (int64 hash) or
+# (doc_id, int64) pairs, never gram text.
+_DUPSPAN_SPARK_SQL = """
+WITH toks AS (
+    SELECT doc_id, {WORDS} AS words FROM documents
+),
+tok AS (
+    SELECT doc_id, pos, w
+    FROM toks LATERAL VIEW posexplode(words) t AS pos, w
+),
+g AS (
+    SELECT doc_id,
+           CAST(conv(substring(md5(concat_ws(' ', w,
+                lead(w, 1) OVER win, lead(w, 2) OVER win,
+                lead(w, 3) OVER win, lead(w, 4) OVER win,
+                lead(w, 5) OVER win, lead(w, 6) OVER win,
+                lead(w, 7) OVER win)), 1, 14), 16, 10) AS BIGINT) AS h,
+           (lead(w, 7) OVER win IS NOT NULL) AS has_full_gram
+    FROM tok
+    WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+),
+grams AS (
+    SELECT doc_id, h FROM g WHERE has_full_gram
+),
+dup AS (
+    SELECT h
+    FROM (SELECT DISTINCT doc_id, h FROM grams) dh
+    GROUP BY h
+    HAVING COUNT(*) >= 2
+)
+SELECT gr.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_grams,
+       CAST((1000 * SUM(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END))
+            DIV COUNT(*) AS BIGINT) AS dup_permille
+FROM grams gr LEFT JOIN dup d ON d.h = gr.h
+GROUP BY gr.doc_id
+ORDER BY gr.doc_id
+"""
+
+_DUPSPAN_DUCK_SQL = """
+WITH toks AS (
+    SELECT doc_id, {WORDS} AS words FROM documents
+),
+g AS (
+    SELECT doc_id, array_to_string(words[i:i+7], ' ') AS gram
+    FROM toks, unnest(range(1, len(words) - 6)) AS t(i)
+    WHERE len(words) >= 8
+),
+grams AS (
+    SELECT doc_id, ('0x' || substr(md5(gram), 1, 14))::BIGINT AS h FROM g
+),
+dup AS (
+    SELECT h
+    FROM (SELECT DISTINCT doc_id, h FROM grams) dh
+    GROUP BY h
+    HAVING COUNT(*) >= 2
+)
+SELECT gr.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_grams,
+       CAST((1000 * SUM(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END))
+            // COUNT(*) AS BIGINT) AS dup_permille
+FROM grams gr LEFT JOIN dup d ON d.h = gr.h
+GROUP BY gr.doc_id
+ORDER BY gr.doc_id
+"""
+
+_register(
+    "text_dup_span_fraction",
+    _sql_query(
+        _DUPSPAN_SPARK_SQL.replace("{WORDS}", _SPARK_WORDS),
+        ("documents",),
+        "duplicate-span fraction per doc (Lee et al. exact-substring-dedup "
+        "signal): 8-token gram hashes via lead() windows, cross-doc dup "
+        "detection on 8-byte hashes only",
+        oracle=_DUPSPAN_DUCK_SQL.replace("{WORDS}", _DUCK_WORDS),
+    ),
+)
+
+
+# k-means refinement for the IVF coarse quantizer (2 unrolled Lloyd
+# iterations, k = 8): ann_ivf_topk's centroid init is the first k vectors
+# by vec_id (reproducible, documented as not-a-k-means); this operator IS
+# the k-means step. Everything is integer-exact so both engines hash
+# identically: embeddings quantize to BIGINT permille
+# (floor(double(v) * 1000) — float->double is exact, floor is floor in
+# both), distances are BIGINT sums of squared diffs (order-independent),
+# centroid update is BIGINT truncating division (Spark DIV and DuckDB //
+# both truncate toward zero, verified -7/2 -> -3 on each), argmin
+# tie-breaks on cluster id. Plan: the dim-exploded vector table joins a
+# k*dims centroid table (256 rows — broadcast on the Spark side), distances
+# partial-agg on (vec_id, cluster) map-side; per iteration the only
+# shuffles carry (vec_id, cluster, int64) triples. At 10^10 vectors the
+# same plan holds: centroids stay broadcast-sized for any practical k,
+# and Lloyd rounds are linear scans with map-side combine.
+_KMEANS_SQL = """
+WITH q AS (
+    SELECT vec_id, {DIM} AS dim, CAST(floor(CAST({VAL} AS DOUBLE) * 1000)
+           AS BIGINT) AS val
+    FROM {QSRC}
+),
+c0 AS (
+    SELECT vec_id AS cluster, dim, val AS cval FROM q WHERE vec_id < 8
+),
+d1 AS (
+    SELECT {HINT0} q.vec_id, c.cluster,
+           CAST(SUM((q.val - c.cval) * (q.val - c.cval)) AS BIGINT) AS d2
+    FROM q JOIN c0 c ON c.dim = q.dim
+    GROUP BY q.vec_id, c.cluster
+),
+a1 AS (
+    SELECT vec_id, cluster
+    FROM (SELECT vec_id, cluster,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY d2, cluster) AS rk
+          FROM d1) r
+    WHERE rk = 1
+),
+c1 AS (
+    SELECT a.cluster, q.dim,
+           CAST(SUM(q.val) {DIV} COUNT(*) AS BIGINT) AS cval
+    FROM q JOIN a1 a ON a.vec_id = q.vec_id
+    GROUP BY a.cluster, q.dim
+),
+d2s AS (
+    SELECT {HINT1} q.vec_id, c.cluster,
+           CAST(SUM((q.val - c.cval) * (q.val - c.cval)) AS BIGINT) AS d2
+    FROM q JOIN c1 c ON c.dim = q.dim
+    GROUP BY q.vec_id, c.cluster
+),
+a2 AS (
+    SELECT vec_id, cluster, d2
+    FROM (SELECT vec_id, cluster, d2,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY d2, cluster) AS rk
+          FROM d2s) r
+    WHERE rk = 1
+)
+SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, d2 AS dist2
+FROM a2
+ORDER BY vec_id
+"""
+
+_register(
+    "embedding_kmeans_refine",
+    _sql_query(
+        _KMEANS_SQL.replace("{DIM}", "pos + 1")
+        .replace("{VAL}", "v")
+        .replace("{QSRC}",
+                 "embeddings LATERAL VIEW posexplode(embedding) t AS pos, v")
+        .replace("{DIV}", "DIV")
+        .replace("{HINT0}", "/*+ BROADCAST(c) */")
+        .replace("{HINT1}", "/*+ BROADCAST(c) */"),
+        ("embeddings",),
+        "k-means refinement of the IVF coarse quantizer (2 Lloyd "
+        "iterations, k=8, integer-exact): broadcast centroid joins, "
+        "map-side partial aggs, only (vec_id, cluster, int64) shuffles",
+        oracle=_KMEANS_SQL.replace("{DIM}", "t.i")
+        .replace("{VAL}", "embedding[t.i]")
+        .replace("{QSRC}",
+                 "embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)")
+        .replace("{DIV}", "//")
+        .replace("{HINT0}", "")
+        .replace("{HINT1}", ""),
+    ),
+)

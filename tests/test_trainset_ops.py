@@ -423,3 +423,144 @@ def test_rarity_buckets_order_and_plan(spark, tmp_path):
 
     plan = _plan_of(REGISTRY["text_rarity_buckets"].build(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
+
+
+# --- round-3 tail 2: classifier scoring, dup-span signal, k-means ----------
+
+
+def _write_embeddings(tmp_path, vecs) -> str:
+    """Materialize an embeddings.parquet with the driver's exact schema
+    (vec_id int64, embedding list<float32>, label int32)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table(
+        {
+            "vec_id": pa.array([v[0] for v in vecs], type=pa.int64()),
+            "embedding": pa.array(
+                [v[1] for v in vecs], type=pa.list_(pa.float32())
+            ),
+            "label": pa.array([0] * len(vecs), type=pa.int32()),
+        }
+    )
+    out = str(tmp_path / "emb")
+    os.makedirs(out, exist_ok=True)
+    pq.write_table(table, os.path.join(out, "embeddings.parquet"))
+    return out
+
+
+def test_hashngram_classifier_linear_and_order_independent(spark, tmp_path):
+    """The score is a SUM of per-token weights: n copies of one token score
+    n times the single-token doc; permuting a document's tokens leaves the
+    score unchanged; keep is exactly the score's sign bit."""
+    rows = [
+        (0, "apple", "en", "s"),
+        (1, "apple apple apple", "en", "s"),
+        (2, "red fish blue fish old fish", "en", "s"),
+        (3, "fish old fish blue red fish", "en", "s"),  # permutation of 2
+    ]
+    sf = _write_docs(tmp_path, rows)
+    got = (
+        REGISTRY["text_hashngram_classifier"].build(spark, sf)
+        .toPandas().set_index("doc_id")
+    )
+    assert int(got.loc[1, "score"]) == 3 * int(got.loc[0, "score"])
+    assert int(got.loc[1, "n_tokens"]) == 3
+    assert int(got.loc[2, "score"]) == int(got.loc[3, "score"])
+    for d in got.index:
+        assert int(got.loc[d, "keep"]) == (1 if int(got.loc[d, "score"]) >= 0 else 0)
+
+
+def test_dup_span_fraction_planted(spark, tmp_path):
+    """A 10-token span shared between two documents yields exactly the
+    10-8+1 = 3 fully-contained duplicated 8-grams in each; an identical
+    document pair is 1000 permille duplicated; a unique-vocabulary doc is
+    0; a 7-token doc has no grams and is absent."""
+    span = "one two three four five six seven eight nine ten"
+    twin = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu")
+    rows = [
+        (0, f"preamble aaa bbb {span} ccc ddd tailing", "en", "s"),
+        (1, f"different eee fff {span} ggg hhh closing", "en", "s"),
+        (2, "unique vocabulary pad1 pad2 pad3 pad4 pad5 pad6 pad7 pad8",
+         "en", "s"),
+        (3, twin, "en", "s"),
+        (4, twin, "en", "s"),
+        (5, "short doc of only seven whitespace tokens", "en", "s"),
+    ]
+    sf = _write_docs(tmp_path, rows)
+    got = (
+        REGISTRY["text_dup_span_fraction"].build(spark, sf)
+        .toPandas().set_index("doc_id")
+    )
+    assert int(got.loc[0, "n_dup_grams"]) == 3
+    assert int(got.loc[1, "n_dup_grams"]) == 3
+    assert int(got.loc[2, "n_dup_grams"]) == 0
+    assert int(got.loc[2, "dup_permille"]) == 0
+    # twins: 12 tokens -> 5 grams, all duplicated
+    assert int(got.loc[3, "n_grams"]) == 5
+    assert int(got.loc[3, "dup_permille"]) == 1000
+    assert int(got.loc[4, "dup_permille"]) == 1000
+    assert 5 not in got.index  # 7 tokens < gram width -> no output row
+
+
+def test_kmeans_refine_partition_properties(spark, tmp_path):
+    """k-means refinement invariants on a synthetic set: every vector is
+    assigned to exactly one of the k=8 clusters, byte-identical embeddings
+    land in the same cluster with the same dist2, and a vector equal to a
+    final centroid's tight blob has dist2 strictly below a vector placed
+    far from every blob."""
+    import random
+
+    rng = random.Random(7)
+    vecs = []
+    # 8 seed vectors (vec_id < 8 are the Lloyd init) spread on two blobs
+    for i in range(8):
+        base = 0.4 if i % 2 == 0 else -0.4
+        vecs.append((i, [base + rng.uniform(-0.01, 0.01) for _ in range(4)]))
+    # two byte-identical twins
+    twin = [0.401, 0.402, 0.399, 0.4]
+    vecs.append((8, twin))
+    vecs.append((9, twin))
+    # an outlier far from both blobs
+    vecs.append((10, [0.0, -0.9, 0.9, 0.0]))
+    sf = _write_embeddings(tmp_path, vecs)
+    got = (
+        REGISTRY["embedding_kmeans_refine"].build(spark, sf)
+        .toPandas().set_index("vec_id")
+    )
+    assert sorted(got.index) == list(range(11))
+    assert got["cluster"].between(0, 7).all()
+    assert int(got.loc[8, "cluster"]) == int(got.loc[9, "cluster"])
+    assert int(got.loc[8, "dist2"]) == int(got.loc[9, "dist2"])
+    assert int(got.loc[10, "dist2"]) > int(got.loc[8, "dist2"])
+
+
+def test_round3_tail2_plan_shapes(spark):
+    """Scale pins for the tail-2 operators:
+
+    - text_hashngram_classifier: no join (weights are derived, not a
+      table), exactly one hash exchange — the (doc_id, partial-sum)
+      groupBy; exchanges never carry document text;
+    - text_dup_span_fraction: gram text never crosses an exchange — every
+      hash exchange carries int64 hashes / doc ids only; grams are built
+      from the flat-words posexplode (no shingle-array Generate);
+    - embedding_kmeans_refine: both centroid-distance joins are broadcast
+      (the k*dims side), never a sort-merge join or cartesian product.
+    """
+    plan = _plan_of(REGISTRY["text_hashngram_classifier"].build(spark, SF_DIR))
+    assert "Join" not in plan
+    assert plan.count("Arguments: hashpartitioning") == 1
+    for line in plan.splitlines():
+        if "Arguments: hashpartitioning" in line:
+            assert "text" not in line
+
+    plan = _plan_of(REGISTRY["text_dup_span_fraction"].build(spark, SF_DIR))
+    assert "posexplode" in plan
+    for line in plan.splitlines():
+        if "Arguments: hashpartitioning" in line:
+            assert "text" not in line and "gram" not in line
+
+    plan = _plan_of(REGISTRY["embedding_kmeans_refine"].build(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
