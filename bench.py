@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "text_hashngram_classifier",
     "text_dup_span_fraction",
     "embedding_kmeans_refine",
+    "bm25_more_like_this",
 ]
 
 

@@ -4463,3 +4463,83 @@ _register(
         .replace("{HINT1}", ""),
     ),
 )
+
+
+# BM25 "more-like-this" retrieval over the corpus's own inverted index:
+# queries are the vocabularies of docs 0..4, scored against every other
+# document — the standard dedup-adjacent retrieval op (near-dup triage,
+# quality-neighborhood sampling, eval-set mining). Engine-portable
+# numerics: idf is the RATIONAL Robertson form (N - df + .5)/(df + .5)
+# WITHOUT the log — ln is the one libm call whose last bit differs across
+# engines, and a monotone transform preserves BM25's per-term ordering;
+# each per-term score is floored to integer micro-units BEFORE the
+# per-(query, doc) sum, so the total is a BIGINT sum — order-independent
+# under any partitioning, and the driver hash is exact. Plan: postings
+# and doc lengths are one partial-agg each over the token explode; the
+# 5-query side is broadcast-sized; top-k per query is a rank window over
+# the (q_id, doc_id, score) agg rows (map-side WindowGroupLimit).
+_BM25_SQL = """
+WITH toks AS (
+    SELECT doc_id, {WORDS} AS words FROM documents
+),
+tok AS (
+    SELECT doc_id, {EXPLODE} AS term FROM toks
+),
+postings AS (
+    SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM tok GROUP BY term, doc_id
+),
+dl AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dlen FROM tok GROUP BY doc_id
+),
+stats AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(dlen) AS DOUBLE) / COUNT(*) AS avgdl
+    FROM dl
+),
+df AS (
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM postings GROUP BY term
+),
+queries AS (
+    SELECT DISTINCT doc_id AS q_id, term FROM tok WHERE doc_id < 5
+),
+scored AS (
+    SELECT q.q_id, p.doc_id,
+           CAST(SUM(CAST(floor(1000000.0
+                * ((CAST(s.n_docs AS DOUBLE) - f.df + 0.5) / (f.df + 0.5))
+                * (p.tf * 2.2)
+                / (p.tf + 1.2 * (0.25 + 0.75 * d.dlen / s.avgdl)))
+              AS BIGINT)) AS BIGINT) AS score
+    FROM queries q
+    JOIN postings p ON p.term = q.term
+    JOIN df f ON f.term = q.term
+    JOIN dl d ON d.doc_id = p.doc_id
+    CROSS JOIN stats s
+    WHERE p.doc_id <> q.q_id
+    GROUP BY q.q_id, p.doc_id
+),
+ranked AS (
+    SELECT q_id, doc_id, score,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY score DESC, doc_id) AS rk
+    FROM scored
+)
+SELECT q_id, doc_id AS hit_id, score, rk
+FROM ranked
+WHERE rk <= 5
+ORDER BY q_id, rk
+"""
+
+_register(
+    "bm25_more_like_this",
+    _sql_query(
+        _BM25_SQL.replace("{EXPLODE}", "explode(words)")
+        .replace("{WORDS}", _SPARK_WORDS),
+        ("documents",),
+        "BM25 more-like-this top-5 over the corpus's own inverted index "
+        "(rational idf, micro-unit integer score sums — order-independent); "
+        "postings/df/dl partial-aggs + broadcast query side + rank window",
+        oracle=_BM25_SQL.replace("{EXPLODE}", "unnest(words)")
+        .replace("{WORDS}", _DUCK_WORDS),
+    ),
+)

@@ -564,3 +564,34 @@ def test_round3_tail2_plan_shapes(spark):
     plan = _plan_of(REGISTRY["embedding_kmeans_refine"].build(spark, SF_DIR))
     assert plan.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_bm25_more_like_this_ranking(spark, tmp_path):
+    """BM25 more-like-this orders hits by query-term overlap: for query
+    doc 0, an exact copy outranks a 2-term overlap, which outranks a
+    1-term overlap; a disjoint doc never appears among doc 0's hits."""
+    rows = [
+        (0, "zebra apple banana cherry", "en", "s"),
+        (1, "zebra apple banana cherry", "en", "s"),      # exact copy
+        (2, "zebra apple walnut pecan", "en", "s"),       # 2 shared terms
+        (3, "zebra walnut pecan almond", "en", "s"),      # 1 shared term
+        (4, "walnut pecan almond cashew", "en", "s"),     # disjoint
+    ]
+    sf = _write_docs(tmp_path, rows)
+    got = REGISTRY["bm25_more_like_this"].build(spark, sf).toPandas()
+    q0 = got[got["q_id"] == 0].sort_values("rk")
+    assert q0["hit_id"].tolist()[:3] == [1, 2, 3]
+    assert 4 not in q0["hit_id"].tolist()
+    scores = q0["score"].tolist()
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_bm25_plan_shape(spark):
+    """BM25 scale pins: the per-query top-5 is rank-in-partition with a
+    map-side WindowGroupLimit (never a global sort of the scored pairs),
+    and no exchange carries document text."""
+    plan = _plan_of(REGISTRY["bm25_more_like_this"].build(spark, SF_DIR))
+    assert "WindowGroupLimit" in plan
+    for line in plan.splitlines():
+        if "Arguments: hashpartitioning" in line:
+            assert "text" not in line
