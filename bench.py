@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "text_dup_span_fraction",
     "embedding_kmeans_refine",
     "bm25_more_like_this",
+    "warc_trainset_e2e",
 ]
 
 

@@ -4543,3 +4543,80 @@ _register(
         .replace("{WORDS}", _DUCK_WORDS),
     ),
 )
+
+
+# WARC-to-trainset capstone — the north-rule story in ONE Catalyst plan:
+# Common-Crawl-style WARC segments -> Content-Length-framed record walk
+# (real parser, shuffle-free) -> HTTP 200 + text/html filter -> noindex
+# compliance gate (X-Robots-Tag header OR meta robots, real HTMLParser
+# scan) -> boilerplate-removed main text (real kernel; the %7 docs embed a
+# "WARC/1.0" banner INSIDE the body, which both the record framing and the
+# <30-char block gate must survive) -> token quality gate -> exact-dup
+# removal (first URL wins). The oracle re-derives the surviving set in
+# closed form from the synth contract (see synth_warc_segments): every
+# stage's semantics land in one driver hash. Scale shape: both kernels are
+# shuffle-free mapInPandas; status/type/noindex gates are scan-side
+# filters; the ONE shuffle is the dedup window on 32-hex fingerprints.
+_WARC_TRAINSET_ORACLE_MAIN = """
+warc_main AS (
+    SELECT 'http://host' || CAST(doc_id % 50 AS VARCHAR)
+               || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+           CASE WHEN strlen(trim(coalesce(text, ''))) >= 30
+                THEN coalesce(text, '') ELSE '' END AS main_text
+    FROM documents
+    WHERE doc_id % 13 <> 0  -- HTTP 404s never reach the corpus
+      AND doc_id % 5 <> 0   -- text/plain responses are not html pages
+      AND doc_id % 11 <> 0  -- X-Robots-Tag: noindex compliance gate
+)
+"""
+
+
+def _warc_trainset_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .pages import extract_main_text, noindex_flags
+    from .synth import synth_warc_segments
+    from .warc import warc_records
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    recs = warc_records(synth_warc_segments(docs), responses_only=True)
+    recs = recs.filter(
+        (F.col("http_status") == 200) & (F.col("content_type") == "text/html")
+    )
+    recs = noindex_flags(recs, x_robots_col="x_robots").filter(
+        ~F.col("noindex")
+    )
+    extract_main_text(recs).select("url", "main_text").createOrReplaceTempView(
+        "warc_main"
+    )
+    words = _SPARK_WORDS.replace("text", "main_text")
+    return spark.sql(
+        _WEBTEXT_TAIL_SQL.replace("webtext_main", "warc_main")
+        .replace("{WORDS}", words)
+        .replace("{SIZE}", "size")
+    )
+
+
+def _warc_trainset_oracle() -> str:
+    words = _DUCK_WORDS.replace("text", "main_text")
+    tail = (
+        _WEBTEXT_TAIL_SQL.replace("webtext_main", "warc_main")
+        .replace("{WORDS}", words)
+        .replace("{SIZE}", "len")
+    )
+    return tail.replace(
+        "WITH scored AS (",
+        f"WITH {_WARC_TRAINSET_ORACLE_MAIN.strip()},\nscored AS (",
+    )
+
+
+_register(
+    "warc_trainset_e2e",
+    QueryDef(
+        build=_warc_trainset_build,
+        oracle=_warc_trainset_oracle(),
+        doc="WARC segments -> training corpus in ONE plan: record walk + "
+            "status/type filter + noindex gate + main-text kernel + token "
+            "gate + exact dedup; oracle closed-form from the synth contract",
+    ),
+)

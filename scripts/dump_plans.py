@@ -53,6 +53,7 @@ AUDITED = {
     "text_dup_span_fraction": "grams via lead() windows over the one (doc_id,pos,word) exchange; dup detect + re-join on 8-byte hashes only — no exchange carries gram text",
     "embedding_kmeans_refine": "both centroid-distance joins BroadcastHashJoin (k*dims rows); per-iteration shuffles carry (vec_id,cluster,int64) triples only",
     "bm25_more_like_this": "postings/df/dl partial-aggs over one token explode; broadcast query side; top-5 via rank window with map-side WindowGroupLimit",
+    "warc_trainset_e2e": "three shuffle-free Arrow kernels over the scan side; gates scan-side; ONE pipeline shuffle (dedup window) — the second exchange is synthetic-segment construction only",
 }
 
 

@@ -595,3 +595,47 @@ def test_bm25_plan_shape(spark):
     for line in plan.splitlines():
         if "Arguments: hashpartitioning" in line:
             assert "text" not in line
+
+
+def test_warc_trainset_e2e_gate_by_gate(spark, tmp_path):
+    """Every stage of the WARC-to-trainset capstone is exercised by one
+    planted doc: 404s (doc_id%13=0), text/plain (%5=0) and noindex (%11=0)
+    rows drop at their gates; a banner-embedding body (%7=0) survives
+    framing AND block extraction with its text intact; a too-short text
+    drops at the token gate; identical texts collapse to the min URL."""
+    long_a = "this paragraph is comfortably longer than thirty characters of text"
+    long_b = "another paragraph that is also comfortably past the block minimum"
+    rows = [
+        (1, long_a + " one", "en", "s"),     # kept
+        (2, long_b, "en", "s"),              # kept (dedup winner vs 3)
+        (3, long_b, "en", "s"),              # dropped: duplicate of 2
+        (4, "short text", "en", "s"),        # dropped: block < 30 chars
+        (5, long_a + " five", "en", "s"),    # dropped: text/plain
+        (7, long_a + " seven", "en", "s"),   # kept: banner body survives
+        (11, long_a + " eleven", "en", "s"), # dropped: X-Robots noindex
+        (13, long_a + " thirteen", "en", "s"),  # dropped: HTTP 404
+    ]
+    sf = _write_docs(tmp_path, rows)
+    got = REGISTRY["warc_trainset_e2e"].build(spark, sf).toPandas()
+    urls = got["url"].tolist()
+    assert urls == [
+        "http://host1.example.com/doc/1",
+        "http://host2.example.com/doc/2",
+        "http://host7.example.com/doc/7",
+    ]
+    # the banner doc's tokens are the text's own (banner never leaks in)
+    n7 = int(got[got["url"].str.endswith("/doc/7")]["n_tokens"].iloc[0])
+    assert n7 == len((long_a + " seven").split())
+
+
+def test_warc_trainset_e2e_plan_shape(spark):
+    """Capstone scale pins: three shuffle-free Arrow kernels (record walk,
+    noindex scan, main-text extraction) stacked over the scan side, and
+    exactly ONE hash exchange — the dedup window on fingerprints."""
+    plan = _plan_of(REGISTRY["warc_trainset_e2e"].build(spark, SF_DIR))
+    assert plan.count("MapInPandas") >= 3
+    # two hash exchanges TOTAL: the first materializes the synthetic WARC
+    # segments (groupBy segment id — input construction, absent when
+    # reading real .warc files); the pipeline itself contributes exactly
+    # one — the dedup window on fingerprints
+    assert plan.count("Arguments: hashpartitioning") == 2
