@@ -464,3 +464,52 @@ def stream_politeness_gate(
         if state_timeout_ms is not None
         else GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_trainset_gate(
+    fetches: DataFrame,
+    min_tokens: int = 5,
+    max_tokens: int = 1000,
+) -> DataFrame:
+    """The webtext trainset pipeline on the fetch STREAM — the stateless
+    prefix of the batch ``warc_trainset_e2e`` capstone, same kernels, same
+    records: HTTP 2xx + ``text/html`` filter → meta-robots noindex
+    compliance gate → boilerplate-removed main text → token quality gate.
+
+    Output ``(url, fetch_ts, main_text, n_tokens, fp)`` where ``fp`` is the
+    md5 fingerprint of the main text.  Every stage is stateless (scan-side
+    filters + shuffle-free Arrow kernels), so Structured Streaming
+    semantics are exact with no state store at all; CROSS-batch exact
+    dedup is the first-occurrence problem — compose with
+    :func:`stream_first_seen` keyed on the fingerprint (the same bounded
+    bloom-bitmap state, a different key), or leave dedup to the batch
+    compaction pass, which is where a production corpus does it anyway
+    (a streaming dedup cannot retract the copy that already shipped).
+    """
+    from frontier.pages import extract_main_text, noindex_flags
+
+    ok = fetches.filter(
+        F.col("status").isNotNull()
+        & (F.col("status") >= 200)
+        & (F.col("status") < 300)
+        & (F.col("content_type") == "text/html")
+    ).select(
+        F.coalesce("final_url", "url").alias("url"),
+        F.col("body").alias("html"),
+        "fetch_ts",
+    )
+    indexed = noindex_flags(ok).filter(~F.col("noindex"))
+    main = extract_main_text(indexed).select("url", "fetch_ts", "main_text")
+    words = F.filter(
+        F.split(F.lower("main_text"), "[^a-z0-9]+"), lambda x: x != ""
+    )
+    scored = main.select(
+        "url",
+        "fetch_ts",
+        "main_text",
+        F.size(words).cast("long").alias("n_tokens"),
+        F.md5("main_text").alias("fp"),
+    )
+    return scored.filter(
+        (F.col("n_tokens") >= min_tokens) & (F.col("n_tokens") <= max_tokens)
+    )

@@ -371,3 +371,45 @@ def test_stream_warc_ingest_matches_batch(spark, tmp_path):
         for r in warc_records(segs, responses_only=True).collect()
     )
     assert got == want and len(got) == 16
+
+
+def test_stream_trainset_gate_matches_batch_semantics(spark, tmp_path):
+    """The streaming trainset gate applies the same stages as the batch
+    capstone: non-2xx, non-html, meta-noindex, too-short-main-text and
+    out-of-token-range rows drop; survivors carry the main text's token
+    count and md5 fingerprint."""
+    import datetime as dt
+
+    from frontier.streaming import stream_trainset_gate
+
+    landing = str(tmp_path / "landing_trainset")
+    t0 = dt.datetime(2025, 6, 1, 12, 0, 0)
+    para = "a paragraph comfortably longer than thirty characters of text"
+    good = f"<html><body><p>{para}</p></body></html>".encode()
+    noindexed = (
+        '<html><head><meta name="robots" content="noindex"></head>'
+        f"<body><p>{para}</p></body></html>"
+    ).encode()
+    tiny = b"<html><body><p>tiny.</p></body></html>"
+    _land(
+        spark,
+        landing,
+        [
+            ("http://h1.example.com/keep", None, 200, "text/html", good, t0),
+            ("http://h2.example.com/404", None, 404, "text/html", good, t0),
+            ("http://h3.example.com/plain", None, 200, "text/plain", good, t0),
+            ("http://h4.example.com/noindex", None, 200, "text/html",
+             noindexed, t0),
+            ("http://h5.example.com/short", None, 200, "text/html", tiny, t0),
+        ],
+    )
+    gated = stream_trainset_gate(read_fetch_stream(spark, landing))
+    assert gated.isStreaming
+    run_available_now(gated, str(tmp_path / "ck_ts"), "trainset_sink")
+    rows = spark.sql("SELECT * FROM trainset_sink").collect()
+    assert [r.url for r in rows] == ["http://h1.example.com/keep"]
+    assert rows[0].main_text == para
+    assert rows[0].n_tokens == len(para.split())
+    import hashlib
+
+    assert rows[0].fp == hashlib.md5(para.encode()).hexdigest()
