@@ -4620,3 +4620,79 @@ _register(
             "gate + exact dedup; oracle closed-form from the synth contract",
     ),
 )
+
+
+# IVF ANN with k-means-refined centroids — the composition of
+# embedding_kmeans_refine and the IVF probe: queries (vec_id < 10) probe
+# their 2 nearest FINAL centroids, candidates are those clusters' members
+# (from the final Lloyd assignment), and exact integer L2 re-ranking picks
+# the top-5. Same integer-exact arithmetic as the kmeans operator, so the
+# oracle is the identical SQL. Scale shape: the probe side reuses the
+# broadcast centroid-distance table; the candidate join fans each query
+# out to 2 clusters' members (the IVF recall/cost knob), never the full
+# corpus; the exact re-rank joins candidates back to the dim-exploded
+# vectors on (vec_id, dim) — bounded by candidates × dims, not n × dims.
+_IVF_KMEANS_TAIL = """probes AS (
+    SELECT vec_id AS q_id, cluster
+    FROM (SELECT vec_id, cluster,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY d2, cluster) AS rk
+          FROM d2s WHERE vec_id < 10) r
+    WHERE rk <= 2
+),
+cands AS (
+    SELECT p.q_id, a.vec_id
+    FROM probes p JOIN a2 a ON a.cluster = p.cluster
+    WHERE a.vec_id <> p.q_id
+),
+pair AS (
+    SELECT c.q_id, c.vec_id,
+           CAST(SUM((qq.val - qc.val) * (qq.val - qc.val)) AS BIGINT) AS d2
+    FROM cands c
+    JOIN q qq ON qq.vec_id = c.q_id
+    JOIN q qc ON qc.vec_id = c.vec_id AND qc.dim = qq.dim
+    GROUP BY c.q_id, c.vec_id
+),
+topk AS (
+    SELECT q_id, vec_id, d2,
+           row_number() OVER (PARTITION BY q_id ORDER BY d2, vec_id) AS rk
+    FROM pair
+)
+SELECT q_id, vec_id AS neighbor_id, d2 AS dist2, rk
+FROM topk
+WHERE rk <= 5
+ORDER BY q_id, rk
+"""
+
+_KMEANS_FINAL_SELECT = """SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, d2 AS dist2
+FROM a2
+ORDER BY vec_id
+"""
+
+_IVF_KMEANS_SQL = _KMEANS_SQL.replace(
+    _KMEANS_FINAL_SELECT, ",\n" + _IVF_KMEANS_TAIL
+)
+
+_register(
+    "ann_ivf_kmeans_topk",
+    _sql_query(
+        _IVF_KMEANS_SQL.replace("{DIM}", "pos + 1")
+        .replace("{VAL}", "v")
+        .replace("{QSRC}",
+                 "embeddings LATERAL VIEW posexplode(embedding) t AS pos, v")
+        .replace("{DIV}", "DIV")
+        .replace("{HINT0}", "/*+ BROADCAST(c) */")
+        .replace("{HINT1}", "/*+ BROADCAST(c) */"),
+        ("embeddings",),
+        "IVF ANN over k-means-refined centroids (2 Lloyd iterations -> "
+        "2-probe -> exact integer L2 re-rank, top-5): candidates bounded "
+        "by probed clusters, never the full corpus",
+        oracle=_IVF_KMEANS_SQL.replace("{DIM}", "t.i")
+        .replace("{VAL}", "embedding[t.i]")
+        .replace("{QSRC}",
+                 "embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)")
+        .replace("{DIV}", "//")
+        .replace("{HINT0}", "")
+        .replace("{HINT1}", ""),
+    ),
+)
