@@ -71,6 +71,8 @@ BENCH_QUERIES = [
     "text_hashngram_classifier",
     "text_dup_span_fraction",
     "embedding_kmeans_refine",
+    "ann_ivf_kmeans_topk",
+    "dedup_fuzzy_e2e",
     "bm25_more_like_this",
     "warc_trainset_e2e",
 ]

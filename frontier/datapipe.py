@@ -4696,3 +4696,109 @@ _register(
         .replace("{HINT1}", ""),
     ),
 )
+
+# =============================================================================
+# Fuzzy-dedup capstone: MinHash -> LSH -> exact-Jaccard verify -> connected
+# components -> survivor selection, in ONE operator. This is the composition
+# every web-corpus build runs (candidates alone over-merge via transitivity;
+# pairs alone under-merge): each input document ends up either KEPT (one
+# survivor per near-dup cluster, min doc_id) or dropped, with the cluster id
+# and how many near-dups the survivor absorbed. The verify threshold is an
+# INTEGER cross-multiplication (overlap*10 >= 7*union, i.e. Jaccard >= 0.7)
+# so the gate is bit-identical on both engines. Scale shape: everything past
+# the one md5 pass moves 8-byte hashes or (id, id)/(id, label) pairs —
+# signatures join on (j, mh), verify joins on 56-bit shingle hashes limited
+# to candidate pairs, the CC loop is pointer jumping over verified pairs
+# (O(log diameter) shuffles), and the final survivor agg is one partial-agg
+# groupBy on (cluster_id). Document text never crosses an exchange.
+_FUZZY_VERIFIED_CTE = """
+sizes AS (
+    SELECT doc_id, COUNT(*) AS n FROM mh_exploded GROUP BY doc_id
+),
+verified AS (
+    SELECT i.doc_a, i.doc_b
+    FROM (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS overlap
+        FROM candidates c
+        JOIN mh_exploded ea ON ea.doc_id = c.doc_a
+        JOIN mh_exploded eb ON eb.doc_id = c.doc_b AND eb.h = ea.h
+        GROUP BY c.doc_a, c.doc_b
+    ) i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE i.overlap * 10 >= 7 * (sa.n + sb.n - i.overlap)
+)
+"""
+
+_FUZZY_SURVIVOR_SQL = """
+WITH labeled AS (
+    SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+    FROM (SELECT doc_id FROM documents) d
+    LEFT JOIN fuzzy_cc c ON c.doc_id = d.doc_id
+)
+SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+       CAST(cluster_id AS BIGINT) AS cluster_id,
+       CAST(COUNT(*) - 1 AS BIGINT) AS n_dups_removed
+FROM labeled
+GROUP BY cluster_id
+ORDER BY doc_id
+"""
+
+
+def _fuzzy_e2e_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import connected_components
+
+    _mh_views(spark, sf_dir)
+    verified = spark.sql(
+        "WITH " + _CANDIDATES_CTE.format(cap=_LSH_BUCKET_CAP) + ","
+        + _FUZZY_VERIFIED_CTE + "SELECT doc_a, doc_b FROM verified"
+    )
+    cc = connected_components(
+        verified, src="doc_a", dst="doc_b", max_rounds=_CC_MAX_ROUNDS
+    ).selectExpr("node AS doc_id", "component AS cluster_id")
+    cc.createOrReplaceTempView("fuzzy_cc")
+    return spark.sql(_FUZZY_SURVIVOR_SQL)
+
+
+_FUZZY_ORACLE = (
+    _duck_mh_cte().replace("WITH toks", "WITH RECURSIVE toks", 1)
+    + "," + _CANDIDATES_CTE.format(cap=_LSH_BUCKET_CAP)
+    + "," + _FUZZY_VERIFIED_CTE
+    + """,
+sym AS (
+    SELECT doc_a AS src, doc_b AS dst FROM verified
+    UNION ALL
+    SELECT doc_b, doc_a FROM verified
+),
+reach(src, node) AS (
+    SELECT src, src FROM (SELECT DISTINCT src FROM sym) n
+    UNION
+    SELECT r.src, s.dst FROM reach r JOIN sym s ON s.src = r.node
+),
+fuzzy_cc AS (
+    SELECT src AS doc_id, MIN(node) AS cluster_id FROM reach GROUP BY src
+),
+labeled AS (
+    SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+    FROM (SELECT doc_id FROM documents) d
+    LEFT JOIN fuzzy_cc c ON c.doc_id = d.doc_id
+)
+SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+       CAST(cluster_id AS BIGINT) AS cluster_id,
+       CAST(COUNT(*) - 1 AS BIGINT) AS n_dups_removed
+FROM labeled
+GROUP BY cluster_id
+ORDER BY doc_id
+"""
+)
+
+_register(
+    "dedup_fuzzy_e2e",
+    QueryDef(
+        build=_fuzzy_e2e_build,
+        oracle=_FUZZY_ORACLE,
+        doc="fuzzy-dedup capstone: MinHash -> LSH candidates -> integer "
+            "Jaccard>=0.7 verify -> connected components -> one survivor "
+            "per cluster (min doc_id) with absorbed-dup counts",
+    ),
+)

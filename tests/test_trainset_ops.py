@@ -639,3 +639,28 @@ def test_warc_trainset_e2e_plan_shape(spark):
     # reading real .warc files); the pipeline itself contributes exactly
     # one — the dedup window on fingerprints
     assert plan.count("Arguments: hashpartitioning") == 2
+
+
+def test_fuzzy_dedup_transitive_collapse(spark, tmp_path):
+    """A~B and B~C clear the Jaccard>=0.7 verify but A~C alone does not
+    (J(A,C)=0.583): connected components must still collapse the chain to
+    ONE survivor (min doc_id) absorbing both near-dups, while an unrelated
+    doc stays a singleton."""
+    base = [f"tok{i}" for i in range(40)]
+    a = base[:]
+    b = base[:35] + [f"altb{i}" for i in range(5)]          # J(A,B)=33/43≈0.767
+    c = [f"altc{i}" for i in range(5)] + b[5:]              # J(B,C)=33/43≈0.767
+    rows = [
+        (1, " ".join(a), "en", "web"),
+        (2, " ".join(b), "en", "web"),
+        (3, " ".join(c), "en", "web"),
+        (4, " ".join(f"other{i}" for i in range(40)), "en", "web"),
+    ]
+    sf = _write_docs(tmp_path, rows)
+    out = REGISTRY["dedup_fuzzy_e2e"].build(spark, sf).toPandas()
+    out = out.sort_values("doc_id", ignore_index=True)
+    assert list(out.doc_id) == [1, 4]
+    chain = out[out.doc_id == 1].iloc[0]
+    assert chain.cluster_id == 1 and chain.n_dups_removed == 2
+    single = out[out.doc_id == 4].iloc[0]
+    assert single.cluster_id == 4 and single.n_dups_removed == 0
