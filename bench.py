@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "embedding_kmeans_refine",
     "ann_ivf_kmeans_topk",
     "dedup_fuzzy_e2e",
+    "text_dup_span_removal",
     "bm25_more_like_this",
     "warc_trainset_e2e",
 ]

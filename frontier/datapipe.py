@@ -4802,3 +4802,113 @@ _register(
             "per cluster (min doc_id) with absorbed-dup counts",
     ),
 )
+
+# Duplicate-span REMOVAL (the transformation behind text_dup_span_fraction's
+# signal — Lee et al. 2022 exact-substring dedup applied): a token is
+# removed iff it is covered by any 8-token gram whose hash occurs in >= 2
+# DISTINCT documents; each document is reassembled from its surviving
+# tokens in original order and fingerprinted. Coverage is computed WITHOUT
+# a range join: dup-start flags ride the same (doc_id, pos) window
+# partitioning as the gram leads, and covered(pos) = MAX(dup_start) over
+# ROWS 7 PRECEDING — the 7 leads, the coverage max, the distinct, and the
+# final per-doc agg all share one (doc_id, pos) clustering; dup-hash
+# detection groups on the 8-byte hash and joins back as a BROADCAST (the
+# dup set is the small side by construction). The detect-globally /
+# apply-locally diamond recomputes the gram pipeline once on the dup
+# branch — deliberate: at 10^10 docs, persisting the full (doc_id, pos,
+# w, h) token stream to dodge one extra md5 pass costs more than the pass
+# (measured 3.8 s at sf0.1 with recompute; same tradeoff as
+# text_dup_span_fraction). Reassembly aggregates each doc's own kept
+# (pos, w) structs — gram text never crosses an exchange; kept text
+# exists only inside the final per-doc aggregate.
+_DUPREMOVE_SPARK_SQL = """
+WITH toks AS (
+    SELECT doc_id, {WORDS} AS words FROM documents
+),
+tok AS (
+    SELECT doc_id, pos, w
+    FROM toks LATERAL VIEW posexplode(words) t AS pos, w
+),
+g AS (
+    SELECT doc_id, pos, w,
+           CASE WHEN lead(w, 7) OVER win IS NOT NULL THEN
+               CAST(conv(substring(md5(concat_ws(' ', w,
+                    lead(w, 1) OVER win, lead(w, 2) OVER win,
+                    lead(w, 3) OVER win, lead(w, 4) OVER win,
+                    lead(w, 5) OVER win, lead(w, 6) OVER win,
+                    lead(w, 7) OVER win)), 1, 14), 16, 10) AS BIGINT)
+           END AS h
+    FROM tok
+    WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+),
+dup AS (
+    SELECT h
+    FROM (SELECT DISTINCT doc_id, h FROM g WHERE h IS NOT NULL) dh
+    GROUP BY h
+    HAVING COUNT(*) >= 2
+),
+covered AS (
+    SELECT doc_id, pos, w,
+           MAX(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS cov
+    FROM g LEFT JOIN dup d ON d.h = g.h
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(cov) AS BIGINT) AS n_removed,
+       md5(array_join(transform(
+           array_sort(collect_list(CASE WHEN cov = 0
+                                        THEN struct(pos, w) END)),
+           s -> s.w), ' ')) AS kept_fp
+FROM covered
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+_DUPREMOVE_DUCK_SQL = """
+WITH toks AS (
+    SELECT doc_id, {WORDS} AS words FROM documents
+),
+g AS (
+    SELECT doc_id, i - 1 AS pos, words[i] AS w,
+           CASE WHEN i + 7 <= len(words) THEN
+               ('0x' || substr(md5(array_to_string(words[i:i+7], ' ')),
+                               1, 14))::BIGINT
+           END AS h
+    FROM toks, unnest(range(1, len(words) + 1)) AS t(i)
+),
+dup AS (
+    SELECT h
+    FROM (SELECT DISTINCT doc_id, h FROM g WHERE h IS NOT NULL) dh
+    GROUP BY h
+    HAVING COUNT(*) >= 2
+),
+covered AS (
+    SELECT doc_id, pos, w,
+           MAX(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS cov
+    FROM g LEFT JOIN dup d ON d.h = g.h
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(cov) AS BIGINT) AS n_removed,
+       md5(COALESCE(string_agg(w, ' ' ORDER BY pos)
+                    FILTER (WHERE cov = 0), '')) AS kept_fp
+FROM covered
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+_register(
+    "text_dup_span_removal",
+    _sql_query(
+        _DUPREMOVE_SPARK_SQL.replace("{WORDS}", _SPARK_WORDS),
+        ("documents",),
+        "exact-substring dedup applied (Lee et al. 2022): tokens covered "
+        "by any cross-doc-duplicated 8-gram removed, docs reassembled from "
+        "survivors in order — coverage via window max, no range join",
+        oracle=_DUPREMOVE_DUCK_SQL.replace("{WORDS}", _DUCK_WORDS),
+    ),
+)

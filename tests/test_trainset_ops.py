@@ -664,3 +664,33 @@ def test_fuzzy_dedup_transitive_collapse(spark, tmp_path):
     assert chain.cluster_id == 1 and chain.n_dups_removed == 2
     single = out[out.doc_id == 4].iloc[0]
     assert single.cluster_id == 4 and single.n_dups_removed == 0
+
+
+def test_dup_span_removal_excises_exactly_the_shared_run(spark, tmp_path):
+    """Two docs share a 12-token run inside unique context: exactly those
+    12 tokens are removed from BOTH (grams crossing the run boundary carry
+    unique context, so coverage stops at the run edge), and an unrelated
+    doc is untouched. kept_fp must equal md5 of the expected survivor
+    text."""
+    run = [f"shared{i}" for i in range(12)]
+    a_pre, a_post = [f"ua{i}" for i in range(10)], [f"va{i}" for i in range(10)]
+    b_pre, b_post = [f"ub{i}" for i in range(10)], [f"vb{i}" for i in range(10)]
+    c = [f"uc{i}" for i in range(30)]
+    rows = [
+        (1, " ".join(a_pre + run + a_post), "en", "web"),
+        (2, " ".join(b_pre + run + b_post), "en", "web"),
+        (3, " ".join(c), "en", "web"),
+    ]
+    sf = _write_docs(tmp_path, rows)
+    out = (
+        REGISTRY["text_dup_span_removal"].build(spark, sf)
+        .toPandas().set_index("doc_id")
+    )
+    assert out.loc[1].n_removed == 12 and out.loc[2].n_removed == 12
+    assert out.loc[3].n_removed == 0
+    exp_a = hashlib.md5(" ".join(a_pre + a_post).encode()).hexdigest()
+    exp_b = hashlib.md5(" ".join(b_pre + b_post).encode()).hexdigest()
+    exp_c = hashlib.md5(" ".join(c).encode()).hexdigest()
+    assert out.loc[1].kept_fp == exp_a
+    assert out.loc[2].kept_fp == exp_b
+    assert out.loc[3].kept_fp == exp_c
