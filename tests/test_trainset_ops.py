@@ -694,3 +694,29 @@ def test_dup_span_removal_excises_exactly_the_shared_run(spark, tmp_path):
     assert out.loc[1].kept_fp == exp_a
     assert out.loc[2].kept_fp == exp_b
     assert out.loc[3].kept_fp == exp_c
+
+
+def test_dup_span_removal_plan_shape(spark):
+    """Scale pins for the dup-span family: the dup set joins back as a
+    BROADCAST (never a shuffled join on the full token stream), no
+    hash exchange ever carries token/gram text, and the coverage max +
+    final agg reuse the window's doc_id clustering (no third doc_id
+    exchange beyond the two diamond branches)."""
+    df = REGISTRY["text_dup_span_removal"].build(spark, SF_DIR)
+    plan = _plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    for line in plan.splitlines():
+        if "Arguments: hashpartitioning" in line:
+            assert " w#" not in line and "text" not in line
+    assert plan.count("Arguments: hashpartitioning") <= 3
+
+
+def test_fuzzy_e2e_survivors_cover_corpus(spark):
+    """dedup_fuzzy_e2e output must partition the corpus: survivors +
+    absorbed dups == total documents, and every cluster's survivor is its
+    own cluster_id (min-label CC invariant)."""
+    out = REGISTRY["dedup_fuzzy_e2e"].build(spark, SF_DIR).toPandas()
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert len(out) + int(out.n_dups_removed.sum()) == n_docs
+    assert (out.doc_id == out.cluster_id).all()
