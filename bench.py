@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "ann_ivf_kmeans_topk",
     "dedup_fuzzy_e2e",
     "text_dup_span_removal",
+    "pagerank_fetch_plan",
     "bm25_more_like_this",
     "warc_trainset_e2e",
 ]

@@ -2551,7 +2551,9 @@ outdeg AS (SELECT src AS id, COUNT(*) AS deg FROM edges GROUP BY src)
 """
 
 
-def _pr_oracle() -> str:
+def _pr_cte_prefix() -> str:
+    """The DuckDB CTE chain ending at ranks{_PR_ROUNDS} — shared by the
+    host_pagerank oracle and the pagerank_fetch_plan composition."""
     parts = ["WITH " + _PR_GRAPH_SQL.format(mod=_PR_MOD)]
     parts.append(
         f", ranks0 AS (SELECT id, {_PR_SCALE} // (SELECT n FROM cnt) AS r FROM nodes)"
@@ -2571,20 +2573,26 @@ ranks{k + 1} AS (
         GROUP BY e.dst
     ) s ON s.id = n.id
 )""")
+    return "".join(parts)
+
+
+def _pr_oracle() -> str:
     # final BIGINT cast: DuckDB's SUM(BIGINT) is HUGEINT, which pandas
     # renders as float64 — without the cast the value hash diverges on
     # dtype even though every value is identical
-    parts.append(
-        f"\nSELECT id AS host_id, CAST(r AS BIGINT) AS rank_units "
-        f"FROM ranks{_PR_ROUNDS} ORDER BY host_id"
+    return (
+        _pr_cte_prefix()
+        + f"\nSELECT id AS host_id, CAST(r AS BIGINT) AS rank_units "
+          f"FROM ranks{_PR_ROUNDS} ORDER BY host_id"
     )
-    return "".join(parts)
 
 
 _PR_HANDLES: dict[str, DataFrame] = {}
 
 
-def _pr_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pr_ranks_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final PageRank (id, r) pairs after _PR_ROUNDS Lloyd-style rounds —
+    the iterative core shared by host_pagerank and pagerank_fetch_plan."""
     from pyspark.sql import functions as F
 
     # unpersist the previous invocation's handles (same convention as
@@ -2630,10 +2638,16 @@ def _pr_build(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n",
             )
         )
-    out = ranks.select(
+    return ranks.select("id", "r")
+
+
+def _pr_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    ranks = _pr_ranks_df(spark, sf_dir)
+    return ranks.select(
         F.col("id").alias("host_id"), F.col("r").alias("rank_units")
     ).orderBy("host_id")
-    return out
 
 
 _register(
@@ -4910,5 +4924,82 @@ _register(
         "by any cross-doc-duplicated 8-gram removed, docs reassembled from "
         "survivors in order — coverage via window max, no range join",
         oracle=_DUPREMOVE_DUCK_SQL.replace("{WORDS}", _DUCK_WORDS),
+    ),
+)
+
+# Link-authority-driven crawl scheduling — the north-star sentence ("per-
+# host politeness budgets ... drive a priority queue") with DOMAIN QUALITY
+# as the driver: host PageRank rank units (exact integer arithmetic, see
+# host_pagerank) become the weights of a largest-remainder global-budget
+# allocation (exact, sums to the budget — see host_budget_allocation), and
+# each host's candidate pages are admitted by a per-host top-k on
+# (n_chars desc, doc_id) capped at that host's allocated budget. Hosts the
+# link graph never ranked get no budget (inner join) — deterministic on
+# both engines. Scale shape: the PageRank loop shuffles only (id, rank)
+# pairs; allocation runs on the |hosts|-row table (broadcast-sized); the
+# page-admission window partitions by host — the same place fetch_plan's
+# mega-host salting applies when a host's candidate set is skewed (the
+# salted two-level top-k is proven ≡ this window rank by
+# tests/test_scale_modules.py).
+_PRPLAN_BUDGET = 400
+
+_PRPLAN_TAIL = """
+tot AS (
+    SELECT CAST(SUM(rank_units) AS BIGINT) AS total_wt FROM pr_ranks
+),
+base AS (
+    SELECT host_id, rank_units,
+           CAST(({B} * rank_units) {IDIV} total_wt AS BIGINT) AS floor_alloc,
+           CAST(({B} * rank_units) % total_wt AS BIGINT) AS rem
+    FROM pr_ranks CROSS JOIN tot
+),
+leftover AS (
+    SELECT CAST({B} - SUM(floor_alloc) AS BIGINT) AS n_extra FROM base
+),
+budgets AS (
+    SELECT host_id,
+           floor_alloc + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, host_id)
+                                   <= (SELECT n_extra FROM leftover)
+                              THEN 1 ELSE 0 END AS budget
+    FROM base
+),
+pages AS (
+    SELECT doc_id % {MOD} AS host_id, doc_id, n_chars FROM documents
+),
+admitted AS (
+    SELECT p.host_id, p.doc_id, b.budget,
+           ROW_NUMBER() OVER (PARTITION BY p.host_id
+                              ORDER BY p.n_chars DESC, p.doc_id) AS rnk
+    FROM pages p JOIN budgets b ON b.host_id = p.host_id
+)
+SELECT CAST(host_id AS BIGINT) AS host_id,
+       CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(rnk AS BIGINT) AS fetch_rank,
+       CAST(budget AS BIGINT) AS host_budget
+FROM admitted
+WHERE rnk <= budget
+ORDER BY host_id, fetch_rank
+"""
+
+
+def _prplan_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _pr_ranks_df(spark, sf_dir).createOrReplaceTempView("pr_ranks_raw")
+    return spark.sql(
+        "WITH pr_ranks AS (SELECT id AS host_id, CAST(r AS BIGINT) AS "
+        "rank_units FROM pr_ranks_raw),"
+        + _PRPLAN_TAIL.format(B=_PRPLAN_BUDGET, IDIV="DIV", MOD=_PR_MOD)
+    )
+
+
+_register(
+    "pagerank_fetch_plan",
+    QueryDef(
+        build=_prplan_build,
+        oracle=_pr_cte_prefix()
+        + f", pr_ranks AS (SELECT id AS host_id, CAST(r AS BIGINT) AS "
+          f"rank_units FROM ranks{_PR_ROUNDS}),"
+        + _PRPLAN_TAIL.format(B=_PRPLAN_BUDGET, IDIV="//", MOD=_PR_MOD),
+        doc="link-authority crawl scheduling: host PageRank -> largest-"
+            "remainder budget allocation -> per-host top-k page admission",
     ),
 )

@@ -720,3 +720,23 @@ def test_fuzzy_e2e_survivors_cover_corpus(spark):
     n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
     assert len(out) + int(out.n_dups_removed.sum()) == n_docs
     assert (out.doc_id == out.cluster_id).all()
+
+
+def test_pagerank_fetch_plan_respects_budgets(spark):
+    """Admitted pages never exceed their host's allocated budget, the
+    host budgets come from a largest-remainder split of the GLOBAL budget
+    over PageRank weights (so they sum to exactly the global budget), and
+    fetch ranks are dense from 1 per host."""
+    from frontier.datapipe import _PRPLAN_BUDGET
+
+    out = REGISTRY["pagerank_fetch_plan"].build(spark, SF_DIR).toPandas()
+    assert (out.fetch_rank <= out.host_budget).all()
+    budgets = out.groupby("host_id").host_budget.first()
+    # hosts present in the plan all carry a slice of the global budget;
+    # the full allocation (incl. hosts whose budget exceeded their page
+    # count, or with zero admitted pages) sums to the global budget, so
+    # the observed per-host budgets can never exceed it in total
+    assert budgets.sum() <= _PRPLAN_BUDGET
+    for _, g in out.groupby("host_id"):
+        got = sorted(g.fetch_rank)
+        assert got == list(range(1, len(got) + 1))
