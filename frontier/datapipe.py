@@ -4983,7 +4983,17 @@ ORDER BY host_id, fetch_rank
 
 
 def _prplan_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _pr_ranks_df(spark, sf_dir).createOrReplaceTempView("pr_ranks_raw")
+    # localCheckpoint the |hosts|-row rank table: the allocation CTE
+    # references it from tot/base/leftover/budgets, and Spark's InlineCTE
+    # re-inlines a multi-referenced CTE in a way that defeats cache
+    # substitution (measured: a persisted view referenced twice through a
+    # WITH shows ZERO InMemoryTableScans and 233 duplicated parquet scans
+    # — the full 5-round PageRank DAG re-ran per reference, 9.2 s at
+    # sf0.1). Checkpointing truncates the lineage to a materialized RDD,
+    # so every inlined reference is a 40-row scan. eager=True: the rank
+    # table must exist before the tail plan compiles.
+    ranks = _pr_ranks_df(spark, sf_dir).localCheckpoint(eager=True)
+    ranks.createOrReplaceTempView("pr_ranks_raw")
     return spark.sql(
         "WITH pr_ranks AS (SELECT id AS host_id, CAST(r AS BIGINT) AS "
         "rank_units FROM pr_ranks_raw),"

@@ -54,6 +54,10 @@ AUDITED = {
     "embedding_kmeans_refine": "both centroid-distance joins BroadcastHashJoin (k*dims rows); per-iteration shuffles carry (vec_id,cluster,int64) triples only",
     "bm25_more_like_this": "postings/df/dl partial-aggs over one token explode; broadcast query side; top-5 via rank window with map-side WindowGroupLimit",
     "warc_trainset_e2e": "three shuffle-free Arrow kernels over the scan side; gates scan-side; ONE pipeline shuffle (dedup window) — the second exchange is synthetic-segment construction only",
+    "dedup_fuzzy_e2e": "verify joins candidates back on 8-byte shingle hashes; CC loop shuffles (id,label) pairs only; survivor agg one partial-agg groupBy(cluster); no exchange carries text",
+    "text_dup_span_removal": "dup set re-joins as BROADCAST; coverage max + final agg reuse the (doc_id,pos) window clustering; detect-globally/apply-locally diamond recomputes the gram pipeline instead of persisting the token stream",
+    "ann_ivf_kmeans_topk": "centroid-distance joins broadcast (k*dims rows); probe fan-out bounded by 2 clusters' members; exact re-rank joins candidates on (vec_id,dim), never the full corpus",
+    "pagerank_fetch_plan": "PageRank loop shuffles (id,rank) pairs; budget allocation over the broadcast-sized host table; admission window partitions by host",
 }
 
 
