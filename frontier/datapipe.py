@@ -2390,6 +2390,65 @@ _register(
 )
 
 
+# Domain mixing APPLIED: deterministic weighted resampling that turns
+# mix_domain_weights' uniform-target weights into the actual resampled
+# corpus. Per-doc acceptance probability p = min(1, total / (n_sources *
+# tokens_src)) — i.e. the source's mix_weight — realized WITHOUT floats or
+# rand(): a doc is kept iff u < p * 2^32 where u is the first 8 md5 hex
+# chars of its doc_id as a uint32. Cross-multiplied exactly,
+#     u * tokens_src * n_sources  <  2^32 * total_tokens
+# (p >= 1 sources keep every doc: RHS >= 2^32 * tokens_src * n_sources
+# > u * tokens_src * n_sources for any u < 2^32). The comparison runs in
+# 128-bit-exact arithmetic — DECIMAL(38,0) on Spark, HUGEINT on DuckDB —
+# so it is bit-identical across engines, retries, and cluster sizes, with
+# headroom to ~1e25 corpus tokens (u*tokens*n_sources <= 4.3e9 * 1e25 *
+# 1e3 < 1e38). Scale shape: ONE partial-agg groupBy to |sources| rows,
+# broadcast back onto the doc stream (never shuffled on the join key);
+# the filter is scan-side per doc.
+_RESAMPLE_SQL = """
+WITH tok AS (
+    SELECT doc_id, source,
+           CAST({size_fn}({words_expr}) AS BIGINT) AS n_tokens,
+           CAST({BUCKET8} AS BIGINT) AS u
+    FROM documents
+),
+agg AS (
+    SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS tokens
+    FROM tok GROUP BY source
+),
+tot AS (
+    SELECT CAST(SUM(tokens) AS BIGINT) AS total,
+           CAST(COUNT(*) AS BIGINT) AS n_sources
+    FROM agg
+)
+SELECT t.doc_id, t.source, t.n_tokens
+FROM tok t JOIN agg a ON t.source = a.source CROSS JOIN tot
+WHERE CAST(t.u AS {BIGT}) * CAST(a.tokens AS {BIGT})
+          * CAST(tot.n_sources AS {BIGT})
+      < CAST(4294967296 AS {BIGT}) * CAST(tot.total AS {BIGT})
+ORDER BY doc_id
+"""
+# first 8 md5 hex chars of the doc_id -> uint32, same value on both engines
+_BUCKET8_SPARK = "conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10)"
+_BUCKET8_DUCK = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
+_register(
+    "mix_resample_corpus",
+    _sql_query(
+        _RESAMPLE_SQL.replace("{size_fn}", "size")
+        .replace("{words_expr}", _SPARK_WORDS)
+        .replace("{BUCKET8}", _BUCKET8_SPARK)
+        .replace("{BIGT}", "DECIMAL(38,0)"),
+        ("documents",),
+        "domain mixing applied: deterministic hash-Bernoulli resampling to "
+        "the uniform target share (exact 128-bit cross-multiply, no rand)",
+        oracle=_RESAMPLE_SQL.replace("{size_fn}", "len")
+        .replace("{words_expr}", _DUCK_WORDS)
+        .replace("{BUCKET8}", _BUCKET8_DUCK)
+        .replace("{BIGT}", "HUGEINT"),
+    ),
+)
+
+
 # End-to-end corpus assembly: the whole training-data tail as ONE declarative
 # plan — exact dedup (first-wins, md5 over joined NORMALIZED tokens, the
 # identical fingerprint as dedup_exact_fingerprint) → token-count quality

@@ -133,6 +133,36 @@ def test_mix_weights_reweight_to_uniform(spark):
         )
 
 
+def test_mix_resample_is_exact_deterministic_bernoulli(spark, tmp_path):
+    """mix_resample_corpus realizes mix_domain_weights: every doc of an
+    underrepresented source survives (p >= 1), the overrepresented source
+    is actually thinned, the run is deterministic, and the kept set equals
+    the closed-form hash predicate u*tokens_src*n_sources < 2^32*total."""
+    words10 = " ".join(f"w{i}" for i in range(10))
+    rows = [(d, words10, "en", "big") for d in range(60)]
+    rows += [(d, words10, "en", "small") for d in range(60, 63)]
+    sf = _write_docs(tmp_path, rows)
+    got = REGISTRY["mix_resample_corpus"].build(spark, sf).toPandas()
+    again = REGISTRY["mix_resample_corpus"].build(spark, sf).toPandas()
+    assert got["doc_id"].tolist() == again["doc_id"].tolist()
+    kept = set(got["doc_id"])
+    assert {60, 61, 62} <= kept  # p >= 1: the small source keeps every doc
+    big_kept = sum(1 for d in kept if d < 60)
+    assert 0 < big_kept < 60  # the big source is genuinely thinned
+    # exact replica of the acceptance predicate, doc by doc
+    tokens = {"big": 600, "small": 30}
+    total, n_sources = 630, 2
+    expect = {
+        d
+        for d, _, _, src in rows
+        if int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16)
+        * tokens[src]
+        * n_sources
+        < (1 << 32) * total
+    }
+    assert kept == expect
+
+
 def _plan_of(df) -> str:
     import contextlib
     import io
