@@ -220,6 +220,56 @@ _register(
     ),
 )
 
+# Adaptive politeness: real crawlers ADJUST each host's budget from the
+# fetch health they observe (AIMD-style: back off on server errors or slow
+# responses, restore toward the full rate when healthy). The fetch log is
+# derived in closed form from the events table (host = user bucket, 5xx =
+# 'error' events, latency from the value column); the health→budget ladder
+# is exact integer arithmetic — the error/slow shares are INTEGER
+# CROSS-MULTIPLICATIONS (n_errors * 10 >= n_fetches is "error share >=
+# 10%"), never float division, so the admitted budget is bit-identical
+# across engines and partitionings. latency uses FLOOR before the BIGINT
+# cast: Spark CAST truncates doubles while DuckDB rounds, FLOOR makes both
+# take the same integer. Scale shape: ONE partial-agg groupBy to |hosts|
+# rows; the ladder runs on the tiny host table; the budget feeds
+# fetch_plan(budget_per_host=...) exactly like host_budget_allocation's.
+_ADAPTIVE_SQL = """
+WITH log AS (
+    SELECT 'h' || CAST(user_id % 20 AS {STR}) AS host,
+           CASE WHEN event_type = 'error' THEN 503 ELSE 200 END AS status,
+           CAST(FLOOR(value * 10) AS BIGINT) AS latency_ms
+    FROM events
+),
+health AS (
+    SELECT host,
+           COUNT(*) AS n_fetches,
+           CAST(SUM(CASE WHEN status >= 500 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_errors,
+           CAST(SUM(CASE WHEN latency_ms >= 1500 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_slow
+    FROM log GROUP BY host
+)
+SELECT host, n_fetches, n_errors, n_slow,
+       CASE
+           WHEN n_errors * 10 >= n_fetches THEN 4
+           WHEN n_slow * 4 >= n_fetches THEN 8
+           ELSE 32
+       END AS next_budget
+FROM health
+ORDER BY host
+"""
+_register(
+    "adaptive_politeness",
+    _sql_query(
+        _ADAPTIVE_SQL.replace("{STR}", "STRING"),
+        ("events",),
+        "adaptive per-host politeness: observed error/latency shares -> "
+        "next-round budget via an integer-exact AIMD ladder (back off on "
+        ">=10% 5xx or >=25% slow, full rate when healthy)",
+        oracle=_ADAPTIVE_SQL.replace("{STR}", "VARCHAR"),
+    ),
+)
+
 # S2 retry resolution: an attempt-coded fetch log collapses to the row the
 # reference's retry loop returns (usp/helpers.py:151-195 + the
 # abstract_client.py:8-47 retryable-status whitelist). The Spark side runs
