@@ -67,6 +67,8 @@ BENCH_QUERIES = [
     "conditional_fetch_plan",
     "text_gopher_gates",
     "text_rarity_buckets",
+    "text_bigram_lm_score",
+    "adaptive_politeness",
     "anchor_text_rollup",
     "text_hashngram_classifier",
     "text_dup_span_fraction",

@@ -4219,6 +4219,92 @@ _register(
 )
 
 
+# Bigram-LM held-out scoring (the CCNet/KenLM shape: TRAIN an n-gram LM on
+# one split, SCORE every document with it, smoothing covering unseen
+# grams). Train split = doc_id % 5 < 4 (deterministic, no sampling); the
+# model is Laplace-style in INTEGER form: surprisal of bigram (w1,w2) ~
+# floor((c(w1) + V) / (c(w1,w2) + 1)) with V = train unigram vocab size, so
+# unseen bigrams get the max-surprisal (c12=0) branch of the same formula
+# and every score is an order-independent BIGINT sum (no float log whose
+# last ulp differs between libm builds — same rationale as
+# text_rarity_buckets above). Bigrams are built with ONE lead() over
+# pos-exploded words (not a gram array — see the winnowing block comment
+# on InferFiltersFromGenerate re-evaluation). Scale shape: the bigram
+# count table is Zipf-long-tailed and NOT broadcastable at 10^10 tokens —
+# the b⋈train_big join legitimately shuffles, but on (w1, w2) string pairs
+# that a production run would pre-hash to 8-byte ints (dup-span's trick);
+# the CONTEXT table (unigram counts) and the scalar vocab count broadcast.
+# Docs with < 2 tokens have no bigrams and are absent, as in CCNet.
+_BIGRAM_LM_SQL = """
+WITH toks AS (
+    SELECT doc_id, {WORDS} AS words FROM documents
+),
+tok AS (
+    SELECT doc_id, pos, w FROM {TOKSRC}
+),
+bigrams AS (
+    SELECT doc_id, w1, w2 FROM (
+        SELECT doc_id, w AS w1,
+               lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        FROM tok
+    ) b WHERE w2 IS NOT NULL
+),
+train_big AS (
+    SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+    FROM bigrams WHERE doc_id % 5 < 4 GROUP BY w1, w2
+),
+train_ctx AS (
+    SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM train_big GROUP BY w1
+),
+vocab AS (
+    SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v
+    FROM tok WHERE doc_id % 5 < 4
+),
+scored AS (
+    SELECT {JOINHINT} b.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM((COALESCE(c.c1, 0) + v.v) {DIV} (COALESCE(g.c12, 0) + 1))
+                AS BIGINT) AS surprisal_sum
+    FROM bigrams b
+    LEFT JOIN train_big g ON g.w1 = b.w1 AND g.w2 = b.w2
+    LEFT JOIN train_ctx c ON c.w1 = b.w1
+    CROSS JOIN vocab v
+    GROUP BY b.doc_id
+)
+SELECT doc_id, n_bigrams,
+       CAST(surprisal_sum {DIV} n_bigrams AS BIGINT) AS lm_score,
+       CAST(doc_id % 5 < 4 AS {BOOL}) AS in_train
+FROM scored
+ORDER BY doc_id
+"""
+
+_register(
+    "text_bigram_lm_score",
+    _sql_query(
+        _BIGRAM_LM_SQL
+        .replace("{WORDS}", _SPARK_WORDS)
+        .replace("{TOKSRC}", "toks LATERAL VIEW posexplode(words) t AS pos, w")
+        .replace("{JOINHINT}", "/*+ BROADCAST(c) */")
+        .replace("{DIV}", "DIV")
+        .replace("{BOOL}", "BOOLEAN"),
+        ("documents",),
+        "bigram-LM held-out scoring (CCNet/KenLM shape): Laplace-smoothed "
+        "integer surprisal from a train-split bigram model, context table "
+        "broadcast, bigram join shuffles on compact keys",
+        oracle=_BIGRAM_LM_SQL
+        .replace("{WORDS}", _DUCK_WORDS)
+        .replace(
+            "{TOKSRC}",
+            "(SELECT doc_id, i AS pos, words[i] AS w "
+            "FROM toks, unnest(range(1, len(words) + 1)) AS t(i)) u",
+        )
+        .replace("{JOINHINT}", "")
+        .replace("{DIV}", "//")
+        .replace("{BOOL}", "BOOLEAN"),
+    ),
+)
+
+
 # Inbound anchor-text rollup: aggregate the labeled edge list per TARGET —
 # inlink count, distinct anchor count, and the most common anchor (the
 # web's own label for the page: the classic retrieval / title-synthesis
