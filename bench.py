@@ -69,6 +69,8 @@ BENCH_QUERIES = [
     "text_rarity_buckets",
     "text_bigram_lm_score",
     "adaptive_politeness",
+    "trainset_pack_sequences",
+    "text_topgram_gates",
     "anchor_text_rollup",
     "text_hashngram_classifier",
     "text_dup_span_fraction",

@@ -5208,3 +5208,249 @@ _register(
             "remainder budget allocation -> per-host top-k page admission",
     ),
 )
+
+
+# Sequence packing for LM training shards (the GPT-style concat-and-chunk
+# dataloader): documents are concatenated in doc_id order and chunked into
+# fixed SEQ_LEN-token shards; each doc reports the shard + offset where its
+# first token lands and the shard where its last token lands (a doc may
+# straddle shards — that IS the packing scheme). The global token prefix-sum
+# is computed DISTRIBUTED: per-block partial sums (blk = doc_id div 64), an
+# exclusive prefix over the tiny block table, broadcast back, plus an
+# intra-block running sum — identical result to a global cumsum without a
+# single-partition window over the doc stream. Scale sizing: pick the block
+# granularity so the block table stays driver/broadcast-sized (10^4 blocks
+# of 10^6 docs at 10^10 docs; the prefix over blocks can itself be
+# hierarchical if needed). 64 here exercises multi-block logic at sf0.001.
+# All BIGINT arithmetic — order-independent and oracle-exact.
+_PACK_SEQ_LEN = 2048
+_PACK_SQL = """
+WITH toks AS (
+    SELECT doc_id, CAST({SIZE}({WORDS}) AS BIGINT) AS n_tokens FROM documents
+),
+docs AS (
+    SELECT doc_id, n_tokens, doc_id {DIV} 64 AS blk
+    FROM toks WHERE n_tokens > 0
+),
+blk_tot AS (
+    SELECT blk, CAST(SUM(n_tokens) AS BIGINT) AS blk_sum FROM docs GROUP BY blk
+),
+blk_pre AS (
+    SELECT blk,
+           CAST(COALESCE(SUM(blk_sum) OVER (ORDER BY blk
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS prefix
+    FROM blk_tot
+),
+cum AS (
+    SELECT {JOINHINT} d.doc_id, d.n_tokens,
+           p.prefix
+             + SUM(d.n_tokens) OVER (PARTITION BY d.blk ORDER BY d.doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             - d.n_tokens AS start_tok
+    FROM docs d JOIN blk_pre p ON p.blk = d.blk
+)
+SELECT doc_id, n_tokens,
+       CAST(start_tok {DIV} {SEQ} AS BIGINT) AS shard_id,
+       CAST(start_tok - (start_tok {DIV} {SEQ}) * {SEQ} AS BIGINT)
+         AS shard_offset,
+       CAST((start_tok + n_tokens - 1) {DIV} {SEQ} AS BIGINT) AS shard_id_last
+FROM cum
+ORDER BY doc_id
+"""
+
+_register(
+    "trainset_pack_sequences",
+    _sql_query(
+        _PACK_SQL
+        .replace("{WORDS}", _SPARK_WORDS)
+        .replace("{SIZE}", "size")
+        .replace("{JOINHINT}", "/*+ BROADCAST(p) */")
+        .replace("{DIV}", "DIV")
+        .replace("{SEQ}", str(_PACK_SEQ_LEN)),
+        ("documents",),
+        "GPT-style sequence packing: concat-and-chunk docs into fixed "
+        "2048-token shards via a DISTRIBUTED prefix-sum (block partials + "
+        "broadcast exclusive prefix + intra-block window — no "
+        "single-partition cumsum)",
+        oracle=_PACK_SQL
+        .replace("{WORDS}", _DUCK_WORDS)
+        .replace("{SIZE}", "len")
+        .replace("{JOINHINT}", "")
+        .replace("{DIV}", "//")
+        .replace("{SEQ}", str(_PACK_SEQ_LEN)),
+    ),
+)
+
+
+# Gopher repetition rules, top-n-gram family (Rae et al. 2021 Table A1):
+# the fraction of a document's characters covered by occurrences of its
+# single MOST FREQUENT n-gram, for n = 2,3,4, gated at 0.20 / 0.18 / 0.16.
+# Complements text_repetition_score (distinct-shingle ratio) and
+# text_dup_span_fraction (cross-doc duplicate grams) — this is the
+# INTRA-doc template-spam signal (a page that repeats "click here to buy"
+# 200 times). Char accounting: gram chars = sum of its word lengths (the
+# separator-free convention), total = sum of all word lengths. Frequency
+# ties resolve to the tied gram with the most chars — deterministic and
+# order-independent. Gates are INTEGER cross-multiplications (5*top2 <=
+# total is "<= 0.20"), permilles are floored BIGINTs — bit-identical
+# across engines. Plan: the three gram lengths ride ONE (doc_id, pos)
+# exchange (three leads over the shared window, unioned with an n tag);
+# everything downstream is partial-agg groupBys on (doc_id, n, gram-text)
+# — a production run would hash grams to 8 bytes first (dup-span's trick).
+_TOPGRAM_SQL = """
+WITH toks AS (
+    SELECT doc_id, {WORDS} AS words FROM documents
+),
+tok AS (
+    SELECT doc_id, pos, w FROM {TOKSRC}
+),
+led AS (
+    SELECT doc_id, w AS w1,
+           lead(w, 1) OVER win AS w2,
+           lead(w, 2) OVER win AS w3,
+           lead(w, 3) OVER win AS w4
+    FROM tok
+    WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+),
+grams AS (
+    SELECT doc_id, 2 AS n, w1 || ' ' || w2 AS gram,
+           length(w1) + length(w2) AS gchars
+    FROM led WHERE w2 IS NOT NULL
+    UNION ALL
+    SELECT doc_id, 3, w1 || ' ' || w2 || ' ' || w3,
+           length(w1) + length(w2) + length(w3)
+    FROM led WHERE w3 IS NOT NULL
+    UNION ALL
+    SELECT doc_id, 4, w1 || ' ' || w2 || ' ' || w3 || ' ' || w4,
+           length(w1) + length(w2) + length(w3) + length(w4)
+    FROM led WHERE w4 IS NOT NULL
+),
+counts AS (
+    SELECT doc_id, n, gram,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(MIN(gchars) AS BIGINT) AS gchars
+    FROM grams GROUP BY doc_id, n, gram
+),
+top AS (
+    SELECT doc_id, n, MAX(cnt) AS max_cnt FROM counts GROUP BY doc_id, n
+),
+cover AS (
+    SELECT c.doc_id, c.n,
+           CAST(MAX(CASE WHEN c.cnt = t.max_cnt
+                         THEN c.cnt * c.gchars END) AS BIGINT) AS top_chars
+    FROM counts c
+    JOIN top t ON t.doc_id = c.doc_id AND t.n = c.n
+    GROUP BY c.doc_id, c.n
+),
+total AS (
+    SELECT doc_id, CAST(SUM(length(w)) AS BIGINT) AS total_chars
+    FROM tok GROUP BY doc_id
+),
+pivoted AS (
+    SELECT t.doc_id, t.total_chars,
+           CAST(COALESCE(MAX(CASE WHEN c.n = 2 THEN c.top_chars END), 0)
+                AS BIGINT) AS top2_chars,
+           CAST(COALESCE(MAX(CASE WHEN c.n = 3 THEN c.top_chars END), 0)
+                AS BIGINT) AS top3_chars,
+           CAST(COALESCE(MAX(CASE WHEN c.n = 4 THEN c.top_chars END), 0)
+                AS BIGINT) AS top4_chars
+    FROM total t
+    LEFT JOIN cover c ON c.doc_id = t.doc_id
+    GROUP BY t.doc_id, t.total_chars
+)
+SELECT doc_id, total_chars,
+       CAST((1000 * top2_chars) {DIV} total_chars AS BIGINT) AS top2_permille,
+       CAST((1000 * top3_chars) {DIV} total_chars AS BIGINT) AS top3_permille,
+       CAST((1000 * top4_chars) {DIV} total_chars AS BIGINT) AS top4_permille,
+       (5 * top2_chars <= 1 * total_chars
+        AND 50 * top3_chars <= 9 * total_chars
+        AND 25 * top4_chars <= 4 * total_chars) AS passes_topgram_gates
+FROM pivoted
+ORDER BY doc_id
+"""
+
+_register(
+    "text_topgram_gates",
+    _sql_query(
+        _TOPGRAM_SQL
+        .replace("{WORDS}", _SPARK_WORDS)
+        .replace("{TOKSRC}", "toks LATERAL VIEW posexplode(words) t AS pos, w")
+        .replace("{DIV}", "DIV"),
+        ("documents",),
+        "Gopher top-n-gram char-fraction gates (n=2,3,4 at 0.20/0.18/0.16): "
+        "most-frequent-gram char coverage per doc, integer cross-multiplied "
+        "gates; three gram lengths ride one (doc_id,pos) exchange",
+        oracle=_TOPGRAM_SQL
+        .replace("{WORDS}", _DUCK_WORDS)
+        .replace(
+            "{TOKSRC}",
+            "(SELECT doc_id, i AS pos, words[i] AS w "
+            "FROM toks, unnest(range(1, len(words) + 1)) AS t(i)) u",
+        )
+        .replace("{DIV}", "//"),
+    ),
+)
+
+
+# CDX-style SURT index + domain prefix lookup (the Common-Crawl /
+# Internet-Archive URL-index shape: Sort-friendly URI Reordering
+# Transform). Every page gets a SURT key — host labels reversed and
+# comma-joined (com,example,src1), a leading www. canonicalized away,
+# ')' + path appended — and a domain lookup is then a PREFIX RANGE over
+# the sorted key space: exact host 'dom)...' plus subdomains 'dom,...',
+# which is how one asks "everything under src1.example.com" without a
+# reverse-DNS-style join. Hosts are synthesized closed-form from doc_id
+# with three shapes (bare, www., deep-subdomain on another TLD) so the
+# reversal, www-strip, and subdomain-vs-TLD-sibling behavior are all
+# exercised. Scale shape: pure codegen projections; at 10^10 rows the
+# index is WRITTEN sorted/range-partitioned by surt (Iceberg sort order),
+# so this lookup is a partition-pruned range scan — the LIKE prefix pair
+# here is the semantic contract, the storage layout is the fast path.
+_CDX_SQL = """
+WITH pages AS (
+    SELECT doc_id,
+           CASE CAST(doc_id % 3 AS INT)
+             WHEN 0 THEN source || '.example.com'
+             WHEN 1 THEN 'www.' || source || '.example.com'
+             ELSE 'cdn.assets.' || source || '.example.org'
+           END AS host,
+           '/p' || CAST(doc_id AS {STR}) || '.html' AS path
+    FROM documents
+),
+canon AS (
+    SELECT doc_id, host, path,
+           CASE WHEN host LIKE 'www.%' THEN substr(host, 5)
+                ELSE host END AS chost
+    FROM pages
+),
+keyed AS (
+    SELECT doc_id, host,
+           {REVJOIN} || ')' || path AS surt
+    FROM canon
+)
+SELECT surt, doc_id, host
+FROM keyed
+WHERE surt LIKE 'com,example,src1)%' OR surt LIKE 'com,example,src1,%'
+ORDER BY surt, doc_id
+"""
+
+_register(
+    "cdx_surt_lookup",
+    _sql_query(
+        _CDX_SQL
+        .replace("{STR}", "STRING")
+        .replace("{REVJOIN}",
+                 "array_join(reverse(split(chost, '[.]')), ',')"),
+        ("documents",),
+        "CDX/SURT URL index + domain prefix lookup: reversed-host sort "
+        "keys (www-canonicalized), subdomain-inclusive prefix range — "
+        "codegen projections; sorted/range-partitioned storage makes the "
+        "lookup a pruned range scan at scale",
+        oracle=_CDX_SQL
+        .replace("{STR}", "VARCHAR")
+        .replace("{REVJOIN}",
+                 "array_to_string(list_reverse(string_split(chost, '.')), "
+                 "',')"),
+    ),
+)
