@@ -5294,11 +5294,19 @@ _register(
 # ties resolve to the tied gram with the most chars — deterministic and
 # order-independent. Gates are INTEGER cross-multiplications (5*top2 <=
 # total is "<= 0.20"), permilles are floored BIGINTs — bit-identical
-# across engines. Plan: the three gram lengths ride ONE (doc_id, pos)
-# exchange (three leads over the shared window, unioned with an n tag);
-# everything downstream is partial-agg groupBys on (doc_id, n, gram-text)
-# — a production run would hash grams to 8 bytes first (dup-span's trick).
-_TOPGRAM_SQL = """
+# across engines. Spark plan: the three gram lengths ride ONE (doc_id,
+# pos) exchange — shared-window leads, then a SINGLE Generate exploding a
+# 4-struct array (n=1 rows double as the per-doc char totals), NOT a
+# UNION ALL of per-n branches: a union re-inlines the window pipeline per
+# branch and re-scans/re-tokenizes documents once per gram length
+# (measured 7 scans vs 3 in the plan audit). The counts→{top,cover,total}
+# diamond still recomputes the gram pipeline (3 scans) — accepted, same
+# rationale as text_dup_span_removal: recompute beats persisting a
+# corpus-sized gram table. Downstream is partial-agg groupBys on
+# (doc_id, n, gram-text) — a production run would hash grams to 8 bytes
+# first (dup-span's trick). The DuckDB oracle states the same semantics
+# as plain UNION ALL branches (oracle clarity over oracle speed).
+_TOPGRAM_HEAD = """
 WITH toks AS (
     SELECT doc_id, {WORDS} AS words FROM documents
 ),
@@ -5313,9 +5321,35 @@ led AS (
     FROM tok
     WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
 ),
+"""
+
+_TOPGRAM_SPARK_GRAMS = """
 grams AS (
-    SELECT doc_id, 2 AS n, w1 || ' ' || w2 AS gram,
-           length(w1) + length(w2) AS gchars
+    SELECT doc_id, e.n AS n, e.gram AS gram, e.gchars AS gchars
+    FROM led
+    LATERAL VIEW explode(array(
+        named_struct('n', 1, 'gram', w1, 'gchars', length(w1)),
+        named_struct('n', 2,
+            'gram', IF(w2 IS NULL, NULL, concat(w1, ' ', w2)),
+            'gchars', length(w1) + length(w2)),
+        named_struct('n', 3,
+            'gram', IF(w3 IS NULL, NULL, concat(w1, ' ', w2, ' ', w3)),
+            'gchars', length(w1) + length(w2) + length(w3)),
+        named_struct('n', 4,
+            'gram', IF(w4 IS NULL, NULL,
+                       concat(w1, ' ', w2, ' ', w3, ' ', w4)),
+            'gchars', length(w1) + length(w2) + length(w3) + length(w4))
+    )) g AS e
+    WHERE e.gram IS NOT NULL
+),
+"""
+
+_TOPGRAM_DUCK_GRAMS = """
+grams AS (
+    SELECT doc_id, 1 AS n, w1 AS gram, length(w1) AS gchars FROM led
+    UNION ALL
+    SELECT doc_id, 2, w1 || ' ' || w2,
+           length(w1) + length(w2)
     FROM led WHERE w2 IS NOT NULL
     UNION ALL
     SELECT doc_id, 3, w1 || ' ' || w2 || ' ' || w3,
@@ -5326,6 +5360,9 @@ grams AS (
            length(w1) + length(w2) + length(w3) + length(w4)
     FROM led WHERE w4 IS NOT NULL
 ),
+"""
+
+_TOPGRAM_TAIL = """
 counts AS (
     SELECT doc_id, n, gram,
            CAST(COUNT(*) AS BIGINT) AS cnt,
@@ -5333,7 +5370,8 @@ counts AS (
     FROM grams GROUP BY doc_id, n, gram
 ),
 top AS (
-    SELECT doc_id, n, MAX(cnt) AS max_cnt FROM counts GROUP BY doc_id, n
+    SELECT doc_id, n, MAX(cnt) AS max_cnt
+    FROM counts WHERE n >= 2 GROUP BY doc_id, n
 ),
 cover AS (
     SELECT c.doc_id, c.n,
@@ -5344,8 +5382,8 @@ cover AS (
     GROUP BY c.doc_id, c.n
 ),
 total AS (
-    SELECT doc_id, CAST(SUM(length(w)) AS BIGINT) AS total_chars
-    FROM tok GROUP BY doc_id
+    SELECT doc_id, CAST(SUM(cnt * gchars) AS BIGINT) AS total_chars
+    FROM counts WHERE n = 1 GROUP BY doc_id
 ),
 pivoted AS (
     SELECT t.doc_id, t.total_chars,
@@ -5373,15 +5411,16 @@ ORDER BY doc_id
 _register(
     "text_topgram_gates",
     _sql_query(
-        _TOPGRAM_SQL
+        (_TOPGRAM_HEAD + _TOPGRAM_SPARK_GRAMS + _TOPGRAM_TAIL)
         .replace("{WORDS}", _SPARK_WORDS)
         .replace("{TOKSRC}", "toks LATERAL VIEW posexplode(words) t AS pos, w")
         .replace("{DIV}", "DIV"),
         ("documents",),
         "Gopher top-n-gram char-fraction gates (n=2,3,4 at 0.20/0.18/0.16): "
         "most-frequent-gram char coverage per doc, integer cross-multiplied "
-        "gates; three gram lengths ride one (doc_id,pos) exchange",
-        oracle=_TOPGRAM_SQL
+        "gates; one struct-explode Generate over the shared lead window "
+        "(no per-n union rescans)",
+        oracle=(_TOPGRAM_HEAD + _TOPGRAM_DUCK_GRAMS + _TOPGRAM_TAIL)
         .replace("{WORDS}", _DUCK_WORDS)
         .replace(
             "{TOKSRC}",

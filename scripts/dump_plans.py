@@ -58,6 +58,11 @@ AUDITED = {
     "text_dup_span_removal": "dup set re-joins as BROADCAST; coverage max + final agg reuse the (doc_id,pos) window clustering; detect-globally/apply-locally diamond recomputes the gram pipeline instead of persisting the token stream",
     "ann_ivf_kmeans_topk": "centroid-distance joins broadcast (k*dims rows); probe fan-out bounded by 2 clusters' members; exact re-rank joins candidates on (vec_id,dim), never the full corpus",
     "pagerank_fetch_plan": "PageRank loop shuffles (id,rank) pairs; budget allocation over the broadcast-sized host table; admission window partitions by host",
+    "adaptive_politeness": "ONE partial-agg exchange to |hosts| rows; the AIMD ladder is codegen over the tiny host table",
+    "text_bigram_lm_score": "bigrams via one lead() over the (doc_id,pos) exchange; context/vocab broadcast; only the Zipf-tail bigram-count join shuffles",
+    "trainset_pack_sequences": "distributed prefix-sum: block partials + BROADCAST exclusive prefix + intra-block window — no single-partition cumsum over the doc stream",
+    "text_topgram_gates": "ONE struct-explode Generate over the shared lead window (no per-n union rescans: 3 scans, was 7); downstream partial-agg groupBys on (doc_id,n,gram)",
+    "cdx_surt_lookup": "pure codegen SURT projection + prefix filter pushed to the scan; sorted/range-partitioned storage turns it into a pruned range scan at 10^10 rows",
 }
 
 
