@@ -1,0 +1,179 @@
+"""Semantic tests for the round-3 tail operators — beyond the bit-for-bit
+DuckDB oracle replica (test_datapipe_oracle.py), these assert the *meaning*:
+sequence packing follows the concat-and-chunk contract, planted repetition
+trips the Gopher top-n-gram gates, unseen bigrams score higher than train
+bigrams, SURT lookup canonicalizes www and excludes TLD siblings and
+prefix-colliding domains, and the AIMD politeness ladder backs off on the
+documented thresholds."""
+
+import os
+
+import pandas as pd
+import pytest
+
+from frontier.datapipe import REGISTRY, _PACK_SEQ_LEN
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason="driver testdata not present"
+)
+
+
+def _write_docs(tmp_path, rows) -> str:
+    """Materialize a documents.parquet with the driver's exact schema."""
+    df = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
+    df["doc_id"] = df["doc_id"].astype("int64")
+    df["n_chars"] = df["text"].str.len().astype("int64")
+    out = str(tmp_path / "docs")
+    os.makedirs(out, exist_ok=True)
+    df.to_parquet(os.path.join(out, "documents.parquet"), index=False)
+    return out
+
+
+def _write_events(tmp_path, rows) -> str:
+    """Materialize an events.parquet with the driver's exact schema."""
+    df = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    df["event_id"] = df["event_id"].astype("int64")
+    # Spark can't read TIMESTAMP(NANOS); match the driver's micros unit
+    df["ts"] = pd.to_datetime(df["ts"]).astype("datetime64[us]")
+    df["user_id"] = df["user_id"].astype("int64")
+    df["value"] = df["value"].astype("float64")
+    df["props"] = "{}"
+    out = str(tmp_path / "evts")
+    os.makedirs(out, exist_ok=True)
+    df.to_parquet(os.path.join(out, "events.parquet"), index=False)
+    return out
+
+
+def _tokens(n: int, word: str = "tok") -> str:
+    return " ".join(word for _ in range(n))
+
+
+def test_pack_sequences_concat_chunk_contract(spark, tmp_path):
+    """Known token counts -> exact (shard, offset, last-shard) under the
+    2048-token concat-and-chunk rule; a token-less doc is absent; block
+    boundaries (doc_id div 64) don't perturb the global prefix sum."""
+    rows = [
+        (0, _tokens(1000), "en", "web"),
+        (1, _tokens(1500), "en", "web"),
+        (2, _tokens(600), "en", "web"),
+        (3, "", "en", "web"),  # no tokens -> absent
+        # doc 200 lives in block 3 while 0-3 live in block 0: the broadcast
+        # exclusive block prefix must carry 3100 tokens across empty blocks
+        (200, _tokens(3000), "en", "web"),
+    ]
+    sf = _write_docs(tmp_path, rows)
+    got = (
+        REGISTRY["trainset_pack_sequences"].build(spark, sf).toPandas()
+    )
+    assert got["doc_id"].tolist() == [0, 1, 2, 200]
+    seq = _PACK_SEQ_LEN
+    assert seq == 2048
+    # starts: 0, 1000, 2500, 3100
+    expect = {
+        0: (0 // seq, 0 % seq, (0 + 1000 - 1) // seq),
+        1: (1000 // seq, 1000 % seq, (1000 + 1500 - 1) // seq),
+        2: (2500 // seq, 2500 % seq, (2500 + 600 - 1) // seq),
+        200: (3100 // seq, 3100 % seq, (3100 + 3000 - 1) // seq),
+    }
+    for _, r in got.iterrows():
+        sid, off, last = expect[int(r.doc_id)]
+        assert (int(r.shard_id), int(r.shard_offset), int(r.shard_id_last)) \
+            == (sid, off, last), r.doc_id
+    # global invariants: offsets in range, docs tile the token stream
+    assert (got.shard_offset < seq).all() and (got.shard_offset >= 0).all()
+    assert (got.shard_id_last >= got.shard_id).all()
+
+
+def test_topgram_gates_planted_repetition(spark, tmp_path):
+    """A doc that is one repeated 2-gram maxes the top-2-gram fraction and
+    fails the gates; a diverse doc passes all three thresholds."""
+    rows = [
+        # 'spam ham' x10: top 2-gram covers all 70 chars
+        (0, "spam ham " * 10, "en", "web"),
+        # 50 distinct 6-char words: top-n coverage is n*6/300
+        (1, " ".join(f"word{i:02d}" for i in range(50)), "en", "web"),
+    ]
+    sf = _write_docs(tmp_path, rows)
+    got = (
+        REGISTRY["text_topgram_gates"].build(spark, sf).toPandas()
+        .set_index("doc_id")
+    )
+    assert int(got.loc[0, "top2_permille"]) == 1000
+    assert not bool(got.loc[0, "passes_topgram_gates"])
+    assert int(got.loc[1, "total_chars"]) == 300
+    assert int(got.loc[1, "top2_permille"]) == 1000 * 12 // 300
+    assert int(got.loc[1, "top3_permille"]) == 1000 * 18 // 300
+    assert int(got.loc[1, "top4_permille"]) == 1000 * 24 // 300
+    assert bool(got.loc[1, "passes_topgram_gates"])
+
+
+def test_bigram_lm_unseen_scores_higher(spark, tmp_path):
+    """A held-out doc of unseen bigrams must out-score (= be more
+    surprising than) a doc made of the train split's dominant bigram;
+    a one-token doc has no bigrams and is absent."""
+    rows = [
+        (0, "aa bb " * 20, "en", "web"),   # train (0 % 5 < 4)
+        (1, "aa bb " * 20, "en", "web"),   # train
+        (2, "aa bb " * 20, "en", "web"),   # train
+        (3, "aa bb " * 20, "en", "web"),   # train
+        (4, "zz qq zz qq zz qq", "en", "web"),  # held out, unseen bigrams
+        (9, "aa", "en", "web"),            # held out, no bigrams -> absent
+    ]
+    sf = _write_docs(tmp_path, rows)
+    got = (
+        REGISTRY["text_bigram_lm_score"].build(spark, sf).toPandas()
+        .set_index("doc_id")
+    )
+    assert 9 not in got.index
+    assert not bool(got.loc[4, "in_train"])
+    assert int(got.loc[4, "lm_score"]) > int(got.loc[0, "lm_score"])
+
+
+def test_cdx_surt_lookup_canonicalization(spark, tmp_path):
+    """www. strips to the same SURT key as the bare host; the .org deep
+    subdomain and the prefix-colliding src10 domain are both excluded."""
+    rows = [
+        (0, "x", "en", "src1"),    # src1.example.com -> included
+        (1, "x", "en", "src1"),    # www.src1.example.com -> included
+        (2, "x", "en", "src1"),    # cdn.assets.src1.example.org -> excluded
+        (3, "x", "en", "src10"),   # src10.example.com -> prefix collision
+        (6, "x", "en", "src2"),    # src2.example.com -> other domain
+    ]
+    sf = _write_docs(tmp_path, rows)
+    got = REGISTRY["cdx_surt_lookup"].build(spark, sf).toPandas()
+    assert got["doc_id"].tolist() == [0, 1]
+    assert got["surt"].tolist() == [
+        "com,example,src1)/p0.html",
+        "com,example,src1)/p1.html",  # www. canonicalized away
+    ]
+    assert got["host"].tolist() == ["src1.example.com", "www.src1.example.com"]
+
+
+def test_adaptive_politeness_aimd_ladder(spark, tmp_path):
+    """>=10% 5xx -> budget 4; else >=25% slow (>=1500ms) -> budget 8;
+    else full rate 32. Hosts come from user_id % 20, errors from
+    event_type='error', latency from floor(value*10)."""
+    ts = "2026-01-01T00:00:00"
+    rows = []
+    eid = 0
+    # host h0 (user 0): 10 healthy fetches
+    for _ in range(10):
+        rows.append((eid, ts, 0, "view", 1.0)); eid += 1
+    # host h1 (user 1): 2 errors in 10 -> 20% >= 10% -> budget 4
+    for i in range(10):
+        rows.append((eid, ts, 1, "error" if i < 2 else "view", 1.0)); eid += 1
+    # host h2 (user 2): 3 slow (value 160 -> 1600ms) in 10 -> 30% >= 25% -> 8
+    for i in range(10):
+        rows.append((eid, ts, 2, "view", 160.0 if i < 3 else 1.0)); eid += 1
+    sf = _write_events(tmp_path, rows)
+    got = (
+        REGISTRY["adaptive_politeness"].build(spark, sf).toPandas()
+        .set_index("host")
+    )
+    assert int(got.loc["h0", "next_budget"]) == 32
+    assert int(got.loc["h1", "next_budget"]) == 4
+    assert int(got.loc["h2", "next_budget"]) == 8
