@@ -513,3 +513,66 @@ def stream_trainset_gate(
     return scored.filter(
         (F.col("n_tokens") >= min_tokens) & (F.col("n_tokens") <= max_tokens)
     )
+
+
+def stream_adaptive_budgets(
+    fetches: DataFrame,
+    window: str = "1 minute",
+    watermark: str = "5 minutes",
+    latency_col: str | None = None,
+) -> DataFrame:
+    """The AIMD politeness ladder (datapipe.adaptive_politeness) running on
+    the LIVE fetch stream: event-time tumbling windows of per-host fetch
+    health (5xx share, optional slow share) map to the next crawl round's
+    per-host budget — back off to 4 on >=10% server errors, to 8 on >=25%
+    slow responses, full rate 32 when healthy. Same integer
+    cross-multiplication thresholds as the batch operator, so a window's
+    verdict is bit-identical to the batch ladder over the same rows.
+
+    Stateless-windowed (watermark + tumbling window, no arbitrary state):
+    the output stream is (window, host, counts, next_budget) and feeds
+    ``fetch_plan(budget_per_host=...)`` for the next wave exactly like the
+    batch path. ``latency_col`` names a milliseconds column when the
+    landing zone carries one; without it the slow-share rung never fires
+    (status-only ladder). Host extraction uses the JVM-side ``parse_url``
+    builtin — the whole operator stays inside whole-stage codegen, no
+    Python worker in the hot path."""
+    host = F.lower(
+        F.coalesce(
+            F.parse_url(F.coalesce(F.col("final_url"), F.col("url")),
+                        F.lit("HOST")),
+            F.lit(""),
+        )
+    )
+
+    slow = (
+        (F.col(latency_col) >= F.lit(1500)).cast("int")
+        if latency_col
+        else F.lit(0)
+    )
+    agg = (
+        fetches.withColumn("host", host)
+        .withWatermark("fetch_ts", watermark)
+        .groupBy(F.window("fetch_ts", window).alias("win"), "host")
+        .agg(
+            F.count("*").alias("n_fetches"),
+            F.sum(
+                F.when(F.col("status") >= 500, 1).otherwise(0)
+            ).alias("n_errors"),
+            F.sum(slow).alias("n_slow"),
+        )
+    )
+    ladder = (
+        F.when(F.col("n_errors") * 10 >= F.col("n_fetches"), F.lit(4))
+        .when(F.col("n_slow") * 4 >= F.col("n_fetches"), F.lit(8))
+        .otherwise(F.lit(32))
+    )
+    return agg.select(
+        F.col("win.start").alias("window_start"),
+        F.col("win.end").alias("window_end"),
+        "host",
+        "n_fetches",
+        "n_errors",
+        "n_slow",
+        ladder.cast("long").alias("next_budget"),
+    )

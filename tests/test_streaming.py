@@ -413,3 +413,46 @@ def test_stream_trainset_gate_matches_batch_semantics(spark, tmp_path):
     import hashlib
 
     assert rows[0].fp == hashlib.md5(para.encode()).hexdigest()
+
+
+def test_stream_adaptive_budgets_matches_batch_ladder(spark, tmp_path):
+    """The AIMD ladder on the live stream: a healthy host stays at 32, a
+    >=10% 5xx host drops to 4 — same integer thresholds as the batch
+    adaptive_politeness operator, per event-time window."""
+    from frontier.streaming import stream_adaptive_budgets
+
+    landing = str(tmp_path / "landing_aimd")
+    t0 = dt.datetime(2025, 6, 1, 12, 0, 0)
+    rows = []
+    # h1: 10 healthy fetches in window [12:00, 12:01)
+    for i in range(10):
+        rows.append(
+            (f"http://h1.example.com/p{i}", None, 200, None, None,
+             t0 + dt.timedelta(seconds=i))
+        )
+    # h2: 2 errors out of 10 -> 20% >= 10% -> budget 4
+    for i in range(10):
+        rows.append(
+            (f"http://h2.example.com/p{i}", None, 503 if i < 2 else 200,
+             None, None, t0 + dt.timedelta(seconds=i))
+        )
+    # h1 again, later window [12:05, 12:06): all errors -> budget 4 there
+    rows.append(
+        ("http://h1.example.com/late", None, 500, None, None,
+         t0 + dt.timedelta(minutes=5))
+    )
+    _land(spark, landing, rows)
+
+    budgets = stream_adaptive_budgets(read_fetch_stream(spark, landing))
+    run_available_now(
+        budgets, str(tmp_path / "ck_aimd"), "aimd_sink", output_mode="complete"
+    )
+    got = {
+        (r.host, r.window_start): r
+        for r in spark.sql("SELECT * FROM aimd_sink").collect()
+    }
+    assert got[("h1.example.com", t0)].next_budget == 32
+    assert got[("h2.example.com", t0)].next_budget == 4
+    assert got[("h2.example.com", t0)].n_errors == 2
+    late = got[("h1.example.com", t0 + dt.timedelta(minutes=5))]
+    assert late.next_budget == 4
