@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "adaptive_politeness",
     "trainset_pack_sequences",
     "text_topgram_gates",
+    "ngram_count_table",
     "anchor_text_rollup",
     "text_hashngram_classifier",
     "text_dup_span_fraction",

@@ -5493,3 +5493,95 @@ _register(
                  "',')"),
     ),
 )
+
+
+# Corpus n-gram count table (the Google Web-1T artifact shape: corpus-wide
+# n-gram counts with a count cutoff, the raw material for KenLM training
+# and the bigram-LM operator above): for n = 1,2,3, every gram occurring
+# >= 2 times with its corpus count, top-40 per n by (count desc, gram asc)
+# — the deterministic "head of the language model" slice. Spark plan: one
+# struct-explode Generate over the shared lead window (same no-union-rescan
+# rationale as text_topgram_gates), ONE partial-agg groupBy on (n, gram) —
+# the cutoff filter runs on aggregated rows, so singleton grams die in the
+# partial agg's output, not in a second pass — then a rank window per n
+# executed as map-side WindowGroupLimit over the surviving counts. At
+# 10^10 docs the (n, gram) agg is the only real shuffle and is
+# map-side-combined; production would hash grams to 8 bytes and keep a
+# gram->hash sidecar for the head slice only.
+_NGRAM_TABLE_SQL = """
+WITH toks AS (
+    SELECT doc_id, {WORDS} AS words FROM documents
+),
+tok AS (
+    SELECT doc_id, pos, w FROM {TOKSRC}
+),
+led AS (
+    SELECT doc_id, w AS w1,
+           lead(w, 1) OVER win AS w2,
+           lead(w, 2) OVER win AS w3
+    FROM tok
+    WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+),
+grams AS (
+    {GRAMS}
+),
+counts AS (
+    SELECT n, gram, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM grams GROUP BY n, gram
+    HAVING COUNT(*) >= 2
+),
+ranked AS (
+    SELECT n, gram, cnt,
+           row_number() OVER (PARTITION BY n
+                              ORDER BY cnt DESC, gram) AS rk
+    FROM counts
+)
+SELECT CAST(n AS BIGINT) AS n, gram, cnt, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= 40
+ORDER BY n, rk
+"""
+
+_NGRAM_SPARK_GRAMS = """
+    SELECT e.n AS n, e.gram AS gram
+    FROM led
+    LATERAL VIEW explode(array(
+        named_struct('n', 1, 'gram', w1),
+        named_struct('n', 2,
+            'gram', IF(w2 IS NULL, NULL, concat(w1, ' ', w2))),
+        named_struct('n', 3,
+            'gram', IF(w3 IS NULL, NULL, concat(w1, ' ', w2, ' ', w3)))
+    )) g AS e
+    WHERE e.gram IS NOT NULL
+"""
+
+_NGRAM_DUCK_GRAMS = """
+    SELECT 1 AS n, w1 AS gram FROM led
+    UNION ALL
+    SELECT 2, w1 || ' ' || w2 FROM led WHERE w2 IS NOT NULL
+    UNION ALL
+    SELECT 3, w1 || ' ' || w2 || ' ' || w3 FROM led WHERE w3 IS NOT NULL
+"""
+
+_register(
+    "ngram_count_table",
+    _sql_query(
+        _NGRAM_TABLE_SQL
+        .replace("{GRAMS}", _NGRAM_SPARK_GRAMS)
+        .replace("{WORDS}", _SPARK_WORDS)
+        .replace("{TOKSRC}",
+                 "toks LATERAL VIEW posexplode(words) t AS pos, w"),
+        ("documents",),
+        "Web-1T-style corpus n-gram count table (n=1,2,3, cutoff >=2, "
+        "top-40 head per n): one struct-explode over the shared lead "
+        "window, one map-side-combined (n,gram) agg, rank via map-side "
+        "WindowGroupLimit",
+        oracle=_NGRAM_TABLE_SQL
+        .replace("{GRAMS}", _NGRAM_DUCK_GRAMS)
+        .replace("{WORDS}", _DUCK_WORDS)
+        .replace(
+            "{TOKSRC}",
+            "(SELECT doc_id, i AS pos, words[i] AS w "
+            "FROM toks, unnest(range(1, len(words) + 1)) AS t(i)) u",
+        ),
+    ),
+)

@@ -177,3 +177,21 @@ def test_adaptive_politeness_aimd_ladder(spark, tmp_path):
     assert int(got.loc["h0", "next_budget"]) == 32
     assert int(got.loc["h1", "next_budget"]) == 4
     assert int(got.loc["h2", "next_budget"]) == 8
+
+
+def test_ngram_count_table_cutoff_and_rank(spark, tmp_path):
+    """Counts are corpus-wide, singletons die at the cutoff, and the head
+    ranks by (count desc, gram asc) deterministically."""
+    rows = [
+        (0, "a b a b a b", "en", "web"),  # a:3 b:3; 'a b':3 'b a':2
+        (1, "c d", "en", "web"),          # all singletons -> absent
+    ]
+    sf = _write_docs(tmp_path, rows)
+    got = REGISTRY["ngram_count_table"].build(spark, sf).toPandas()
+    by_n = {n: g for n, g in got.groupby("n")}
+    assert by_n[1][["gram", "cnt"]].values.tolist() == [["a", 3], ["b", 3]]
+    assert by_n[2][["gram", "cnt"]].values.tolist() == [["a b", 3], ["b a", 2]]
+    assert by_n[3][["gram", "cnt"]].values.tolist() == [
+        ["a b a", 2], ["b a b", 2]
+    ]
+    assert "c" not in set(got["gram"]) and "c d" not in set(got["gram"])
