@@ -195,3 +195,67 @@ def test_ngram_count_table_cutoff_and_rank(spark, tmp_path):
         ["a b a", 2], ["b a b", 2]
     ]
     assert "c" not in set(got["gram"]) and "c d" not in set(got["gram"])
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+
+    def conv(v):
+        if v is None or (isinstance(v, float) and pd.isna(v)):
+            return "<null>"
+        if isinstance(v, float):
+            return f"{v:.9g}"
+        return str(v)
+
+    for col in df.columns:
+        df[col] = df[col].map(conv)
+    return df.sort_values(list(df.columns), ignore_index=True)
+
+
+def test_round3_ops_fuzz_vs_duckdb(spark, tmp_path):
+    """Deterministic adversarial corpus (empty docs, punctuation-only,
+    single tokens, pathological repeats, digit runs, mixed case) — every
+    round-3 text operator must match its DuckDB oracle bit-for-bit on it,
+    not just on the driver's well-behaved synth corpus."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(0xC0FFEE)
+    vocab = ["the", "Spark", "a", "b2", "zz", "Q", "loooooongword", "x9y"]
+    rows = []
+    for doc_id in range(80):
+        shape = doc_id % 8
+        if shape == 0:
+            text = ""
+        elif shape == 1:
+            text = "!!! ??? ... --- %%%"          # tokenizes to nothing
+        elif shape == 2:
+            text = rng.choice(vocab)               # single token
+        elif shape == 3:
+            text = " ".join([rng.choice(vocab[:2])] * rng.randint(2, 40))
+        elif shape == 4:
+            text = " ".join(str(rng.randint(0, 99)) for _ in range(30))
+        elif shape == 5:
+            text = ("spam ham " * rng.randint(1, 30)).strip()
+        elif shape == 6:
+            text = " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 120)))
+        else:
+            text = "A a THE the Zz zz " * rng.randint(1, 10)
+        rows.append((doc_id, text, "en", f"src{doc_id % 3}"))
+    sf = _write_docs(tmp_path, rows)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    for name in [
+        "text_bigram_lm_score",
+        "trainset_pack_sequences",
+        "text_topgram_gates",
+        "cdx_surt_lookup",
+        "ngram_count_table",
+    ]:
+        got = _normalize(REGISTRY[name].build(spark, sf).toPandas())
+        want = _normalize(con.execute(REGISTRY[name].oracle).df())
+        pd.testing.assert_frame_equal(got, want, check_dtype=False), name
