@@ -259,3 +259,34 @@ def test_round3_ops_fuzz_vs_duckdb(spark, tmp_path):
         got = _normalize(REGISTRY[name].build(spark, sf).toPandas())
         want = _normalize(con.execute(REGISTRY[name].oracle).df())
         pd.testing.assert_frame_equal(got, want, check_dtype=False), name
+
+
+def test_adaptive_budgets_drive_fetch_plan(spark, tmp_path):
+    """The loop closes: observed health -> AIMD budgets -> per-host
+    admission via fetch_plan_budgeted (ladder max 32 == the crawl-wide
+    default cap, satisfying the budgeted-plan contract)."""
+    from pyspark.sql import functions as F
+
+    from frontier.robots import fetch_plan_budgeted
+
+    ts = "2026-01-01T00:00:00"
+    rows = []
+    eid = 0
+    for _ in range(10):
+        rows.append((eid, ts, 0, "view", 1.0)); eid += 1   # h0 healthy
+    for i in range(10):
+        rows.append((eid, ts, 1, "error" if i < 2 else "view", 1.0)); eid += 1
+    sf = _write_events(tmp_path, rows)
+    budgets = (
+        REGISTRY["adaptive_politeness"].build(spark, sf)
+        .select("host", F.col("next_budget").alias("fetch_budget"))
+    )
+
+    pages = spark.createDataFrame(
+        [(f"http://{h}/p{i:02d}", 0.5, None)
+         for h in ("h0", "h1") for i in range(40)],
+        "page_url string, priority double, last_modified timestamp",
+    )
+    plan = fetch_plan_budgeted(pages, budgets, default_budget=32).toPandas()
+    per_host = plan.groupby("canonical_host").size().to_dict()
+    assert per_host == {"h0": 32, "h1": 4}
