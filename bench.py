@@ -85,6 +85,42 @@ BENCH_QUERIES = [
 ]
 
 
+def host_phase_probe(seconds: float = 2.0) -> dict:
+    """Single-process ALU + memcpy throughput probe, ~2x`seconds` total.
+
+    This sandbox VM has multi-minute phases where memory bandwidth
+    collapses to a few percent of its quiet-phase value (measured
+    memcpy 0.5-1/s vs ~46/s quiet, with identical crawls swinging
+    9.6 s -> 63 s). Recording the probe alongside the timings lets a
+    reader normalize a bench run against the host's state DURING that
+    run instead of guessing. Quiet-phase references come from
+    BENCH/ceilings.json (per-process at the 8-proc level).
+    """
+    import numpy as np
+
+    t0 = time.perf_counter()
+    n = 0
+    while time.perf_counter() - t0 < seconds:
+        x = 0
+        for i in range(100000):
+            x += i * i
+        n += 1
+    alu = n / seconds
+
+    a = np.ones(64 * 1024 * 1024 // 8)
+    t0 = time.perf_counter()
+    n = 0
+    while time.perf_counter() - t0 < seconds:
+        a.copy()
+        n += 1
+    mem = n / seconds
+    return {
+        "alu_per_sec": round(alu, 1),
+        "memcpy64mb_per_sec": round(mem, 1),
+        "quiet_ref": {"alu_per_sec": 148.1, "memcpy64mb_per_sec": 46.6},
+    }
+
+
 def sf_from_dir(path: str) -> float:
     name = os.path.basename(path.rstrip("/"))
     try:
@@ -214,6 +250,7 @@ def main() -> None:
     os.makedirs(workdir, exist_ok=True)
 
     timings: dict[str, float] = {}
+    probe_before = host_phase_probe()
     try:
         crawl_s, urls, _pages, crawl_runs = crawl_bench(spark, sf, workdir)
         timings["frontier_crawl"] = round(crawl_s, 3)
@@ -261,6 +298,10 @@ def main() -> None:
                 "cpus": CPUS,
                 "crawl_urls": urls,
                 "crawl_runs_sec": [round(r, 3) for r in crawl_runs],
+                "host_phase": {
+                    "before": probe_before,
+                    "after": host_phase_probe(),
+                },
             }
         )
     )
