@@ -5224,7 +5224,7 @@ _register(
 # hierarchical if needed). 64 here exercises multi-block logic at sf0.001.
 # All BIGINT arithmetic — order-independent and oracle-exact.
 _PACK_SEQ_LEN = 2048
-_PACK_SQL = """
+_PACK_SEQ_SQL = """
 WITH toks AS (
     SELECT doc_id, CAST({SIZE}({WORDS}) AS BIGINT) AS n_tokens FROM documents
 ),
@@ -5262,7 +5262,7 @@ ORDER BY doc_id
 _register(
     "trainset_pack_sequences",
     _sql_query(
-        _PACK_SQL
+        _PACK_SEQ_SQL
         .replace("{WORDS}", _SPARK_WORDS)
         .replace("{SIZE}", "size")
         .replace("{JOINHINT}", "/*+ BROADCAST(p) */")
@@ -5273,7 +5273,7 @@ _register(
         "2048-token shards via a DISTRIBUTED prefix-sum (block partials + "
         "broadcast exclusive prefix + intra-block window — no "
         "single-partition cumsum)",
-        oracle=_PACK_SQL
+        oracle=_PACK_SEQ_SQL
         .replace("{WORDS}", _DUCK_WORDS)
         .replace("{SIZE}", "len")
         .replace("{JOINHINT}", "")
