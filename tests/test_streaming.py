@@ -456,3 +456,35 @@ def test_stream_adaptive_budgets_matches_batch_ladder(spark, tmp_path):
     assert got[("h2.example.com", t0)].n_errors == 2
     late = got[("h1.example.com", t0 + dt.timedelta(minutes=5))]
     assert late.next_budget == 4
+
+
+def test_stream_adaptive_budgets_latency_rung(spark, tmp_path):
+    """With a latency column in the landing zone, the slow-share rung
+    fires: >=25% of fetches at >=1500 ms drop a healthy-status host to 8."""
+    from pyspark.sql import functions as F, types as T
+
+    from frontier.streaming import stream_adaptive_budgets
+
+    landing = str(tmp_path / "landing_lat")
+    t0 = dt.datetime(2025, 6, 1, 12, 0, 0)
+    rows = [
+        (f"http://h3.example.com/p{i}", None, 200, None, None,
+         t0 + dt.timedelta(seconds=i))
+        for i in range(8)
+    ]
+    _land(spark, landing, rows)
+
+    # latency joins the stream as a derived column (a real landing zone
+    # would carry it); 2 of 8 >= 1500 ms is 25% -> budget 8
+    src = read_fetch_stream(spark, landing).withColumn(
+        "latency_ms",
+        F.when(F.col("url").endswith("p0") | F.col("url").endswith("p1"),
+               F.lit(2000)).otherwise(F.lit(10)).cast(T.LongType()),
+    )
+    budgets = stream_adaptive_budgets(src, latency_col="latency_ms")
+    run_available_now(
+        budgets, str(tmp_path / "ck_lat"), "lat_sink", output_mode="complete"
+    )
+    got = {r.host: r for r in spark.sql("SELECT * FROM lat_sink").collect()}
+    assert got["h3.example.com"].n_slow == 2
+    assert got["h3.example.com"].next_budget == 8
