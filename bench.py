@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "trainset_pack_sequences",
     "text_topgram_gates",
     "ngram_count_table",
+    "host_trustrank",
     "anchor_text_rollup",
     "text_hashngram_classifier",
     "text_dup_span_fraction",

@@ -2770,6 +2770,131 @@ _register(
 )
 
 
+# TrustRank (Gyongyi et al. 2004 "Combating Web Spam with TrustRank"):
+# personalized PageRank whose teleport mass goes ONLY to a trusted seed
+# set — authority flows outward from hand-vetted hosts, so link-farm
+# clusters with no trusted in-path decay to ~0 instead of accumulating
+# rank. The crawl use: demote spam hosts in fetch-plan budget allocation
+# (swap these units into pagerank_fetch_plan's rank_units). Trusted set
+# here: id % 8 == 0 (deterministic stand-in for the vetted seed list).
+# Same integer arithmetic and loop shape as host_pagerank — one join +
+# one partial agg per round over compact (id, rank) pairs; the only
+# changes are the seed-restricted init and teleport term. A node outside
+# the trusted set's reach reports exactly 0 (tested).
+_TR_TRUST_MOD = 8
+
+
+def _tr_ranks_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    for h in _PR_HANDLES.values():
+        h.unpersist()
+    _PR_HANDLES.clear()
+    _load(spark, sf_dir, "documents")
+    base = spark.sql(
+        "WITH " + _PR_GRAPH_SQL.format(mod=_PR_MOD)
+        + "SELECT e.src, e.dst, d.deg FROM edges e JOIN outdeg d ON d.id = e.src"
+    ).persist()
+    nodes = (
+        base.select(F.col("src").alias("id"))
+        .union(base.select(F.col("dst").alias("id")))
+        .distinct()
+        .persist()
+    )
+    _PR_HANDLES["tr_base"] = base
+    _PR_HANDLES["tr_nodes"] = nodes
+    trusted = F.col("id") % _TR_TRUST_MOD == 0
+    tcnt = nodes.filter(trusted).agg(F.count("*").alias("tn"))
+    ranks = nodes.crossJoin(tcnt).select(
+        "id",
+        F.when(trusted, (F.lit(_PR_SCALE) / F.col("tn")).cast("bigint"))
+        .otherwise(F.lit(0)).cast("bigint").alias("r"),
+        "tn",
+    )
+    for _ in range(_PR_ROUNDS):
+        contrib = (
+            base.join(ranks.select(F.col("id").alias("src"), "r"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.floor(F.col("r") / F.col("deg"))).alias("contrib"))
+        )
+        ranks = (
+            nodes.crossJoin(tcnt)
+            .join(contrib, "id", "left")
+            .select(
+                "id",
+                (
+                    F.when(
+                        trusted,
+                        F.floor(
+                            F.lit(15 * _PR_SCALE) / (F.lit(100) * F.col("tn"))
+                        ),
+                    ).otherwise(F.lit(0))
+                    + F.floor(
+                        F.lit(85) * F.coalesce("contrib", F.lit(0)) / F.lit(100)
+                    )
+                ).cast("bigint").alias("r"),
+                "tn",
+            )
+        )
+    return ranks.select("id", "r")
+
+
+def _tr_cte_prefix() -> str:
+    parts = ["WITH " + _PR_GRAPH_SQL.format(mod=_PR_MOD)]
+    parts.append(
+        f", tcnt AS (SELECT COUNT(*) AS tn FROM nodes "
+        f"WHERE id % {_TR_TRUST_MOD} = 0)"
+    )
+    parts.append(
+        f", tranks0 AS (SELECT id, CASE WHEN id % {_TR_TRUST_MOD} = 0 "
+        f"THEN {_PR_SCALE} // (SELECT tn FROM tcnt) ELSE 0 END AS r "
+        f"FROM nodes)"
+    )
+    for k in range(_PR_ROUNDS):
+        parts.append(f""",
+tranks{k + 1} AS (
+    SELECT n.id,
+           CASE WHEN n.id % {_TR_TRUST_MOD} = 0
+                THEN (15 * {_PR_SCALE}) // (100 * t.tn) ELSE 0 END
+           + (85 * COALESCE(s.contrib, 0)) // 100 AS r
+    FROM nodes n CROSS JOIN tcnt t
+    LEFT JOIN (
+        SELECT e.dst AS id, SUM(r.r // d.deg) AS contrib
+        FROM edges e
+        JOIN tranks{k} r ON r.id = e.src
+        JOIN outdeg d ON d.id = e.src
+        GROUP BY e.dst
+    ) s ON s.id = n.id
+)""")
+    return "".join(parts)
+
+
+def _tr_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    ranks = _tr_ranks_df(spark, sf_dir)
+    return ranks.select(
+        F.col("id").alias("host_id"),
+        F.col("r").alias("trust_units"),
+        (F.col("id") % _TR_TRUST_MOD == 0).alias("is_trusted"),
+    ).orderBy("host_id")
+
+
+_register(
+    "host_trustrank",
+    QueryDef(
+        build=_tr_build,
+        oracle=_tr_cte_prefix()
+        + f"\nSELECT id AS host_id, CAST(r AS BIGINT) AS trust_units, "
+          f"(id % {_TR_TRUST_MOD} = 0) AS is_trusted "
+          f"FROM tranks{_PR_ROUNDS} ORDER BY host_id",
+        doc="TrustRank: seed-personalized PageRank (teleport only to the "
+            "trusted set) for spam demotion in crawl budgets — same "
+            "integer loop as host_pagerank",
+    ),
+)
+
+
 # Incremental frontier maintenance: MERGE-INTO semantics (the Iceberg upsert
 # the north rule's frontier table needs) expressed engine-portably — a full
 # outer join of the existing frontier against an incoming capture batch,

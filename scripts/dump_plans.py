@@ -63,6 +63,7 @@ AUDITED = {
     "trainset_pack_sequences": "distributed prefix-sum: block partials + BROADCAST exclusive prefix + intra-block window — no single-partition cumsum over the doc stream",
     "text_topgram_gates": "ONE struct-explode Generate over the shared lead window (no per-n union rescans: 3 scans, was 7); downstream partial-agg groupBys on (doc_id,n,gram)",
     "cdx_surt_lookup": "pure codegen SURT projection + prefix filter pushed to the scan; sorted/range-partitioned storage turns it into a pruned range scan at 10^10 rows",
+    "host_trustrank": "per-round join + partial-agg over compact (id,rank) pairs only; teleport restricted to the trusted seed set",
     "ngram_count_table": "one struct-explode over the shared lead window; ONE map-side-combined (n,gram) agg; cutoff on aggregated rows; head slice via map-side WindowGroupLimit",
 }
 

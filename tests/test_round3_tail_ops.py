@@ -290,3 +290,22 @@ def test_adaptive_budgets_drive_fetch_plan(spark, tmp_path):
     plan = fetch_plan_budgeted(pages, budgets, default_budget=32).toPandas()
     per_host = plan.groupby("canonical_host").size().to_dict()
     assert per_host == {"h0": 32, "h1": 4}
+
+
+def test_trustrank_unreachable_node_gets_zero(spark, tmp_path):
+    """TrustRank's defining property vs PageRank: no teleport mass outside
+    the trusted set, so a host with no in-path from a trusted seed decays
+    to EXACTLY 0. Graph from the closed-form edge map: doc 8 -> edge 8->27
+    (8 trusted), doc 1 -> edge 1->21 (both untrusted, disconnected from 8)."""
+    rows = [(8, "x", "en", "web"), (1, "x", "en", "web")]
+    sf = _write_docs(tmp_path, rows)
+    got = (
+        REGISTRY["host_trustrank"].build(spark, sf).toPandas()
+        .set_index("host_id")
+    )
+    scale = 10**12
+    assert bool(got.loc[8, "is_trusted"])
+    assert int(got.loc[8, "trust_units"]) == 15 * scale // 100
+    assert int(got.loc[27, "trust_units"]) == 85 * (15 * scale // 100) // 100
+    assert int(got.loc[1, "trust_units"]) == 0
+    assert int(got.loc[21, "trust_units"]) == 0
