@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "text_topgram_gates",
     "ngram_count_table",
     "host_trustrank",
+    "mix_temperature_weights",
     "anchor_text_rollup",
     "text_hashngram_classifier",
     "text_dup_span_fraction",

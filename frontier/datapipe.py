@@ -5710,3 +5710,59 @@ _register(
         ),
     ),
 )
+
+
+# Temperature-based domain mixing (the mT5/XLM-R sampling scheme: sample
+# sources proportional to p^(1/τ) so low-resource domains are boosted
+# without flattening to uniform). τ = 2 here, i.e. weight ∝ sqrt(tokens):
+# sqrt is one of the IEEE-754 CORRECTLY-ROUNDED operations (unlike ln /
+# exp / pow), so FLOOR(SQRT(bigint)) is bit-identical across engines and
+# the whole operator stays integer-exact — the general-τ pow() version
+# cannot promise that, which is why τ=2 is the engine-portable choice.
+# boost_permille is computed from the RAW integers ((1000·√w·Σt) div
+# (t·Σ√w)), not from the two floored shares, so it carries no compounded
+# floor error. Complements mix_domain_weights (uniform target) and
+# mix_resample_corpus (weights applied). One partial-agg groupBy to
+# |sources| rows; everything downstream runs on the tiny source table.
+_MIX_TEMP_SQL = """
+WITH tok AS (
+    SELECT source, CAST({size_fn}({words_expr}) AS BIGINT) AS n_tokens
+    FROM documents
+),
+agg AS (
+    SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS tokens
+    FROM tok GROUP BY source
+),
+w AS (
+    SELECT source, tokens,
+           CAST(FLOOR(SQRT(CAST(tokens AS DOUBLE))) AS BIGINT) AS sw
+    FROM agg
+),
+tot AS (
+    SELECT CAST(SUM(tokens) AS BIGINT) AS total,
+           CAST(SUM(sw) AS BIGINT) AS total_sw
+    FROM w
+)
+SELECT source, tokens, sw AS sqrt_weight,
+       CAST((1000 * tokens) {DIV} total AS BIGINT) AS natural_permille,
+       CAST((1000 * sw) {DIV} total_sw AS BIGINT) AS temp_permille,
+       CAST((1000 * sw * total) {DIV} (tokens * total_sw) AS BIGINT)
+         AS boost_permille
+FROM w CROSS JOIN tot
+ORDER BY source
+"""
+_register(
+    "mix_temperature_weights",
+    _sql_query(
+        _MIX_TEMP_SQL.replace("{size_fn}", "size")
+        .replace("{words_expr}", _SPARK_WORDS)
+        .replace("{DIV}", "DIV"),
+        ("documents",),
+        "temperature-based domain mixing (tau=2, weight ~ sqrt(tokens) — "
+        "sqrt is IEEE-correctly-rounded, so the op stays integer-exact): "
+        "natural vs temperature shares + per-source boost factor",
+        oracle=_MIX_TEMP_SQL.replace("{size_fn}", "len")
+        .replace("{words_expr}", _DUCK_WORDS)
+        .replace("{DIV}", "//"),
+    ),
+)
