@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "ngram_count_table",
     "host_trustrank",
     "mix_temperature_weights",
+    "dedup_fuzzy_best_survivor",
     "anchor_text_rollup",
     "text_hashngram_classifier",
     "text_dup_span_fraction",

@@ -5079,7 +5079,9 @@ ORDER BY doc_id
 """
 
 
-def _fuzzy_e2e_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _fuzzy_cc_view(spark: SparkSession, sf_dir: str) -> None:
+    """MinHash -> LSH -> Jaccard verify -> connected components, registered
+    as the `fuzzy_cc` temp view — the shared front of both survivor rules."""
     from .dedup import connected_components
 
     _mh_views(spark, sf_dir)
@@ -5091,6 +5093,10 @@ def _fuzzy_e2e_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         verified, src="doc_a", dst="doc_b", max_rounds=_CC_MAX_ROUNDS
     ).selectExpr("node AS doc_id", "component AS cluster_id")
     cc.createOrReplaceTempView("fuzzy_cc")
+
+
+def _fuzzy_e2e_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _fuzzy_cc_view(spark, sf_dir)
     return spark.sql(_FUZZY_SURVIVOR_SQL)
 
 
@@ -5111,7 +5117,12 @@ reach(src, node) AS (
 ),
 fuzzy_cc AS (
     SELECT src AS doc_id, MIN(node) AS cluster_id FROM reach GROUP BY src
-),
+)"""
+)
+
+_FUZZY_ORACLE_CC_PREFIX = _FUZZY_ORACLE
+
+_FUZZY_ORACLE = _FUZZY_ORACLE_CC_PREFIX + """,
 labeled AS (
     SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
     FROM (SELECT doc_id FROM documents) d
@@ -5124,7 +5135,6 @@ FROM labeled
 GROUP BY cluster_id
 ORDER BY doc_id
 """
-)
 
 _register(
     "dedup_fuzzy_e2e",
@@ -5764,5 +5774,63 @@ _register(
         oracle=_MIX_TEMP_SQL.replace("{size_fn}", "len")
         .replace("{words_expr}", _DUCK_WORDS)
         .replace("{DIV}", "//"),
+    ),
+)
+
+
+# Quality-aware fuzzy-dedup survivor selection: the production variant of
+# dedup_fuzzy_e2e's min-doc_id rule — real corpus builds keep the BEST
+# member of each near-dup cluster (here: most tokens, tie-broken by
+# doc_id), because near-dups are usually truncations/boilerplate-wrapped
+# copies of one canonical page. Shares the whole MinHash->LSH->verify->CC
+# front with dedup_fuzzy_e2e (the `fuzzy_cc` view); only the final
+# survivor window differs — one row_number() over clusters, executed as
+# map-side WindowGroupLimit over the tiny (doc_id, cluster) table.
+_FUZZY_BEST_TAIL = """
+labeled AS (
+    SELECT d.doc_id, d.n_tokens,
+           COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+    FROM (SELECT doc_id, CAST({SIZE}({WORDS}) AS BIGINT) AS n_tokens
+          FROM documents) d
+    LEFT JOIN fuzzy_cc c ON c.doc_id = d.doc_id
+),
+ranked AS (
+    SELECT doc_id, n_tokens, cluster_id,
+           row_number() OVER (PARTITION BY cluster_id
+                              ORDER BY n_tokens DESC, doc_id) AS rk,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS sz
+    FROM labeled
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(cluster_id AS BIGINT) AS cluster_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(sz - 1 AS BIGINT) AS n_dups_removed
+FROM ranked WHERE rk = 1
+ORDER BY doc_id
+"""
+
+
+def _fuzzy_best_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _fuzzy_cc_view(spark, sf_dir)
+    return spark.sql(
+        "WITH "
+        + _FUZZY_BEST_TAIL
+        .replace("{SIZE}", "size")
+        .replace("{WORDS}", _SPARK_WORDS)
+    )
+
+
+_register(
+    "dedup_fuzzy_best_survivor",
+    QueryDef(
+        build=_fuzzy_best_build,
+        oracle=_FUZZY_ORACLE_CC_PREFIX + ","
+        + _FUZZY_BEST_TAIL
+        .replace("{SIZE}", "len")
+        .replace("{WORDS}", _DUCK_WORDS),
+        doc="fuzzy dedup with quality-aware survivor selection: keep each "
+            "near-dup cluster's longest member (tie: doc_id) — the "
+            "production rule; shares the MinHash/LSH/verify/CC front with "
+            "dedup_fuzzy_e2e",
     ),
 )

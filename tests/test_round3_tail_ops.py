@@ -309,3 +309,29 @@ def test_trustrank_unreachable_node_gets_zero(spark, tmp_path):
     assert int(got.loc[27, "trust_units"]) == 85 * (15 * scale // 100) // 100
     assert int(got.loc[1, "trust_units"]) == 0
     assert int(got.loc[21, "trust_units"]) == 0
+
+
+def test_fuzzy_best_survivor_keeps_longest(spark, tmp_path):
+    """Near-identical docs (one a truncation of the other) cluster
+    together; the quality-aware rule keeps the LONGER doc even though its
+    doc_id is higher — where dedup_fuzzy_e2e would keep the min doc_id."""
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima mike november oscar papa quebec romeo")
+    rows = [
+        (0, base, "en", "web"),                    # truncation
+        (1, base + " sierra tango uniform victor", "en", "web"),  # canonical
+        (2, "completely different vocabulary here entirely so", "en", "web"),
+    ]
+    sf = _write_docs(tmp_path, rows)
+    got = (
+        REGISTRY["dedup_fuzzy_best_survivor"].build(spark, sf).toPandas()
+        .set_index("doc_id")
+    )
+    assert 1 in got.index and 0 not in got.index
+    assert int(got.loc[1, "n_dups_removed"]) == 1
+    assert 2 in got.index and int(got.loc[2, "n_dups_removed"]) == 0
+    e2e = (
+        REGISTRY["dedup_fuzzy_e2e"].build(spark, sf).toPandas()
+        .set_index("doc_id")
+    )
+    assert 0 in e2e.index and 1 not in e2e.index  # min-id rule, by contrast
