@@ -722,6 +722,141 @@ _register(
     ),
 )
 
+
+# SimHash NEAR-DUP PAIRING via banded Hamming buckets — Manku, Jain & Das
+# Sarma, "Detecting Near-Duplicates for Web Crawling" (WWW 2007), the actual
+# Google web-crawl dedup design. 60-bit fingerprint (the 15-hex-digit md5
+# word hashes give exactly 60 usable bits, keeping every value positive in
+# an int64 on both engines), split into 4 disjoint 15-bit bands. Pigeonhole:
+# a pair at Hamming distance <= 3 differs in at most 3 bands, so at least
+# one band matches exactly -> the (band, bval) equi-join has FULL recall at
+# k = 3; the bit_count(xor) <= 3 verify removes band-collision false
+# positives. Scale shape: fingerprints are one map-side-combinable
+# aggregation (60 SUMs per doc over word hashes); candidate generation joins
+# on compact (int, int) keys only — fingerprints travel, never text; a
+# band bucket larger than _LSH_BUCKET_CAP is dropped on both engines (same
+# deterministic recall tradeoff as the MinHash LSH path — a boilerplate
+# bucket otherwise goes quadratic at 10^10 docs). The corpus plants
+# deterministic near-dup copies (every 7th doc re-appended with two junk
+# words) so recall is exercised end-to-end: a two-word edit perturbs only
+# low-margin bits, landing the copy within distance <= 3 of its original.
+_SH_CORPUS = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text || ' zz glitch' AS text
+    FROM documents WHERE doc_id % 7 = 0
+"""
+
+_SH_BANDS_TAIL = """
+buckets AS (
+    SELECT band, bval FROM sh_bands
+    GROUP BY band, bval HAVING COUNT(*) BETWEEN 2 AND {cap}
+),
+inb AS (
+    SELECT d.doc_id, d.simhash, d.band, d.bval
+    FROM sh_bands d JOIN buckets u ON d.band = u.band AND d.bval = u.bval
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.simhash AS ha, b.simhash AS hb
+    FROM inb a JOIN inb b
+      ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, {bitcount} AS hamming
+FROM cand WHERE {bitcount} <= 3
+ORDER BY doc_a, doc_b
+"""
+
+_SH_BAND_ROWS = (
+    "(SELECT 0 AS band UNION ALL SELECT 1 UNION ALL SELECT 2"
+    " UNION ALL SELECT 3)"
+)
+
+
+def _simhash60_bits() -> str:
+    return " + ".join(
+        f"CAST(SUM(CASE WHEN (h >> {k}) % 2 = 1 THEN 1 ELSE -1 END) > 0 "
+        f"AS BIGINT) * {1 << k}"
+        for k in range(60)
+    )
+
+
+_SH_HANDLES: dict[str, DataFrame] = {}
+
+
+def _simhash_hamming_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Persist the (doc_id, simhash, band, bval) table once: Spark re-inlines
+    # WITH-CTEs, and sh_bands is referenced three times downstream (buckets +
+    # both self-join sides) — inlined, the md5 + 60-aggregate fingerprint
+    # pipeline would run 3x (same pathology measured on the MinHash path).
+    for h in _SH_HANDLES.values():
+        h.unpersist()
+    _SH_HANDLES.clear()
+    _load(spark, sf_dir, "documents")
+    bands_df = spark.sql(f"""
+        WITH corpus AS ({_SH_CORPUS}),
+        toks AS (
+            SELECT doc_id, {_SPARK_WORDS} AS words FROM corpus
+        ),
+        word_hashes AS (
+            SELECT doc_id,
+                   CAST(conv(substr(md5(w), 1, 15), 16, 10) AS BIGINT) AS h
+            FROM toks LATERAL VIEW explode(words) t AS w
+        ),
+        fp AS (
+            SELECT doc_id, {_simhash60_bits()} AS simhash
+            FROM word_hashes GROUP BY doc_id
+        )
+        SELECT doc_id, simhash, band,
+               (simhash >> (band * 15)) % 32768 AS bval
+        FROM fp CROSS JOIN {_SH_BAND_ROWS} bs
+    """).persist()
+    bands_df.createOrReplaceTempView("sh_bands")
+    _SH_HANDLES["sh_bands"] = bands_df
+    return spark.sql(
+        "WITH "
+        + _SH_BANDS_TAIL.format(cap=_LSH_BUCKET_CAP, bitcount="bit_count(ha ^ hb)")
+    )
+
+
+def _simhash_hamming_oracle() -> str:
+    return (
+        f"""
+WITH corpus AS ({_SH_CORPUS}),
+toks AS (
+    SELECT doc_id, {_DUCK_WORDS} AS words FROM corpus
+),
+word_hashes AS (
+    SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h
+    FROM (SELECT doc_id, unnest(words) AS w FROM toks) x
+),
+fp AS (
+    SELECT doc_id, {_simhash60_bits()} AS simhash
+    FROM word_hashes GROUP BY doc_id
+),
+sh_bands AS (
+    SELECT doc_id, simhash, band,
+           (simhash >> (band * 15)) % 32768 AS bval
+    FROM fp CROSS JOIN {_SH_BAND_ROWS} bs
+),
+"""
+        + _SH_BANDS_TAIL.format(
+            cap=_LSH_BUCKET_CAP, bitcount="bit_count(xor(ha, hb))"
+        )
+    )
+
+
+_register(
+    "dedup_simhash_hamming",
+    QueryDef(
+        build=_simhash_hamming_build,
+        oracle=_simhash_hamming_oracle(),
+        doc="Manku WWW'07 near-dup pairs: 60-bit SimHash, 4x15-bit banded "
+            "Hamming buckets (full recall at distance <= 3), xor-popcount "
+            "verify",
+    ),
+)
+
 # =============================================================================
 # C. Similarity search (brute-force cosine top-k baseline)
 # =============================================================================

@@ -335,3 +335,30 @@ def test_fuzzy_best_survivor_keeps_longest(spark, tmp_path):
         .set_index("doc_id")
     )
     assert 0 in e2e.index and 1 not in e2e.index  # min-id rule, by contrast
+
+
+def test_simhash_hamming_planted_pairs(spark, tmp_path):
+    """Manku banding semantics: an exact duplicate pairs at distance 0; a
+    lightly-edited copy pairs within distance <= 3 (the per-bit vote margin
+    grows with word repetition, so a repeated-vocabulary doc — the testdata
+    corpus shape — absorbs a two-word edit in low-margin bits only); an
+    unrelated-vocabulary doc pairs with neither. doc_id % 7 == 0 rows are
+    re-planted by the operator itself at doc_id + 1000000."""
+    base = ("spark shuffle partition broadcast join filter scan codegen "
+            "arrow parquet frontier sitemap crawl budget host queue "
+            "bloom seen wave snapshot lineage resume politeness ") * 3
+    rows = [
+        (0, base, "en", "web"),          # planted copy at 1000000 (two-word edit)
+        (1, base, "en", "web"),          # exact duplicate of 0 -> distance 0
+        (2, "totally disjoint lexicon zebra quark nebula vortex umbra "
+            "glyph prism ember cobalt dune fjord willow raven "
+            "saffron tundra opal quartz bramble cedar", "en", "web"),
+    ]
+    sf = _write_docs(tmp_path, rows)
+    got = REGISTRY["dedup_simhash_hamming"].build(spark, sf).toPandas()
+    pairs = {(a, b): h for a, b, h in
+             zip(got["doc_a"], got["doc_b"], got["hamming"])}
+    assert pairs[(0, 1)] == 0                      # exact dup, distance 0
+    assert (0, 1000000) in pairs and pairs[(0, 1000000)] <= 3  # planted edit
+    assert not any(2 in p for p in pairs)          # disjoint doc pairs nothing
+    assert (got["hamming"] <= 3).all()             # verify stage bound holds
