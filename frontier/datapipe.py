@@ -5166,6 +5166,101 @@ _register(
     ),
 )
 
+
+# SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+# web-scale through semantic deduplication"): k-means-cluster the embedding
+# space, then within each cluster mark pairs with cosine similarity >= tau
+# as SEMANTIC duplicates and keep, per the paper's rule, the member with
+# the LOWEST similarity to the cluster centroid (here: the largest
+# integer-exact L2 dist2 from the final Lloyd assignment; ties break to the
+# lower vec_id). The cluster assignment is the existing integer-exact
+# 2-iteration Lloyd refinement, so clustering is bit-identical on both
+# engines; only the final cosine is floating point (exact integer dot /
+# norms, one IEEE division + sqrt, ROUND to 6 — the ann_cosine_topk
+# precedent). Scale shape: all-pairs work is confined WITHIN clusters —
+# the paper's regime sizes k so clusters stay small (k ~ sqrt(n) keeps
+# E[pairs] linear), pair keys shuffle as (vec_id, vec_id, int64) only, and
+# the dot products partial-agg map-side over the dim-exploded join. The
+# corpus plants scaled copies (x -> 1.0009765625 * x, an exactly
+# representable factor so both engines round the FLOAT cast identically)
+# of every 50th vector: cosine(x, c*x) = 1 >= tau, so each planted pair
+# must lose exactly its nearer-to-centroid member end-to-end.
+_SEMDEDUP_TAIL = """,
+sims AS (
+    SELECT a.vec_id AS va, b.vec_id AS vb, a.cluster AS cluster,
+           a.d2 AS da, b.d2 AS db,
+           CAST(ROUND(CAST(SUM(qa.val * qb.val) AS DOUBLE)
+                / (sqrt(CAST(SUM(qa.val * qa.val) AS DOUBLE))
+                   * sqrt(CAST(SUM(qb.val * qb.val) AS DOUBLE))), 6)
+                AS DOUBLE) AS sim
+    FROM a2 a JOIN a2 b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    JOIN q qa ON qa.vec_id = a.vec_id
+    JOIN q qb ON qb.vec_id = b.vec_id AND qb.dim = qa.dim
+    GROUP BY a.vec_id, b.vec_id, a.cluster, a.d2, b.d2
+),
+dup_edges AS (SELECT * FROM sims WHERE sim >= 0.99),
+removed AS (
+    SELECT va AS vec_id FROM dup_edges
+    WHERE da < db OR (da = db AND va > vb)
+    UNION
+    SELECT vb AS vec_id FROM dup_edges
+    WHERE db < da OR (da = db AND vb > va)
+)
+SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster,
+       (r.vec_id IS NULL) AS kept
+FROM a2 a LEFT JOIN removed r ON r.vec_id = a.vec_id
+ORDER BY a.vec_id
+"""
+
+_SEMDEDUP_CORPUS_SPARK = """semcorpus AS (
+    SELECT vec_id, embedding FROM embeddings
+    UNION ALL
+    SELECT vec_id + 1000000 AS vec_id,
+           transform(embedding, v -> CAST(CAST(v AS DOUBLE)
+               * CAST(1.0009765625 AS DOUBLE) AS FLOAT)) AS embedding
+    FROM embeddings WHERE vec_id % 50 = 0
+),
+"""
+
+_SEMDEDUP_CORPUS_DUCK = """semcorpus AS (
+    SELECT vec_id, embedding FROM embeddings
+    UNION ALL
+    SELECT vec_id + 1000000 AS vec_id,
+           list_transform(embedding, v -> CAST(CAST(v AS DOUBLE)
+               * CAST(1.0009765625 AS DOUBLE) AS FLOAT)) AS embedding
+    FROM embeddings WHERE vec_id % 50 = 0
+),
+"""
+
+_SEMDEDUP_SQL = _KMEANS_SQL.replace(_KMEANS_FINAL_SELECT, _SEMDEDUP_TAIL)
+
+_register(
+    "dedup_semantic_semdedup",
+    _sql_query(
+        _SEMDEDUP_SQL.replace("WITH q AS", "WITH " + _SEMDEDUP_CORPUS_SPARK + "q AS")
+        .replace("{DIM}", "pos + 1")
+        .replace("{VAL}", "v")
+        .replace("{QSRC}",
+                 "semcorpus LATERAL VIEW posexplode(embedding) t AS pos, v")
+        .replace("{DIV}", "DIV")
+        .replace("{HINT0}", "/*+ BROADCAST(c) */")
+        .replace("{HINT1}", "/*+ BROADCAST(c) */"),
+        ("embeddings",),
+        "SemDeDup: within-k-means-cluster cosine >= 0.99 semantic dups, "
+        "keep the member farthest from the centroid (Abbas et al. 2023); "
+        "all-pairs confined within clusters, integer-exact clustering",
+        oracle=_SEMDEDUP_SQL.replace(
+            "WITH q AS", "WITH " + _SEMDEDUP_CORPUS_DUCK + "q AS")
+        .replace("{DIM}", "t.i")
+        .replace("{VAL}", "embedding[t.i]")
+        .replace("{QSRC}",
+                 "semcorpus, unnest(range(1, len(embedding) + 1)) AS t(i)")
+        .replace("{DIV}", "//")
+        .replace("{HINT0}", "")
+        .replace("{HINT1}", ""),
+    ),
+)
+
 # =============================================================================
 # Fuzzy-dedup capstone: MinHash -> LSH -> exact-Jaccard verify -> connected
 # components -> survivor selection, in ONE operator. This is the composition

@@ -362,3 +362,25 @@ def test_simhash_hamming_planted_pairs(spark, tmp_path):
     assert (0, 1000000) in pairs and pairs[(0, 1000000)] <= 3  # planted edit
     assert not any(2 in p for p in pairs)          # disjoint doc pairs nothing
     assert (got["hamming"] <= 3).all()             # verify stage bound holds
+
+
+def test_semdedup_planted_pairs(spark):
+    """SemDeDup contract: each planted scaled copy (cos(x, c*x) = 1) forms a
+    within-cluster semantic-dup pair, and exactly the nearer-to-centroid
+    member is removed (the scaled copy has the larger norm, hence larger
+    dist2, hence survives per the paper's keep-farthest rule)."""
+    got = (
+        REGISTRY["dedup_semantic_semdedup"].build(spark, SF_DIR).toPandas()
+        .set_index("vec_id")
+    )
+    planted = [v for v in got.index if v >= 1000000]
+    assert planted, "corpus must plant scaled copies"
+    for v in planted:
+        assert bool(got.loc[v, "kept"])            # scaled copy survives
+        assert not bool(got.loc[v - 1000000, "kept"])  # original removed
+        assert got.loc[v, "cluster"] == got.loc[v - 1000000, "cluster"]
+    # dedup is within-cluster only: every removal is pair-justified, so at
+    # most half the corpus can vanish and all originals w/o a >=0.99
+    # neighbor survive
+    naturals = got.loc[[v for v in got.index if v < 1000000 and (v % 50) != 0]]
+    assert naturals["kept"].all()
