@@ -4565,6 +4565,92 @@ _register(
 )
 
 
+# DSIR-style importance weights (Xie et al., "Data Selection for Language
+# Models via Importance Resampling", NeurIPS 2023): score every doc by the
+# ratio of a hashed bag-of-words model of the TARGET distribution (here the
+# 'src0' slice stands in for the paper's Wikipedia/books target) to one of
+# the raw SOURCE distribution (everything else). The paper's log-ratio sum
+# log w(x) = sum_f c_f (log p_tgt[f] - log p_src[f]) is re-expressed
+# log-free in the repo's integer-exact house style (the bigram-LM surprisal
+# precedent): per occupied feature, the Laplace-smoothed probability RATIO
+# in micro-units — 10^6 (c_tgt+1)(N_src+B) DIV ((c_src+1)(N_tgt+B)), B =
+# 2^16 hash buckets — summed and averaged per doc with truncating division
+# on both engines. A monotone per-feature proxy for the log weight with
+# bit-identical results everywhere. Scale shape: the two count tables are
+# at most B = 65536 rows regardless of corpus size (broadcast both); the
+# only big shuffle is the per-doc feature aggregation on (doc_id). Integer
+# bound: intermediates reach 10^6 * (c+1) * (N+B), safe below N ~ 3*10^6
+# tokens per slice; beyond that, divide both slices' counts by a common
+# factor first (the ratio is invariant) — resampling selection needs only
+# the ORDER of scores, which the common rescale preserves.
+_DSIR_SQL = """
+WITH toks AS (
+    SELECT doc_id, source, {WORDS} AS words FROM documents
+),
+feats AS (
+    SELECT doc_id, source, {HASH} % 65536 AS f
+    FROM {WSRC}
+),
+tgt AS (
+    SELECT f, CAST(COUNT(*) AS BIGINT) AS c FROM feats
+    WHERE source = 'src0' GROUP BY f
+),
+src AS (
+    SELECT f, CAST(COUNT(*) AS BIGINT) AS c FROM feats
+    WHERE source <> 'src0' GROUP BY f
+),
+tot AS (
+    SELECT (SELECT COALESCE(SUM(c), 0) FROM tgt) AS n_tgt,
+           (SELECT COALESCE(SUM(c), 0) FROM src) AS n_src
+),
+scored AS (
+    SELECT {JOINHINT} fe.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_feats,
+           CAST(SUM(1000000 * (COALESCE(t.c, 0) + 1) * (o.n_src + 65536)
+                    {DIV} ((COALESCE(s.c, 0) + 1) * (o.n_tgt + 65536)))
+                AS BIGINT) AS ratio_sum
+    FROM feats fe
+    LEFT JOIN tgt t ON t.f = fe.f
+    LEFT JOIN src s ON s.f = fe.f
+    CROSS JOIN tot o
+    GROUP BY fe.doc_id
+)
+SELECT sc.doc_id, sc.n_feats,
+       CAST(sc.ratio_sum {DIV} sc.n_feats AS BIGINT) AS dsir_score,
+       CAST(d.source = 'src0' AS {BOOL}) AS is_target
+FROM scored sc JOIN documents d ON d.doc_id = sc.doc_id
+ORDER BY sc.doc_id
+"""
+
+_register(
+    "dsir_importance_weights",
+    _sql_query(
+        _DSIR_SQL
+        .replace("{WORDS}", _SPARK_WORDS)
+        .replace("{WSRC}",
+                 "toks LATERAL VIEW explode(words) t AS w")
+        .replace("{HASH}",
+                 "CAST(conv(substr(md5(w), 1, 15), 16, 10) AS BIGINT)")
+        .replace("{JOINHINT}", "/*+ BROADCAST(t, s, o) */")
+        .replace("{DIV}", "DIV")
+        .replace("{BOOL}", "BOOLEAN"),
+        ("documents",),
+        "DSIR importance weights: hashed-unigram target/source probability "
+        "ratio per doc in integer micro-units (log-free, Laplace-smoothed); "
+        "count tables capped at 2^16 rows and broadcast",
+        oracle=_DSIR_SQL
+        .replace("{WORDS}", _DUCK_WORDS)
+        .replace("{WSRC}",
+                 "(SELECT doc_id, source, unnest(words) AS w FROM toks) x")
+        .replace("{HASH}",
+                 "CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT)")
+        .replace("{JOINHINT}", "")
+        .replace("{DIV}", "//")
+        .replace("{BOOL}", "BOOLEAN"),
+    ),
+)
+
+
 # Inbound anchor-text rollup: aggregate the labeled edge list per TARGET —
 # inlink count, distinct anchor count, and the most common anchor (the
 # web's own label for the page: the classic retrieval / title-synthesis

@@ -384,3 +384,28 @@ def test_semdedup_planted_pairs(spark):
     # neighbor survive
     naturals = got.loc[[v for v in got.index if v < 1000000 and (v % 50) != 0]]
     assert naturals["kept"].all()
+
+
+def test_dsir_target_vocab_outscores_source_vocab(spark, tmp_path):
+    """DSIR contract: a held-out source doc written in the TARGET slice's
+    vocabulary must out-score a source doc in source-only vocabulary (its
+    features carry high p_target/p_source ratios), and every returned score
+    is positive with is_target flagging exactly the src0 slice."""
+    tgt_vocab = "quantum entangle qubit lattice photon boson "
+    src_vocab = "football referee stadium goal penalty corner "
+    rows = [
+        (0, tgt_vocab * 10, "en", "src0"),   # target slice
+        (1, tgt_vocab * 10, "en", "src0"),
+        (2, src_vocab * 10, "en", "src1"),   # bulk source distribution
+        (3, src_vocab * 10, "en", "src2"),
+        (4, tgt_vocab * 5, "en", "src3"),    # source doc, target-like text
+        (5, src_vocab * 5, "en", "src3"),    # source doc, source-like text
+    ]
+    sf = _write_docs(tmp_path, rows)
+    got = (
+        REGISTRY["dsir_importance_weights"].build(spark, sf).toPandas()
+        .set_index("doc_id")
+    )
+    assert got.loc[4, "dsir_score"] > got.loc[5, "dsir_score"]
+    assert (got["dsir_score"] > 0).all()
+    assert set(got[got["is_target"]].index) == {0, 1}
