@@ -85,6 +85,9 @@ BENCH_QUERIES = [
     "pagerank_fetch_plan",
     "bm25_more_like_this",
     "warc_trainset_e2e",
+    "dedup_simhash_hamming",
+    "dedup_semantic_semdedup",
+    "dsir_importance_weights",
 ]
 
 

@@ -65,6 +65,9 @@ AUDITED = {
     "cdx_surt_lookup": "pure codegen SURT projection + prefix filter pushed to the scan; sorted/range-partitioned storage turns it into a pruned range scan at 10^10 rows",
     "host_trustrank": "per-round join + partial-agg over compact (id,rank) pairs only; teleport restricted to the trusted seed set",
     "ngram_count_table": "one struct-explode over the shared lead window; ONE map-side-combined (n,gram) agg; cutoff on aggregated rows; head slice via map-side WindowGroupLimit",
+    "dedup_simhash_hamming": "persisted (doc,simhash,band,bval) table (fingerprint agg runs once, not 3x); candidate self-join + bucket cap on compact int keys; xor-popcount verify on int64 pairs — no exchange carries text",
+    "dedup_semantic_semdedup": "centroid-distance joins broadcast; all-pairs join confined within clusters; dot-product partial-aggs over the dim-exploded join; removal anti-join on vec_id only",
+    "dsir_importance_weights": "target/source count tables bounded at 2^16 rows and BROADCAST onto the feature stream; one per-doc partial-agg exchange",
 }
 
 
