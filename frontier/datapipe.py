@@ -781,17 +781,15 @@ def _simhash60_bits() -> str:
     )
 
 
-_SH_HANDLES: dict[str, DataFrame] = {}
-
-
 def _simhash_hamming_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Persist the (doc_id, simhash, band, bval) table once: Spark re-inlines
-    # WITH-CTEs, and sh_bands is referenced three times downstream (buckets +
-    # both self-join sides) — inlined, the md5 + 60-aggregate fingerprint
-    # pipeline would run 3x (same pathology measured on the MinHash path).
-    for h in _SH_HANDLES.values():
-        h.unpersist()
-    _SH_HANDLES.clear()
+    # localCheckpoint the (doc_id, simhash, band, bval) table: sh_bands is
+    # referenced three times downstream (buckets + both self-join sides) and
+    # Spark's InlineCTE defeats cache substitution for multi-referenced
+    # views (the pagerank_fetch_plan pathology — a persist here left ZERO
+    # InMemoryTableScans and re-ran the md5 + 60-aggregate fingerprint
+    # pipeline per reference). Checkpointing truncates lineage to a
+    # materialized RDD: 4 rows per doc, int columns only — cheap to hold,
+    # and the fingerprint aggregation provably runs once.
     _load(spark, sf_dir, "documents")
     bands_df = spark.sql(f"""
         WITH corpus AS ({_SH_CORPUS}),
@@ -810,9 +808,8 @@ def _simhash_hamming_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, simhash, band,
                (simhash >> (band * 15)) % 32768 AS bval
         FROM fp CROSS JOIN {_SH_BAND_ROWS} bs
-    """).persist()
+    """).localCheckpoint(eager=True)
     bands_df.createOrReplaceTempView("sh_bands")
-    _SH_HANDLES["sh_bands"] = bands_df
     return spark.sql(
         "WITH "
         + _SH_BANDS_TAIL.format(cap=_LSH_BUCKET_CAP, bitcount="bit_count(ha ^ hb)")
@@ -4576,9 +4573,12 @@ _register(
 # in micro-units — 10^6 (c_tgt+1)(N_src+B) DIV ((c_src+1)(N_tgt+B)), B =
 # 2^16 hash buckets — summed and averaged per doc with truncating division
 # on both engines. A monotone per-feature proxy for the log weight with
-# bit-identical results everywhere. Scale shape: the two count tables are
-# at most B = 65536 rows regardless of corpus size (broadcast both); the
-# only big shuffle is the per-doc feature aggregation on (doc_id). Integer
+# bit-identical results everywhere. Scale shape: ONE conditional-agg pass
+# builds a (f, c_tgt, c_src) table of at most B = 65536 rows regardless of
+# corpus size (broadcast back onto the feature stream — the map-side
+# tokenize pipeline re-runs for the scored pass instead of materializing a
+# token-level table); the only big shuffle is the per-doc feature
+# aggregation on (doc_id). Integer
 # bound: intermediates reach 10^6 * (c+1) * (N+B), safe below N ~ 3*10^6
 # tokens per slice; beyond that, divide both slices' counts by a common
 # factor first (the ratio is invariant) — resampling selection needs only
@@ -4591,27 +4591,27 @@ feats AS (
     SELECT doc_id, source, {HASH} % 65536 AS f
     FROM {WSRC}
 ),
-tgt AS (
-    SELECT f, CAST(COUNT(*) AS BIGINT) AS c FROM feats
-    WHERE source = 'src0' GROUP BY f
-),
-src AS (
-    SELECT f, CAST(COUNT(*) AS BIGINT) AS c FROM feats
-    WHERE source <> 'src0' GROUP BY f
+counts AS (
+    SELECT f,
+           CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+                AS BIGINT) AS c_tgt,
+           CAST(SUM(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END)
+                AS BIGINT) AS c_src
+    FROM feats GROUP BY f
 ),
 tot AS (
-    SELECT (SELECT COALESCE(SUM(c), 0) FROM tgt) AS n_tgt,
-           (SELECT COALESCE(SUM(c), 0) FROM src) AS n_src
+    SELECT CAST(SUM(c_tgt) AS BIGINT) AS n_tgt,
+           CAST(SUM(c_src) AS BIGINT) AS n_src
+    FROM counts
 ),
 scored AS (
     SELECT {JOINHINT} fe.doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_feats,
-           CAST(SUM(1000000 * (COALESCE(t.c, 0) + 1) * (o.n_src + 65536)
-                    {DIV} ((COALESCE(s.c, 0) + 1) * (o.n_tgt + 65536)))
+           CAST(SUM(1000000 * (c.c_tgt + 1) * (o.n_src + 65536)
+                    {DIV} ((c.c_src + 1) * (o.n_tgt + 65536)))
                 AS BIGINT) AS ratio_sum
     FROM feats fe
-    LEFT JOIN tgt t ON t.f = fe.f
-    LEFT JOIN src s ON s.f = fe.f
+    JOIN counts c ON c.f = fe.f
     CROSS JOIN tot o
     GROUP BY fe.doc_id
 )
@@ -4631,13 +4631,14 @@ _register(
                  "toks LATERAL VIEW explode(words) t AS w")
         .replace("{HASH}",
                  "CAST(conv(substr(md5(w), 1, 15), 16, 10) AS BIGINT)")
-        .replace("{JOINHINT}", "/*+ BROADCAST(t, s, o) */")
+        .replace("{JOINHINT}", "/*+ BROADCAST(c, o) */")
         .replace("{DIV}", "DIV")
         .replace("{BOOL}", "BOOLEAN"),
         ("documents",),
         "DSIR importance weights: hashed-unigram target/source probability "
         "ratio per doc in integer micro-units (log-free, Laplace-smoothed); "
-        "count tables capped at 2^16 rows and broadcast",
+        "ONE conditional-agg pass builds the <=2^16-row count table, "
+        "broadcast back onto the feature stream",
         oracle=_DSIR_SQL
         .replace("{WORDS}", _DUCK_WORDS)
         .replace("{WSRC}",
@@ -5279,9 +5280,9 @@ sims AS (
                 / (sqrt(CAST(SUM(qa.val * qa.val) AS DOUBLE))
                    * sqrt(CAST(SUM(qb.val * qb.val) AS DOUBLE))), 6)
                 AS DOUBLE) AS sim
-    FROM a2 a JOIN a2 b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-    JOIN q qa ON qa.vec_id = a.vec_id
-    JOIN q qb ON qb.vec_id = b.vec_id AND qb.dim = qa.dim
+    FROM {A2} a JOIN {A2} b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    JOIN {Q} qa ON qa.vec_id = a.vec_id
+    JOIN {Q} qb ON qb.vec_id = b.vec_id AND qb.dim = qa.dim
     GROUP BY a.vec_id, b.vec_id, a.cluster, a.d2, b.d2
 ),
 dup_edges AS (SELECT * FROM sims WHERE sim >= 0.99),
@@ -5294,7 +5295,7 @@ removed AS (
 )
 SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster,
        (r.vec_id IS NULL) AS kept
-FROM a2 a LEFT JOIN removed r ON r.vec_id = a.vec_id
+FROM {A2} a LEFT JOIN removed r ON r.vec_id = a.vec_id
 ORDER BY a.vec_id
 """
 
@@ -5318,25 +5319,54 @@ _SEMDEDUP_CORPUS_DUCK = """semcorpus AS (
 ),
 """
 
-_SEMDEDUP_SQL = _KMEANS_SQL.replace(_KMEANS_FINAL_SELECT, _SEMDEDUP_TAIL)
+def _semdedup_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """localCheckpoint the quantized-vector table (sem_q) and the final
+    Lloyd assignment (sem_a2): the tail references q twice (qa/qb) and a2
+    three times, and InlineCTE re-inlines multi-referenced CTEs in a way
+    that defeats cache substitution (the pagerank_fetch_plan pathology —
+    expressed as one SQL string this plan showed 96 duplicated parquet
+    scans: the whole k-means chain re-ran per reference). Both tables are
+    exactly what a production IVF/SemDeDup system materializes anyway: the
+    int-quantized vectors and the (vec, cluster, dist2) assignment."""
+    _load(spark, sf_dir, "embeddings")
+    q_cte = _KMEANS_SQL.split("c0 AS")[0].rstrip().rstrip(",")  # WITH q AS (…)
+    spark_frags = (
+        ("{DIM}", "pos + 1"),
+        ("{VAL}", "v"),
+        ("{QSRC}", "semcorpus LATERAL VIEW posexplode(embedding) t AS pos, v"),
+        ("{DIV}", "DIV"),
+        ("{HINT0}", "/*+ BROADCAST(c) */"),
+        ("{HINT1}", "/*+ BROADCAST(c) */"),
+    )
+
+    def _fmt(sql: str) -> str:
+        sql = sql.replace(
+            "WITH q AS", "WITH " + _SEMDEDUP_CORPUS_SPARK + "q AS")
+        for k, v in spark_frags:
+            sql = sql.replace(k, v)
+        return sql
+
+    q_df = spark.sql(
+        _fmt(q_cte + "\nSELECT vec_id, dim, val FROM q")
+    ).localCheckpoint(eager=True)
+    q_df.createOrReplaceTempView("sem_q")
+    a2_df = spark.sql(
+        _fmt(_KMEANS_SQL.replace(
+            _KMEANS_FINAL_SELECT, "SELECT vec_id, cluster, d2 FROM a2\n"))
+    ).localCheckpoint(eager=True)
+    a2_df.createOrReplaceTempView("sem_a2")
+    tail = "WITH " + _SEMDEDUP_TAIL.lstrip(",\n")
+    return spark.sql(tail.replace("{A2}", "sem_a2").replace("{Q}", "sem_q"))
+
 
 _register(
     "dedup_semantic_semdedup",
-    _sql_query(
-        _SEMDEDUP_SQL.replace("WITH q AS", "WITH " + _SEMDEDUP_CORPUS_SPARK + "q AS")
-        .replace("{DIM}", "pos + 1")
-        .replace("{VAL}", "v")
-        .replace("{QSRC}",
-                 "semcorpus LATERAL VIEW posexplode(embedding) t AS pos, v")
-        .replace("{DIV}", "DIV")
-        .replace("{HINT0}", "/*+ BROADCAST(c) */")
-        .replace("{HINT1}", "/*+ BROADCAST(c) */"),
-        ("embeddings",),
-        "SemDeDup: within-k-means-cluster cosine >= 0.99 semantic dups, "
-        "keep the member farthest from the centroid (Abbas et al. 2023); "
-        "all-pairs confined within clusters, integer-exact clustering",
-        oracle=_SEMDEDUP_SQL.replace(
-            "WITH q AS", "WITH " + _SEMDEDUP_CORPUS_DUCK + "q AS")
+    QueryDef(
+        build=_semdedup_build,
+        oracle=_KMEANS_SQL.replace(_KMEANS_FINAL_SELECT, _SEMDEDUP_TAIL)
+        .replace("WITH q AS", "WITH " + _SEMDEDUP_CORPUS_DUCK + "q AS")
+        .replace("{A2}", "a2")
+        .replace("{Q}", "q")
         .replace("{DIM}", "t.i")
         .replace("{VAL}", "embedding[t.i]")
         .replace("{QSRC}",
@@ -5344,6 +5374,9 @@ _register(
         .replace("{DIV}", "//")
         .replace("{HINT0}", "")
         .replace("{HINT1}", ""),
+        doc="SemDeDup: within-k-means-cluster cosine >= 0.99 semantic dups, "
+        "keep the member farthest from the centroid (Abbas et al. 2023); "
+        "all-pairs confined within clusters, integer-exact clustering",
     ),
 )
 
