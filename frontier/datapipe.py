@@ -5340,19 +5340,22 @@ def _semdedup_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _fmt(sql: str) -> str:
-        sql = sql.replace(
-            "WITH q AS", "WITH " + _SEMDEDUP_CORPUS_SPARK + "q AS")
         for k, v in spark_frags:
             sql = sql.replace(k, v)
         return sql
 
     q_df = spark.sql(
-        _fmt(q_cte + "\nSELECT vec_id, dim, val FROM q")
+        _fmt((q_cte + "\nSELECT vec_id, dim, val FROM q").replace(
+            "WITH q AS", "WITH " + _SEMDEDUP_CORPUS_SPARK + "q AS"))
     ).localCheckpoint(eager=True)
     q_df.createOrReplaceTempView("sem_q")
+    # the Lloyd chain reads the checkpointed sem_q, not a re-derived q: its
+    # own multi-references (c0/d1/c1) would otherwise re-run the corpus
+    # union + quantization per reference too
     a2_df = spark.sql(
-        _fmt(_KMEANS_SQL.replace(
-            _KMEANS_FINAL_SELECT, "SELECT vec_id, cluster, d2 FROM a2\n"))
+        _fmt("WITH q AS (SELECT vec_id, dim, val FROM sem_q),\nc0 AS"
+             + _KMEANS_SQL.split("c0 AS", 1)[1].replace(
+                 _KMEANS_FINAL_SELECT, "SELECT vec_id, cluster, d2 FROM a2\n"))
     ).localCheckpoint(eager=True)
     a2_df.createOrReplaceTempView("sem_a2")
     tail = "WITH " + _SEMDEDUP_TAIL.lstrip(",\n")
