@@ -409,3 +409,56 @@ def test_dsir_target_vocab_outscores_source_vocab(spark, tmp_path):
     assert got.loc[4, "dsir_score"] > got.loc[5, "dsir_score"]
     assert (got["dsir_score"] > 0).all()
     assert set(got[got["is_target"]].index) == {0, 1}
+
+
+def test_simhash_banding_recall_property():
+    """Pigeonhole recall, tested against the ACTUAL banding SQL: for ANY
+    pair of 60-bit fingerprints at Hamming distance <= 3, at least one of
+    the 4 disjoint 15-bit bands matches exactly, so the banded join must
+    surface the pair. Runs the operator's tail SQL on DuckDB over
+    constructed fingerprints: 200 random vectors, each with a planted
+    partner at every distance 0..3 (random bit choices), plus distance-4
+    partners that must survive banding only if they land in a shared
+    band by chance — and must ALWAYS be cut by the <= 3 verify."""
+    import random
+
+    import duckdb
+
+    from frontier.datapipe import _LSH_BUCKET_CAP, _SH_BANDS_TAIL
+
+    rng = random.Random(0xC0FFEE)
+    rows = []  # (doc_id, simhash, band, bval)
+    planted = []  # (doc_a, doc_b, distance)
+    next_id = 0
+
+    def add(fp):
+        nonlocal next_id
+        did = next_id
+        next_id += 1
+        for band in range(4):
+            rows.append((did, fp, band, (fp >> (band * 15)) % 32768))
+        return did
+
+    for _ in range(200):
+        base = rng.getrandbits(60)
+        a = add(base)
+        for dist in range(5):
+            fp = base
+            for k in rng.sample(range(60), dist):
+                fp ^= 1 << k
+            b = add(fp)
+            if dist <= 3:
+                planted.append((min(a, b), max(a, b), dist))
+
+    con = duckdb.connect()
+    con.register("sh_bands", pd.DataFrame(
+        rows, columns=["doc_id", "simhash", "band", "bval"]))
+    got = con.execute(
+        "WITH " + _SH_BANDS_TAIL.format(
+            cap=_LSH_BUCKET_CAP, bitcount="bit_count(xor(ha, hb))")
+    ).fetchdf()
+    found = {(a, b): h for a, b, h in
+             zip(got["doc_a"], got["doc_b"], got["hamming"])}
+    for a, b, dist in planted:
+        assert found.get((a, b)) == dist, (a, b, dist)
+    assert (got["hamming"] <= 3).all()
