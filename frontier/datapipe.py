@@ -6186,3 +6186,356 @@ _register(
             "dedup_fuzzy_e2e",
     ),
 )
+
+
+# =============================================================================
+# C4 cleaning pipeline (Raffel et al. 2020, "Exploring the Limits of
+# Transfer Learning with a Unified Text-to-Text Transformer", §2.2) — the
+# published rule set behind the C4 corpus, re-expressed as pure codegen
+# column expressions plus ONE groupBy(doc_id):
+#   line level:  keep only lines ending in a terminal punctuation mark
+#                (. ! ? "), with >= 5 words, not containing "javascript";
+#   page level:  drop pages containing "lorem ipsum", a curly brace, or a
+#                bad-word-list hit (tiny deterministic stand-in here — the
+#                real LDNOOBW/UT1 list is a broadcast lookup at scale,
+#                identical shape); drop cleaned pages with < 3 sentences.
+# A deterministic multi-line page is synthesized per documents row so every
+# rule fires on a known residue class: %4 javascript line, %5 lorem page,
+# %7 curly-brace page, %11 bad-word page, %3/%9/%13 unpunctuated lines —
+# and doc 117 (%9 ∧ %13) retains only 2 sentences and dies on the
+# sentence-count gate, pinning the post-aggregation path.
+# Scale shape: the page gates are computed BEFORE the line explode and ride
+# the exploded rows as one int column (scan-side filter, no join-back); the
+# only shuffle is the per-doc reassembly groupBy; the sentence gate runs on
+# |kept docs| aggregated rows.
+
+_C4_L0 = "text || '.'"
+_C4_L1 = "'Too short.'"
+_C4_L2 = "'five or more words but no terminal punctuation present'"
+_C4_L3 = (
+    "CASE WHEN doc_id % 4 = 0 THEN "
+    "'Please enable javascript support to view this content properly.' "
+    "WHEN doc_id % 3 = 0 THEN "
+    "'another long line of words that forgot its ending punctuation' "
+    "ELSE 'An exclamatory sentence with plenty of words to pass the gate!' "
+    "END"
+)
+_C4_L4 = (
+    "CASE WHEN doc_id % 5 = 0 THEN "
+    "'Lorem ipsum dolor sit amet consectetur adipiscing elit sed tempor.' "
+    "WHEN doc_id % 9 = 0 THEN "
+    "'middle line also lacking any terminal punctuation across many words' "
+    "ELSE "
+    "'Does this interrogative sentence carry enough words to survive, friend?' "
+    "END"
+)
+_C4_L5 = (
+    "CASE WHEN doc_id % 7 = 0 THEN "
+    "'var config = { mode: production, debug: false };' "
+    "WHEN doc_id % 13 = 0 THEN "
+    "'closing line missing punctuation yet again for this document here' "
+    "ELSE 'A calm declarative closing sentence rounds out the document nicely.' "
+    "END"
+)
+_C4_L6 = (
+    "CASE WHEN doc_id % 11 = 0 THEN "
+    "'This page promotes casino gambling bonuses with betting strategies galore.' "
+    "ELSE "
+    "'Nothing objectionable appears anywhere within this harmless final line today.' "
+    "END"
+)
+
+_C4_SQL = """
+WITH pages AS (
+    SELECT doc_id,
+           {L0} AS l0, {L1} AS l1, {L2} AS l2, {L3} AS l3,
+           {L4} AS l4, {L5} AS l5, {L6} AS l6
+    FROM documents
+),
+gated AS (
+    SELECT doc_id, l0, l1, l2, l3, l4, l5, l6,
+           CASE WHEN lower(raw) LIKE '%lorem ipsum%'
+                  OR raw LIKE '%{%'
+                  OR ' ' || lower(raw) || ' ' LIKE '% casino %'
+                  OR ' ' || lower(raw) || ' ' LIKE '% gambling %'
+                THEN 0 ELSE 1 END AS page_ok
+    FROM (
+        SELECT doc_id, l0, l1, l2, l3, l4, l5, l6,
+               l0 || chr(10) || l1 || chr(10) || l2 || chr(10) || l3
+                  || chr(10) || l4 || chr(10) || l5 || chr(10) || l6 AS raw
+        FROM pages
+    ) t
+),
+lines AS (
+    SELECT doc_id, page_ok, pos, line FROM (
+        SELECT doc_id, page_ok, {EXPLODE}
+        FROM gated
+    ) t
+),
+kept AS (
+    SELECT doc_id, pos, line
+    FROM lines
+    WHERE page_ok = 1
+      AND {TERMPUNCT}
+      AND {NWORDS} >= 5
+      AND lower(line) NOT LIKE '%javascript%'
+),
+agg AS (
+    SELECT doc_id,
+           {REASSEMBLE} AS clean_text,
+           CAST(COUNT(*) AS BIGINT) AS n_lines_kept
+    FROM kept GROUP BY doc_id
+)
+SELECT doc_id, clean_text, n_lines_kept,
+       CAST(length(regexp_replace(clean_text, '[^.!?]', ''{G})) AS BIGINT)
+           AS n_sentences
+FROM agg
+WHERE length(regexp_replace(clean_text, '[^.!?]', ''{G})) >= 3
+ORDER BY doc_id
+"""
+
+
+def _c4_render(spark_side: bool) -> str:
+    sql = (
+        _C4_SQL
+        .replace("{L0}", _C4_L0).replace("{L1}", _C4_L1)
+        .replace("{L2}", _C4_L2).replace("{L3}", _C4_L3)
+        .replace("{L4}", _C4_L4).replace("{L5}", _C4_L5)
+        .replace("{L6}", _C4_L6)
+    )
+    if spark_side:
+        return (
+            sql
+            .replace(
+                "{EXPLODE}",
+                "posexplode(array(l0, l1, l2, l3, l4, l5, l6)) AS (pos, line)",
+            )
+            .replace("{TERMPUNCT}", "line rlike '[.!?\"]$'")
+            .replace("{NWORDS}", "size(split(line, ' +'))")
+            .replace(
+                "{REASSEMBLE}",
+                "array_join(transform(array_sort(collect_list(struct(pos, "
+                "line))), s -> s.line), chr(10))",
+            )
+            .replace("{G}", "")
+        )
+    return (
+        sql
+        .replace(
+            "{EXPLODE}",
+            "unnest(["
+            "{'pos': 0, 'line': l0}, {'pos': 1, 'line': l1}, "
+            "{'pos': 2, 'line': l2}, {'pos': 3, 'line': l3}, "
+            "{'pos': 4, 'line': l4}, {'pos': 5, 'line': l5}, "
+            "{'pos': 6, 'line': l6}], recursive := true)",
+        )
+        .replace("{TERMPUNCT}", "regexp_matches(line, '[.!?\"]$')")
+        .replace("{NWORDS}", "len(string_split_regex(line, ' +'))")
+        .replace("{REASSEMBLE}", "string_agg(line, chr(10) ORDER BY pos)")
+        .replace("{G}", ", 'g'")
+    )
+
+
+_register(
+    "text_c4_filters",
+    _sql_query(
+        _c4_render(spark_side=True),
+        ("documents",),
+        "C4 cleaning rules (Raffel et al. 2020 §2.2): terminal-punctuation "
+        "+ >=5-word + no-javascript line filters, lorem-ipsum / curly-brace "
+        "/ bad-word page gates, >=3-sentence minimum — page gates computed "
+        "pre-explode and filtered scan-side, one reassembly groupBy",
+        oracle=_c4_render(spark_side=False),
+    ),
+)
+
+
+# C4's corpus-level dedup rule — "we discarded all but one of any
+# three-sentence span occurring more than once in the data set" (Raffel et
+# al. 2020 §2.2): documents explode into ordered sentences, every sliding
+# 3-sentence span is fingerprinted, the globally FIRST occurrence of each
+# span fingerprint (min (doc_id, start)) survives, and every sentence
+# covered by a non-first duplicate span is excised before in-order
+# reassembly. Differs from paragraph_dedup (unit = paragraph, first-wins
+# per unit) and text_dup_span_removal (8-token grams removed EVERYWHERE):
+# here the unit is a sentence triple and the first copy keeps its text.
+# Synthesis: docs with doc_id % 10 < 3 share a per-residue 3-sentence block
+# at positions 1-3 between unique opening/closing sentences, so the lowest
+# doc_id of each residue group keeps the block and every later member loses
+# exactly sentences 1-3.
+# Scale shape: spans ride a lead() window over the (doc_id, pos) exchange;
+# global first-wins is ONE row_number window partitioned by 16-byte span
+# fingerprints (never all-pairs); coverage is a window MAX over the
+# dup-start flags co-partitioned back on (doc_id, pos); sentence text
+# crosses only the per-doc reassembly groupBy.
+
+_SPAN_S0 = "'Opening sentence unique to document ' || CAST(doc_id AS {STR}) || '.'"
+_SPAN_MID = (
+    "CASE WHEN doc_id % 10 < 3 THEN "
+    "'Shared span sentence {K} of group ' || CAST(doc_id % 10 AS {STR}) || '.' "
+    "ELSE 'Middle sentence {K} unique to document ' || CAST(doc_id AS {STR}) "
+    "|| '.' END"
+)
+_SPAN_S4 = "'Closing sentence unique to document ' || CAST(doc_id AS {STR}) || '.'"
+
+_SPAN_DEDUP_SQL = """
+WITH sents AS (
+    SELECT doc_id, pos, sent FROM (
+        SELECT doc_id, {EXPLODE}
+        FROM documents
+    ) t
+),
+spans AS (
+    SELECT doc_id, pos AS start_pos,
+           md5(sent || chr(31) || lead(sent, 1) OVER w || chr(31)
+               || lead(sent, 2) OVER w) AS fp
+    FROM sents
+    WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+occurrences AS (
+    SELECT doc_id, start_pos,
+           row_number() OVER (PARTITION BY fp
+                              ORDER BY doc_id, start_pos) AS occ
+    FROM spans WHERE fp IS NOT NULL
+),
+flagged AS (
+    SELECT s.doc_id, s.pos, s.sent,
+           CASE WHEN o.occ > 1 THEN 1 ELSE 0 END AS dup_start
+    FROM sents s
+    LEFT JOIN occurrences o
+      ON o.doc_id = s.doc_id AND o.start_pos = s.pos
+),
+covered AS (
+    SELECT doc_id, pos, sent,
+           MAX(dup_start) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+               AS is_covered
+    FROM flagged
+)
+SELECT doc_id,
+       {KEPT} AS kept_text,
+       CAST(SUM(is_covered) AS BIGINT) AS n_removed
+FROM covered
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+def _span_render(spark_side: bool) -> str:
+    str_t = "STRING" if spark_side else "VARCHAR"
+    s0 = _SPAN_S0.replace("{STR}", str_t)
+    mids = [
+        _SPAN_MID.replace("{K}", k).replace("{STR}", str_t)
+        for k in ("one", "two", "three")
+    ]
+    s4 = _SPAN_S4.replace("{STR}", str_t)
+    if spark_side:
+        explode = (
+            "posexplode(array(" + ", ".join([s0, *mids, s4]) + ")) AS (pos, sent)"
+        )
+        kept = (
+            "array_join(transform(array_sort(collect_list(struct(pos, sent)) "
+            "FILTER (WHERE is_covered = 0)), s -> s.sent), ' ')"
+        )
+    else:
+        parts = [s0, *mids, s4]
+        explode = (
+            "unnest(["
+            + ", ".join(
+                "{'pos': %d, 'sent': %s}" % (i, p) for i, p in enumerate(parts)
+            )
+            + "], recursive := true)"
+        )
+        kept = "string_agg(sent, ' ' ORDER BY pos) FILTER (WHERE is_covered = 0)"
+    return _SPAN_DEDUP_SQL.replace("{EXPLODE}", explode).replace("{KEPT}", kept)
+
+
+_register(
+    "dedup_sentence_spans",
+    _sql_query(
+        _span_render(spark_side=True),
+        ("documents",),
+        "C4 three-sentence-span dedup (Raffel et al. 2020): globally "
+        "first-wins per sliding sentence-triple fingerprint, covered "
+        "sentences excised, docs reassembled in order — one fp window, "
+        "one (doc_id,pos) co-partitioned coverage pass, never all-pairs",
+        oracle=_span_render(spark_side=False),
+    ),
+)
+
+
+# UT1-shape URL blocklist filtering (the adult/spam domain lists used by
+# C4, RefinedWeb and FineWeb): a page is dropped iff its host OR ANY parent
+# domain appears in the blocklist — suffix semantics, so blocking
+# badzone.example removes every subdomain under it. Each host explodes into
+# its <= |labels| domain suffixes (www.h7.example.com -> www.h7.example.com,
+# h7.example.com, example.com, com) and meets the blocklist through one
+# equality join on short strings; survivors come back via LEFT JOIN on
+# doc_id. Hosts are synthesized over three residue classes so exact-host
+# (h7.example.com), cross-TLD negative (h7.example.org stays), and
+# subdomain-of-blocked (x*.ads.badzone.example) paths all fire.
+# Scale shape: the real UT1 list (~4M domains) is broadcast (or bucket-
+# joined on domain); fan-out is bounded by label count (<~6), and only
+# (doc_id, short-suffix) pairs ever shuffle — never page bodies.
+
+_URL_BLOCKLIST_SQL = """
+WITH pages AS (
+    SELECT doc_id, host, 'http://' || host || '/page'
+               || CAST(doc_id AS {STR}) AS url
+    FROM (
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0
+                    THEN 'x' || CAST(doc_id % 30 AS {STR})
+                         || '.ads.badzone.example'
+                    WHEN doc_id % 3 = 0
+                    THEN 'www.h' || CAST(doc_id % 50 AS {STR})
+                         || '.example.com'
+                    ELSE 'h' || CAST(doc_id % 50 AS {STR}) || '.example.org'
+               END AS host
+        FROM documents
+    ) t
+),
+blocklist AS (
+    SELECT domain FROM (VALUES ('h7.example.com'), ('h13.example.org'),
+                               ('badzone.example')) AS b(domain)
+),
+sfx AS (
+    {SFX_BODY}
+),
+hits AS (
+    SELECT s.doc_id, MIN(b.domain) AS blocked_by
+    FROM sfx s JOIN blocklist b ON b.domain = s.suffix
+    GROUP BY s.doc_id
+)
+SELECT p.url, p.host, h.blocked_by,
+       CAST(CASE WHEN h.blocked_by IS NULL THEN 1 ELSE 0 END AS BIGINT)
+           AS kept
+FROM pages p LEFT JOIN hits h ON h.doc_id = p.doc_id
+ORDER BY p.url
+"""
+
+_SFX_SPARK = (
+    "SELECT doc_id, explode(transform(sequence(1, size(parts)), "
+    "i -> array_join(slice(parts, i, size(parts) - i + 1), '.'))) AS suffix "
+    "FROM (SELECT doc_id, split(host, '[.]') AS parts FROM pages) q"
+)
+_SFX_DUCK = (
+    "SELECT doc_id, unnest(list_transform(range(1, len(parts) + 1), "
+    "i -> array_to_string(list_slice(parts, i, len(parts)), '.'))) AS suffix "
+    "FROM (SELECT doc_id, string_split(host, '.') AS parts FROM pages) q"
+)
+
+_register(
+    "url_blocklist_filter",
+    _sql_query(
+        _URL_BLOCKLIST_SQL.replace("{STR}", "STRING")
+        .replace("{SFX_BODY}", _SFX_SPARK),
+        ("documents",),
+        "UT1-shape domain blocklist filter (C4/RefinedWeb/FineWeb): host "
+        "suffix-expanded to parent domains, one equality join against the "
+        "(broadcast-at-scale) blocklist, subdomains of blocked domains "
+        "dropped — only (doc_id, suffix) pairs shuffle",
+        oracle=_URL_BLOCKLIST_SQL.replace("{STR}", "VARCHAR")
+        .replace("{SFX_BODY}", _SFX_DUCK),
+    ),
+)

@@ -68,6 +68,9 @@ AUDITED = {
     "dedup_simhash_hamming": "persisted (doc,simhash,band,bval) table (fingerprint agg runs once, not 3x); candidate self-join + bucket cap on compact int keys; xor-popcount verify on int64 pairs — no exchange carries text",
     "dedup_semantic_semdedup": "centroid-distance joins broadcast; all-pairs join confined within clusters; dot-product partial-aggs over the dim-exploded join; removal anti-join on vec_id only",
     "dsir_importance_weights": "target/source count tables bounded at 2^16 rows and BROADCAST onto the feature stream; one per-doc partial-agg exchange",
+    "text_c4_filters": "page gates computed pre-explode and filtered scan-side (no join-back); ONE reassembly groupBy(doc_id); sentence gate on aggregated rows",
+    "dedup_sentence_spans": "span fps via lead() windows on the (doc_id,pos) exchange; first-wins = one fp-partitioned window; coverage max co-partitioned back on (doc_id,pos); never all-pairs",
+    "url_blocklist_filter": "blocklist BROADCAST onto the exploded suffix stream; fan-out bounded by host label count; only (doc_id, suffix) pairs shuffle",
 }
 
 
