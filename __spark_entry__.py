@@ -453,6 +453,136 @@ ORDER BY url
 """
 
 
+def _media_bmp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel decode (no image library: uncompressed 24-bit BMP —
+    bottom-up rows, 4-byte padding, BGR) over BMPs whose every pixel is
+    closed-form; the oracle recomputes channel sums AND x/y first moments
+    from the formula, so a decoder that mishandles orientation or padding
+    cannot match (sums alone would be flip-invariant)."""
+    from frontier.multimodal import image_pixel_stats
+    from frontier.synth import synth_bmp_pixel_payloads
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return image_pixel_stats(synth_bmp_pixel_payloads(docs)).orderBy("doc_id")
+
+
+# synth_bmp_pixel_payloads: w = 4 + doc%5, h = 3 + doc%4,
+# pixel(x,y)[c] = (doc*31 + y*7 + x*3 + c*5) % 256 with y from the TOP.
+_MEDIA_BMP_PIXEL_ORACLE = """
+WITH dims AS (
+    SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents
+),
+px AS (
+    SELECT d.doc_id, d.w, d.h, xs.x, ys.y,
+           (d.doc_id * 31 + ys.y * 7 + xs.x * 3) % 256 AS r,
+           (d.doc_id * 31 + ys.y * 7 + xs.x * 3 + 5) % 256 AS g,
+           (d.doc_id * 31 + ys.y * 7 + xs.x * 3 + 10) % 256 AS b
+    FROM dims d
+    JOIN range(0, 8) xs(x) ON xs.x < d.w
+    JOIN range(0, 6) ys(y) ON ys.y < d.h
+)
+SELECT doc_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(SUM(r) AS BIGINT) AS sum_r,
+       CAST(SUM(g) AS BIGINT) AS sum_g,
+       CAST(SUM(b) AS BIGINT) AS sum_b,
+       CAST(SUM(x * (r + g + b)) AS BIGINT) AS moment_x,
+       CAST(SUM(y * (r + g + b)) AS BIGINT) AS moment_y
+FROM px
+GROUP BY doc_id, w, h
+ORDER BY doc_id
+"""
+
+
+def _media_bmp_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL resize: decode the closed-form BMPs, nearest-neighbor resample
+    to 4x3 (src = (dst*src_dim)//dst_dim), re-encode as real BMPs, decode
+    AGAIN, and emit the resized pixel statistics — the oracle recomputes
+    which source pixels the floor mapping selects, so the whole
+    decode→resize→encode→decode chain must be bit-right."""
+    from frontier.multimodal import image_pixel_stats, resize_images, resize_image_real
+    from frontier.synth import synth_bmp_pixel_payloads
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    resized = resize_images(
+        synth_bmp_pixel_payloads(docs), 4, 3, resize=resize_image_real
+    )
+    return image_pixel_stats(resized).orderBy("doc_id")
+
+
+_MEDIA_BMP_RESIZE_ORACLE = """
+WITH dims AS (
+    SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents
+),
+px AS (
+    SELECT d.doc_id, xs.x, ys.y,
+           (xs.x * d.w) // 4 AS sx,
+           (ys.y * d.h) // 3 AS sy
+    FROM dims d, range(0, 4) xs(x), range(0, 3) ys(y)
+),
+vals AS (
+    SELECT doc_id, x, y,
+           (doc_id * 31 + sy * 7 + sx * 3) % 256 AS r,
+           (doc_id * 31 + sy * 7 + sx * 3 + 5) % 256 AS g,
+           (doc_id * 31 + sy * 7 + sx * 3 + 10) % 256 AS b
+    FROM px
+)
+SELECT doc_id,
+       CAST(4 AS INT) AS width,
+       CAST(3 AS INT) AS height,
+       CAST(SUM(r) AS BIGINT) AS sum_r,
+       CAST(SUM(g) AS BIGINT) AS sum_g,
+       CAST(SUM(b) AS BIGINT) AS sum_b,
+       CAST(SUM(x * (r + g + b)) AS BIGINT) AS moment_x,
+       CAST(SUM(y * (r + g + b)) AS BIGINT) AS moment_y
+FROM vals
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+def _media_wav_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PCM sample decode (chunk walk to the data chunk, int16 LE) over
+    WAVs whose every sample is closed-form; the oracle recomputes amplitude
+    sums and zero crossings from the formula — the crossing count is
+    order-sensitive, so mis-framed or byte-swapped decode cannot match."""
+    from frontier.multimodal import audio_pcm_stats
+    from frontier.synth import synth_pcm_payloads
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return audio_pcm_stats(synth_pcm_payloads(docs)).orderBy("doc_id")
+
+
+# synth_pcm_payloads: n = 50 + doc%100, sample[i] = ((doc*13 + i*17) % 4001)
+# - 2000; crossings = transitions of (s < 0) between consecutive samples.
+_MEDIA_WAV_PCM_ORACLE = """
+WITH params AS (
+    SELECT doc_id, 50 + doc_id % 100 AS n FROM documents
+),
+samp AS (
+    SELECT p.doc_id, ii.i,
+           ((p.doc_id * 13 + ii.i * 17) % 4001) - 2000 AS s
+    FROM params p
+    JOIN range(0, 150) ii(i) ON ii.i < p.n
+),
+lagged AS (
+    SELECT doc_id, i, s,
+           lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+    FROM samp
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_samples,
+       CAST(SUM(s) AS BIGINT) AS sum_amp,
+       CAST(SUM(ABS(s)) AS BIGINT) AS sum_abs,
+       CAST(SUM(CASE WHEN prev IS NOT NULL AND ((prev < 0) <> (s < 0))
+                     THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+FROM lagged
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         name: qd.build for name, qd in REGISTRY.items()
@@ -467,6 +597,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["media_resize"] = _media_resize
     out["media_frames"] = _media_frames
     out["media_features"] = _media_features
+    out["media_bmp_pixel_stats"] = _media_bmp_pixel_stats
+    out["media_bmp_resize_real"] = _media_bmp_resize_real
+    out["media_wav_pcm_stats"] = _media_wav_pcm_stats
     return out
 
 
@@ -482,4 +615,7 @@ def oracle_sql() -> dict[str, str]:
     out["media_resize"] = _MEDIA_RESIZE_ORACLE
     out["media_frames"] = _MEDIA_FRAMES_ORACLE
     out["media_features"] = _MEDIA_FEATURES_ORACLE
+    out["media_bmp_pixel_stats"] = _MEDIA_BMP_PIXEL_ORACLE
+    out["media_bmp_resize_real"] = _MEDIA_BMP_RESIZE_ORACLE
+    out["media_wav_pcm_stats"] = _MEDIA_WAV_PCM_ORACLE
     return out

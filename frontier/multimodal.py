@@ -5,13 +5,19 @@ The Spark-side machinery (schemas, batch shapes, partitioning, UDF
 signatures) is real and tested. Image *header* parsing (format sniff +
 width/height for PNG/GIF/BMP/JPEG) and audio *header* parsing (RIFF/WAVE
 chunk walk: channels, sample rate, bit depth, sample count → duration) are
-REAL — pure-stdlib byte parsing, no media library needed. Pixel/PCM-level
-decode / resize / frame extraction / embedding ARE STUBBED — those
-genuinely need Pillow/ffmpeg/soundfile, absent from this container —
-behind deterministic fakes whose outputs are pure functions of
-``sha256(payload)``, so the pipelines are testable end to end and
-oracle-checkable from SQL. Swap the stub callables for real
-Pillow/pyav/CLIP calls in a deployment; nothing else changes.
+REAL — pure-stdlib byte parsing, no media library needed. So are the
+formats no media library is required for: uncompressed 24-bit BMP decodes
+to REAL pixel arrays (``decode_bmp_pixels``: bottom-up row order, 4-byte
+row padding, BGR→RGB — numpy only), re-encodes (``encode_bmp``), and
+resizes for real (``resize_nearest`` index-map nearest neighbor), and PCM
+WAV decodes to REAL sample arrays (``decode_wav_samples``: chunk walk to
+the data chunk, int16/uint8 interpretation). Only codec formats that
+genuinely need Pillow/ffmpeg/soundfile (JPEG/PNG pixel streams, MP3/OGG
+audio, video frame extraction) remain STUBBED behind deterministic fakes
+whose outputs are pure functions of ``sha256(payload)``, so those
+pipelines stay testable end to end and oracle-checkable from SQL. Swap
+the stub callables for real Pillow/pyav/CLIP calls in a deployment;
+nothing else changes.
 """
 
 from __future__ import annotations
@@ -280,16 +286,20 @@ def parse_wav_header(payload: bytes) -> dict | None:
 
 def build_wav_payload(
     channels: int, sample_rate: int, bits: int, n_samples: int,
-    fill_byte: int = 0x42,
+    fill_byte: int = 0x42, data: bytes | None = None,
 ) -> bytes:
     """Spec-correct minimal PCM WAV (test/synth harness — the *parser*
     above is the operator under test).  Layout: 12-byte RIFF header +
     24-byte fmt chunk + 8-byte data header + ``n_samples·channels·bits/8``
     data bytes (+ 1 pad byte when odd), i.e. ``44 + data_size +
     (data_size & 1)`` bytes total — the audio-metadata oracle's closed-form
-    n_bytes."""
+    n_bytes. Pass ``data`` to carry real sample bytes (must be exactly
+    ``n_samples·channels·bits/8`` long) instead of the ``fill_byte``
+    placeholder — the input to the REAL PCM decode path."""
     frame = channels * (bits // 8)
     data_size = n_samples * frame
+    if data is not None and len(data) != data_size:
+        raise ValueError(f"data length {len(data)} != {data_size}")
     fmt = struct.pack(
         "<HHIIHH", 1, channels, sample_rate,
         sample_rate * frame, frame, bits,
@@ -298,7 +308,7 @@ def build_wav_payload(
         b"WAVE"
         + b"fmt " + struct.pack("<I", len(fmt)) + fmt
         + b"data" + struct.pack("<I", data_size)
-        + bytes([fill_byte]) * data_size
+        + (data if data is not None else bytes([fill_byte]) * data_size)
         + (b"\x00" if data_size & 1 else b"")
     )
     return b"RIFF" + struct.pack("<I", len(body)) + body
@@ -631,3 +641,235 @@ def extract_media_features(
             )
 
     return media.select("doc_id", "payload").mapInPandas(run, FEATURE_SCHEMA)
+
+
+# --- REAL pixel / PCM decode (library-free formats) ---------------------------
+# Uncompressed 24-bit BMP and PCM WAV are the two media containers whose
+# payload bytes decode with nothing but numpy: no entropy coding, no codec.
+# These functions are the REAL counterparts of the sha256 stubs above — the
+# queries built on them are oracle-checked against closed-form pixel/sample
+# formulas, so a decoder that mishandles bottom-up row order, 4-byte row
+# padding, BGR ordering, or data-chunk framing cannot pass.
+
+import numpy as np
+
+
+def decode_bmp_pixels(payload: bytes):
+    """REAL pixel decode for uncompressed 24-bit BMP: pixel-array offset
+    from the file header, BITMAPINFOHEADER dims, bottom-up row order
+    (top-down when height < 0), rows padded to 4-byte multiples, BGR byte
+    order. Returns an ``(height, width, 3)`` uint8 RGB array with y
+    measured from the TOP, or None when the payload is not a 24-bit
+    uncompressed BMP (callers fall back to the stub path)."""
+    try:
+        if not payload.startswith(b"BM") or len(payload) < 54:
+            return None
+        px_offset = struct.unpack("<I", payload[10:14])[0]
+        dib_size = struct.unpack("<I", payload[14:18])[0]
+        if dib_size < 40:
+            return None
+        w, h = struct.unpack("<ii", payload[18:26])
+        planes, bpp = struct.unpack("<HH", payload[26:30])
+        compression = struct.unpack("<I", payload[30:34])[0]
+        if bpp != 24 or compression != 0 or planes != 1 or w <= 0 or h == 0:
+            return None
+        top_down = h < 0
+        h = abs(h)
+        stride = (w * 3 + 3) & ~3
+        if px_offset + stride * h > len(payload):
+            return None
+        rows = np.frombuffer(
+            payload, dtype=np.uint8, count=stride * h, offset=px_offset
+        ).reshape(h, stride)
+        bgr = rows[:, : w * 3].reshape(h, w, 3)
+        if not top_down:
+            bgr = bgr[::-1]
+        return bgr[:, :, ::-1].copy()  # BGR -> RGB
+    except (struct.error, ValueError):
+        return None
+
+
+def encode_bmp(pixels) -> bytes:
+    """REAL 24-bit BMP encode — the exact inverse of
+    :func:`decode_bmp_pixels`: RGB→BGR, bottom-up rows, 4-byte row
+    padding. ``decode_bmp_pixels(encode_bmp(a)) == a`` for any
+    (h, w, 3) uint8 array (round-trip pinned in tests)."""
+    pixels = np.asarray(pixels, dtype=np.uint8)
+    h, w = pixels.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = pixels[::-1, :, ::-1].reshape(h, w * 3)
+    body = rows.tobytes()
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    header = b"BM" + struct.pack("<IHHI", 14 + 40 + len(body), 0, 0, 54)
+    return header + dib + body
+
+
+def resize_nearest(pixels, out_w: int, out_h: int):
+    """REAL nearest-neighbor resize via numpy index maps with the floor
+    mapping ``src = (dst * src_dim) // dst_dim`` — chosen over
+    center-sampling because a SQL oracle can recompute the selected source
+    pixel for every destination pixel exactly."""
+    h, w = pixels.shape[:2]
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return pixels[ys][:, xs]
+
+
+def resize_image_real(payload: bytes, width: int, height: int) -> bytes:
+    """Resize callable with a REAL path: 24-bit BMPs decode → nearest
+    resize → re-encode as valid BMPs; codec formats (JPEG/PNG/...) fall
+    back to the sha256 stub until a real image library is present."""
+    pixels = decode_bmp_pixels(payload)
+    if pixels is None:
+        return resize_image_stub(payload, width, height)
+    return encode_bmp(resize_nearest(pixels, width, height))
+
+
+def decode_wav_samples(payload: bytes):
+    """REAL PCM sample decode: RIFF chunk walk to the ``data`` chunk, then
+    numpy interpretation (little-endian int16 for 16-bit, uint8 for 8-bit;
+    interleaved channels stay interleaved). Returns ``(samples, meta)`` or
+    None for non-PCM / malformed payloads."""
+    meta = parse_wav_header(payload)
+    if meta is None or meta.get("bits_per_sample") not in (8, 16):
+        return None
+    pos, n = 12, len(payload)
+    while pos + 8 <= n:
+        tag = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        if tag == b"data":
+            raw = payload[pos + 8 : pos + 8 + size]
+            dtype = (
+                np.dtype("<i2")
+                if meta["bits_per_sample"] == 16
+                else np.dtype(np.uint8)
+            )
+            usable = len(raw) - len(raw) % dtype.itemsize
+            return np.frombuffer(raw[:usable], dtype=dtype), meta
+        pos += 8 + size + (size & 1)
+    return None
+
+
+PIXEL_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("sum_r", T.LongType()),
+        T.StructField("sum_g", T.LongType()),
+        T.StructField("sum_b", T.LongType()),
+        T.StructField("moment_x", T.LongType()),
+        T.StructField("moment_y", T.LongType()),
+    ]
+)
+
+
+def image_pixel_stats(media: DataFrame) -> DataFrame:
+    """``(doc_id, payload)`` → REAL decoded-pixel statistics for 24-bit
+    BMPs: integer per-channel sums plus the x/y first moments of the
+    (r+g+b) sum. The moments make the check orientation- and
+    padding-sensitive: a decoder that forgets the bottom-up row flip gets
+    ``moment_y`` wrong, one that reads the 4-byte row padding as pixels
+    gets ``moment_x`` and the sums wrong — channel sums alone would be
+    flip-invariant. Non-BMP payloads yield no row (a codec decoder widens
+    coverage without changing the shape). Shuffle-free ``mapInPandas``;
+    payload bytes never leave the executor."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                px = decode_bmp_pixels(
+                    bytes(payload) if payload is not None else b""
+                )
+                if px is None:
+                    continue
+                h, w = px.shape[:2]
+                s = px.astype(np.int64)
+                lum = s.sum(axis=2)
+                xs = np.arange(w, dtype=np.int64)
+                ys = np.arange(h, dtype=np.int64)
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "width": w,
+                        "height": h,
+                        "sum_r": int(s[:, :, 0].sum()),
+                        "sum_g": int(s[:, :, 1].sum()),
+                        "sum_b": int(s[:, :, 2].sum()),
+                        "moment_x": int((lum * xs[None, :]).sum()),
+                        "moment_y": int((lum * ys[:, None]).sum()),
+                    }
+                )
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "sum_r", "sum_g", "sum_b",
+                    "moment_x", "moment_y",
+                ],
+            )
+            for c in ("width", "height"):
+                out[c] = out[c].astype("int32")
+            yield out
+
+    return media.select("doc_id", "payload").mapInPandas(
+        run, PIXEL_STATS_SCHEMA
+    )
+
+
+PCM_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("sum_amp", T.LongType()),
+        T.StructField("sum_abs", T.LongType()),
+        T.StructField("zero_crossings", T.LongType()),
+    ]
+)
+
+
+def audio_pcm_stats(media: DataFrame) -> DataFrame:
+    """``(doc_id, payload)`` → REAL decoded-sample statistics for PCM WAVs:
+    sample count, integer amplitude sum, sum of absolute amplitudes, and
+    zero-crossing count (transitions of the ``x < 0`` predicate between
+    consecutive samples — order-sensitive, so a decoder that mis-frames
+    the data chunk or byte order cannot pass). Non-PCM payloads yield no
+    row. Shuffle-free ``mapInPandas``."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                decoded = decode_wav_samples(
+                    bytes(payload) if payload is not None else b""
+                )
+                if decoded is None:
+                    continue
+                samples, _meta = decoded
+                s = samples.astype(np.int64)
+                neg = s < 0
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "n_samples": int(s.size),
+                        "sum_amp": int(s.sum()),
+                        "sum_abs": int(np.abs(s).sum()),
+                        "zero_crossings": int(
+                            np.count_nonzero(neg[1:] != neg[:-1])
+                        ),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_samples", "sum_amp", "sum_abs",
+                    "zero_crossings",
+                ],
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        run, PCM_STATS_SCHEMA
+    )

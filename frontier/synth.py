@@ -18,6 +18,7 @@ import gzip as _gzip
 from email.utils import format_datetime
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
@@ -718,3 +719,67 @@ def synth_charset_payloads(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "text").mapInPandas(
         build, "doc_id long, content_type string, payload binary"
     )
+
+
+def synth_bmp_pixel_payloads(docs: DataFrame) -> DataFrame:
+    """``documents`` → ``(doc_id, payload binary)`` of REAL 24-bit BMPs
+    whose every pixel is closed-form, so a SQL oracle can re-derive the
+    decoded statistics exactly:
+
+        width         = 4 + doc_id % 5    (covers every 4-byte-padding case)
+        height        = 3 + doc_id % 4
+        pixel(x,y)[c] = (doc_id*31 + y*7 + x*3 + c*5) % 256
+                        (x from left, y from TOP, c = 0/1/2 for r/g/b)
+
+    Encoded with :func:`frontier.multimodal.encode_bmp` (bottom-up rows,
+    BGR, padded) — the REAL decoder under test must invert all of that to
+    recover the formula values."""
+    from .multimodal import encode_bmp
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            payloads = []
+            for doc_id in batch["doc_id"]:
+                i = int(doc_id)
+                w, h = 4 + i % 5, 3 + i % 4
+                y, x, c = np.meshgrid(
+                    np.arange(h), np.arange(w), np.arange(3), indexing="ij"
+                )
+                px = ((i * 31 + y * 7 + x * 3 + c * 5) % 256).astype(np.uint8)
+                payloads.append(encode_bmp(px))
+            yield pd.DataFrame(
+                {"doc_id": batch["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    return docs.select("doc_id").mapInPandas(build, "doc_id long, payload binary")
+
+
+def synth_pcm_payloads(docs: DataFrame) -> DataFrame:
+    """``documents`` → ``(doc_id, payload binary)`` of REAL 16-bit mono PCM
+    WAVs with closed-form samples, so a SQL oracle can re-derive the
+    decoded waveform statistics exactly:
+
+        n_samples = 50 + doc_id % 100, sample_rate = 16000
+        sample[i] = ((doc_id*13 + i*17) % 4001) - 2000   (int16, LE)
+
+    The modulus walk crosses zero constantly, exercising the
+    zero-crossing counter's order sensitivity."""
+    from .multimodal import build_wav_payload
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            payloads = []
+            for doc_id in batch["doc_id"]:
+                i = int(doc_id)
+                n = 50 + i % 100
+                samples = (
+                    (i * 13 + np.arange(n, dtype=np.int64) * 17) % 4001 - 2000
+                ).astype("<i2")
+                payloads.append(
+                    build_wav_payload(1, 16000, 16, n, data=samples.tobytes())
+                )
+            yield pd.DataFrame(
+                {"doc_id": batch["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    return docs.select("doc_id").mapInPandas(build, "doc_id long, payload binary")

@@ -71,6 +71,8 @@ AUDITED = {
     "text_c4_filters": "page gates computed pre-explode and filtered scan-side (no join-back); ONE reassembly groupBy(doc_id); sentence gate on aggregated rows",
     "dedup_sentence_spans": "span fps via lead() windows on the (doc_id,pos) exchange; first-wins = one fp-partitioned window; coverage max co-partitioned back on (doc_id,pos); never all-pairs",
     "url_blocklist_filter": "blocklist BROADCAST onto the exploded suffix stream; fan-out bounded by host label count; only (doc_id, suffix) pairs shuffle",
+    "media_bmp_pixel_stats": "shuffle-free mapInPandas REAL pixel decode; payload bytes never leave the executor; only the presentation sort exchanges",
+    "media_wav_pcm_stats": "shuffle-free mapInPandas REAL PCM decode; same single-stage shape",
 }
 
 

@@ -335,3 +335,135 @@ def test_extract_mp3_metadata_dataframe(spark):
     assert got[1]["media_type"] == "unknown"
     assert got[1]["bitrate_kbps"] is None
     assert got[2]["media_type"] == "unknown"
+
+
+# --- REAL pixel / PCM decode layer -------------------------------------------
+
+def test_bmp_pixel_roundtrip_all_paddings():
+    """decode(encode(a)) == a for every width mod 4 (each hits a different
+    row-padding size) and both tall/flat shapes."""
+    import numpy as np
+    from frontier.multimodal import decode_bmp_pixels, encode_bmp
+
+    rng = np.random.default_rng(7)
+    for w in (1, 2, 3, 4, 5, 6, 7, 8):
+        for h in (1, 3, 5):
+            a = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            back = decode_bmp_pixels(encode_bmp(a))
+            assert back is not None
+            assert (back == a).all(), (w, h)
+
+
+def test_bmp_decode_orientation_and_channels():
+    """A single marked pixel at logical (x=1, y=0, red) comes back at the
+    same logical spot — the bottom-up flip and BGR swap must both happen."""
+    import numpy as np
+    from frontier.multimodal import decode_bmp_pixels, encode_bmp
+
+    a = np.zeros((2, 3, 3), dtype=np.uint8)
+    a[0, 1, 0] = 200  # top row, middle column, red channel
+    back = decode_bmp_pixels(encode_bmp(a))
+    assert back[0, 1, 0] == 200
+    assert back.sum() == 200
+
+
+def test_bmp_decode_rejects_non_decodable():
+    from frontier.multimodal import build_image_payload, decode_bmp_pixels
+
+    assert decode_bmp_pixels(b"") is None
+    assert decode_bmp_pixels(b"BMgarbage") is None
+    assert decode_bmp_pixels(build_image_payload("png", 4, 4)) is None
+    # header-only BMP (no pixel array) must not decode
+    assert decode_bmp_pixels(build_image_payload("bmp", 64, 64)) is None
+
+
+def test_resize_nearest_floor_mapping():
+    """8x6 -> 4x3 with the floor mapping selects exactly src (2x, 2y)."""
+    import numpy as np
+    from frontier.multimodal import resize_nearest
+
+    a = np.arange(8 * 6 * 3, dtype=np.uint8).reshape(6, 8, 3)
+    r = resize_nearest(a, 4, 3)
+    assert r.shape == (3, 4, 3)
+    for y in range(3):
+        for x in range(4):
+            assert (r[y, x] == a[2 * y, 2 * x]).all()
+
+
+def test_resize_image_real_falls_back_for_codecs():
+    from frontier.multimodal import (
+        build_image_payload, resize_image_real, resize_image_stub,
+    )
+
+    jpeg = build_image_payload("jpeg", 10, 10, b"xx")
+    assert resize_image_real(jpeg, 4, 3) == resize_image_stub(jpeg, 4, 3)
+
+
+def test_wav_sample_roundtrip_and_framing():
+    """int16 samples survive encode->decode byte-exactly, including through
+    an odd-sized preceding chunk (word-alignment walk)."""
+    import struct
+
+    import numpy as np
+    from frontier.multimodal import build_wav_payload, decode_wav_samples
+
+    samples = np.array([0, 1, -1, 32767, -32768, 5], dtype="<i2")
+    payload = build_wav_payload(1, 16000, 16, 6, data=samples.tobytes())
+    out, meta = decode_wav_samples(payload)
+    assert (out == samples).all()
+    assert meta["n_samples"] == 6
+
+    # splice an odd-length LIST chunk between fmt and data: the walk must
+    # skip its pad byte and still frame the data chunk correctly
+    fmt_end = 12 + 8 + 16
+    spliced = (
+        payload[:fmt_end]
+        + b"LIST" + struct.pack("<I", 3) + b"abc\x00"
+        + payload[fmt_end:]
+    )
+    riff_size = len(spliced) - 8
+    spliced = spliced[:4] + struct.pack("<I", riff_size) + spliced[8:]
+    out2, _ = decode_wav_samples(spliced)
+    assert (out2 == samples).all()
+
+
+def test_pixel_stats_kernel_real_values(spark):
+    """image_pixel_stats over a hand-built 2x2 BMP: exact sums + moments."""
+    import numpy as np
+    from frontier.multimodal import encode_bmp, image_pixel_stats
+
+    a = np.array(
+        [[[10, 20, 30], [40, 50, 60]],
+         [[70, 80, 90], [100, 110, 120]]],
+        dtype=np.uint8,
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_bmp(a)))], "doc_id long, payload binary"
+    )
+    row = image_pixel_stats(df).collect()[0]
+    assert (row.width, row.height) == (2, 2)
+    assert row.sum_r == 10 + 40 + 70 + 100
+    assert row.sum_g == 20 + 50 + 80 + 110
+    assert row.sum_b == 30 + 60 + 90 + 120
+    assert row.moment_x == (40 + 50 + 60) + (100 + 110 + 120)
+    assert row.moment_y == (70 + 80 + 90) + (100 + 110 + 120)
+
+
+def test_pcm_stats_kernel_real_values(spark):
+    import numpy as np
+    from frontier.multimodal import audio_pcm_stats, build_wav_payload
+
+    samples = np.array([3, -2, -2, 5, 0, -1], dtype="<i2")
+    payload = build_wav_payload(1, 8000, 16, 6, data=samples.tobytes())
+    df = spark.createDataFrame(
+        [(1, bytearray(payload)), (2, bytearray(b"not a wav"))],
+        "doc_id long, payload binary",
+    )
+    rows = audio_pcm_stats(df).collect()
+    assert len(rows) == 1  # non-WAV yields no row
+    r = rows[0]
+    assert r.n_samples == 6
+    assert r.sum_amp == 3
+    assert r.sum_abs == 13
+    # sign(x) = x < 0: 3,-2 | -2,5 | 5,0(no) | 0,-1 -> 3 crossings
+    assert r.zero_crossings == 3
