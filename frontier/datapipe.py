@@ -6539,3 +6539,112 @@ _register(
         .replace("{SFX_BODY}", _SFX_DUCK),
     ),
 )
+
+
+# Incremental MinHash dedup — what a continuously-crawling corpus build
+# actually runs every ingest round: the NEW batch (here doc_id % 3 = 0) is
+# deduplicated against a persisted HISTORICAL fingerprint index (the other
+# docs' band signatures — in production an Iceberg (j, mh, doc_id) table
+# appended each round) WITHOUT recomputing anything over history, plus a
+# within-batch pass for dups that arrive together. Candidates from both
+# probes verify with integer-exact Jaccard >= 0.7 (10·∩ >= 7·∪ cross-
+# multiply). Verdict per batch doc: 'dup_of_history' (dup_of = min matching
+# history doc — history beats batch), 'dup_in_batch' (dup_of = min smaller
+# verified batch doc; direct pairs, no transitive closure — that is
+# dedup_fuzzy_e2e's job), or 'unique'.
+# Scale shape: history costs ONE index equi-join on (j, mh) int pairs —
+# never a signature recompute, never all-pairs (the index is bucketed by
+# (j, mh) at rest, so the probe is co-partitioned); per-(j,mh) caps bound
+# both probes; Jaccard re-reads shingle hashes for candidate ids only; the
+# batch — tiny relative to history — is the only thing fingerprinted.
+_INCR_MINHASH_TAIL = """
+hist_index AS (
+    SELECT doc_id, j, mh FROM mh_sigs WHERE doc_id % 3 <> 0
+),
+hist_buckets AS (
+    SELECT j, mh FROM hist_index GROUP BY j, mh HAVING COUNT(*) <= {cap}
+),
+hist_ok AS (
+    SELECT i.doc_id, i.j, i.mh
+    FROM hist_index i JOIN hist_buckets hb ON hb.j = i.j AND hb.mh = i.mh
+),
+batch_sigs AS (
+    SELECT doc_id, j, mh FROM mh_sigs WHERE doc_id % 3 = 0
+),
+hist_cand AS (
+    SELECT DISTINCT b.doc_id AS new_id, h.doc_id AS old_id
+    FROM batch_sigs b JOIN hist_ok h ON h.j = b.j AND h.mh = b.mh
+),
+batch_buckets AS (
+    SELECT j, mh FROM batch_sigs
+    GROUP BY j, mh HAVING COUNT(*) BETWEEN 2 AND {cap}
+),
+batch_in AS (
+    SELECT s.doc_id, s.j, s.mh
+    FROM batch_sigs s JOIN batch_buckets u ON s.j = u.j AND s.mh = u.mh
+),
+batch_cand AS (
+    SELECT DISTINCT b.doc_id AS new_id, a.doc_id AS old_id
+    FROM batch_in a JOIN batch_in b
+      ON a.j = b.j AND a.mh = b.mh AND a.doc_id < b.doc_id
+),
+all_cand AS (
+    SELECT new_id, old_id, 1 AS from_hist FROM hist_cand
+    UNION ALL
+    SELECT new_id, old_id, 0 AS from_hist FROM batch_cand
+),
+cand_sizes AS (
+    SELECT doc_id, COUNT(*) AS n FROM mh_exploded GROUP BY doc_id
+),
+cand_inter AS (
+    SELECT c.new_id, c.old_id, c.from_hist, COUNT(*) AS overlap
+    FROM all_cand c
+    JOIN mh_exploded ea ON ea.doc_id = c.new_id
+    JOIN mh_exploded eb ON eb.doc_id = c.old_id AND eb.h = ea.h
+    GROUP BY c.new_id, c.old_id, c.from_hist
+),
+verified AS (
+    SELECT i.new_id, i.old_id, i.from_hist
+    FROM cand_inter i
+    JOIN cand_sizes sa ON sa.doc_id = i.new_id
+    JOIN cand_sizes sb ON sb.doc_id = i.old_id
+    WHERE 10 * i.overlap >= 7 * (sa.n + sb.n - i.overlap)
+),
+best AS (
+    SELECT new_id,
+           MAX(from_hist) AS has_hist,
+           MIN(CASE WHEN from_hist = 1 THEN old_id END) AS hist_of,
+           MIN(CASE WHEN from_hist = 0 THEN old_id END) AS batch_of
+    FROM verified GROUP BY new_id
+)
+SELECT d.doc_id,
+       CASE WHEN b.has_hist = 1 THEN 'dup_of_history'
+            WHEN b.new_id IS NOT NULL THEN 'dup_in_batch'
+            ELSE 'unique' END AS verdict,
+       CAST(CASE WHEN b.has_hist = 1 THEN b.hist_of
+                 ELSE b.batch_of END AS BIGINT) AS dup_of
+FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 0) d
+LEFT JOIN best b ON b.new_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+def _incr_minhash_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _mh_views(spark, sf_dir)
+    return spark.sql(
+        "WITH " + _INCR_MINHASH_TAIL.format(cap=_LSH_BUCKET_CAP)
+    )
+
+
+_register(
+    "dedup_incremental_minhash",
+    QueryDef(
+        build=_incr_minhash_build,
+        oracle=_duck_mh_cte() + ","
+        + _INCR_MINHASH_TAIL.format(cap=_LSH_BUCKET_CAP),
+        doc="incremental MinHash dedup: the new batch probes a persisted "
+            "historical band index (one (j,mh) equi-join, no history "
+            "recompute) + within-batch pass; integer-exact Jaccard>=0.7 "
+            "verify; history dup beats batch dup",
+    ),
+)

@@ -462,3 +462,31 @@ def test_simhash_banding_recall_property():
     for a, b, dist in planted:
         assert found.get((a, b)) == dist, (a, b, dist)
     assert (got["hamming"] <= 3).all()
+
+
+def test_incremental_minhash_verdicts_planted(spark, tmp_path):
+    """Planted incremental dedup: a batch doc equal to a history doc is
+    dup_of_history; two equal batch docs with no history twin resolve to
+    one unique survivor + one dup_in_batch; a lone batch doc is unique.
+    History docs (doc_id % 3 != 0) never appear in the output."""
+    long_a = " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(12))
+    long_b = " ".join(f"delta{i} epsilon{i} zeta{i}" for i in range(12))
+    long_c = " ".join(f"eta{i} theta{i} iota{i}" for i in range(12))
+    rows = [
+        (1, long_a, "en", "hist"),   # history
+        (2, long_c, "en", "hist"),   # history, unrelated
+        (3, long_a, "en", "web"),    # batch: exact twin of history doc 1
+        (6, long_b, "en", "web"),    # batch: twin of 9, absent in history
+        (9, long_b, "en", "web"),
+        (12, "completely different unique content " * 8, "en", "web"),
+    ]
+    sf = _write_docs(tmp_path, rows)
+    out = {
+        r["doc_id"]: r
+        for r in REGISTRY["dedup_incremental_minhash"].build(spark, sf).collect()
+    }
+    assert set(out) == {3, 6, 9, 12}  # only batch docs (doc_id % 3 == 0)
+    assert out[3]["verdict"] == "dup_of_history" and out[3]["dup_of"] == 1
+    assert out[6]["verdict"] == "unique" and out[6]["dup_of"] is None
+    assert out[9]["verdict"] == "dup_in_batch" and out[9]["dup_of"] == 6
+    assert out[12]["verdict"] == "unique" and out[12]["dup_of"] is None
