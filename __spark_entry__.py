@@ -542,6 +542,19 @@ ORDER BY doc_id
 """
 
 
+def _media_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG pixel decode (stdlib zlib inflate + inversion of all five
+    scanline filters — the synth cycles the filter type per row, so
+    None/Sub/Up/Average/Paeth all fire) over PNGs carrying the same
+    closed-form pixel grid as the BMP query; same formula-derived oracle,
+    entirely different decode path proving against it."""
+    from frontier.multimodal import image_pixel_stats
+    from frontier.synth import synth_png_pixel_payloads
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return image_pixel_stats(synth_png_pixel_payloads(docs)).orderBy("doc_id")
+
+
 def _media_wav_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PCM sample decode (chunk walk to the data chunk, int16 LE) over
     WAVs whose every sample is closed-form; the oracle recomputes amplitude
@@ -599,6 +612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["media_features"] = _media_features
     out["media_bmp_pixel_stats"] = _media_bmp_pixel_stats
     out["media_bmp_resize_real"] = _media_bmp_resize_real
+    out["media_png_pixel_stats"] = _media_png_pixel_stats
     out["media_wav_pcm_stats"] = _media_wav_pcm_stats
     return out
 
@@ -617,5 +631,7 @@ def oracle_sql() -> dict[str, str]:
     out["media_features"] = _MEDIA_FEATURES_ORACLE
     out["media_bmp_pixel_stats"] = _MEDIA_BMP_PIXEL_ORACLE
     out["media_bmp_resize_real"] = _MEDIA_BMP_RESIZE_ORACLE
+    # same formula-derived expectation; the PNG decode path must match it
+    out["media_png_pixel_stats"] = _MEDIA_BMP_PIXEL_ORACLE
     out["media_wav_pcm_stats"] = _MEDIA_WAV_PCM_ORACLE
     return out

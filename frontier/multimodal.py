@@ -11,9 +11,11 @@ to REAL pixel arrays (``decode_bmp_pixels``: bottom-up row order, 4-byte
 row padding, BGR→RGB — numpy only), re-encodes (``encode_bmp``), and
 resizes for real (``resize_nearest`` index-map nearest neighbor), and PCM
 WAV decodes to REAL sample arrays (``decode_wav_samples``: chunk walk to
-the data chunk, int16/uint8 interpretation). Only codec formats that
-genuinely need Pillow/ffmpeg/soundfile (JPEG/PNG pixel streams, MP3/OGG
-audio, video frame extraction) remain STUBBED behind deterministic fakes
+the data chunk, int16/uint8 interpretation), and 8-bit truecolor PNG
+decodes with stdlib zlib + inversion of all five scanline filters
+(``decode_png_pixels``/``encode_png``). Only entropy-coded formats that
+genuinely need Pillow/ffmpeg/soundfile (JPEG, MP3/OGG audio, video frame
+extraction) remain STUBBED behind deterministic fakes
 whose outputs are pure functions of ``sha256(payload)``, so those
 pipelines stay testable end to end and oracle-checkable from SQL. Swap
 the stub callables for real Pillow/pyav/CLIP calls in a deployment;
@@ -719,13 +721,17 @@ def resize_nearest(pixels, out_w: int, out_h: int):
 
 
 def resize_image_real(payload: bytes, width: int, height: int) -> bytes:
-    """Resize callable with a REAL path: 24-bit BMPs decode → nearest
-    resize → re-encode as valid BMPs; codec formats (JPEG/PNG/...) fall
-    back to the sha256 stub until a real image library is present."""
+    """Resize callable with a REAL path: 24-bit BMPs and 8-bit truecolor
+    PNGs decode → nearest resize → re-encode in the source format; other
+    codec formats (JPEG/...) fall back to the sha256 stub until a real
+    image library is present."""
     pixels = decode_bmp_pixels(payload)
-    if pixels is None:
-        return resize_image_stub(payload, width, height)
-    return encode_bmp(resize_nearest(pixels, width, height))
+    if pixels is not None:
+        return encode_bmp(resize_nearest(pixels, width, height))
+    pixels = decode_png_pixels(payload)
+    if pixels is not None:
+        return encode_png(resize_nearest(pixels, width, height))
+    return resize_image_stub(payload, width, height)
 
 
 def decode_wav_samples(payload: bytes):
@@ -782,9 +788,10 @@ def image_pixel_stats(media: DataFrame) -> DataFrame:
         for batch in batches:
             rows = []
             for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
-                px = decode_bmp_pixels(
-                    bytes(payload) if payload is not None else b""
-                )
+                blob = bytes(payload) if payload is not None else b""
+                px = decode_bmp_pixels(blob)
+                if px is None:
+                    px = decode_png_pixels(blob)
                 if px is None:
                     continue
                 h, w = px.shape[:2]
@@ -872,4 +879,143 @@ def audio_pcm_stats(media: DataFrame) -> DataFrame:
 
     return media.select("doc_id", "payload").mapInPandas(
         run, PCM_STATS_SCHEMA
+    )
+
+
+# --- REAL PNG decode (stdlib zlib + numpy, no image library) ------------------
+# PNG's pixel stream is zlib-deflated scanlines, each prefixed by one of five
+# filter types (None/Sub/Up/Average/Paeth) — all invertible with stdlib zlib
+# plus plain arithmetic. 8-bit truecolor (color type 2), non-interlaced — the
+# dominant shape for web PNGs; palette/alpha/16-bit/interlaced return None
+# and fall back to the stub path like any other codec format.
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png_pixels(payload: bytes):
+    """REAL PNG pixel decode: chunk walk (IHDR dims/type, concatenated IDAT
+    streams), zlib inflate, and per-row reversal of all five scanline
+    filters. Returns an (h, w, 3) uint8 RGB array or None for anything but
+    8-bit non-interlaced truecolor (callers fall back to the stub).
+
+    The per-pixel unfilter loops are clarity-first (synth/test payloads are
+    small); a production decoder vectorizes Sub/Average/Paeth with the same
+    arithmetic."""
+    try:
+        if not payload.startswith(b"\x89PNG\r\n\x1a\n"):
+            return None
+        pos, n = 8, len(payload)
+        w = h = None
+        idat = b""
+        while pos + 8 <= n:
+            (length,) = struct.unpack(">I", payload[pos : pos + 4])
+            tag = payload[pos + 4 : pos + 8]
+            data = payload[pos + 8 : pos + 8 + length]
+            if tag == b"IHDR":
+                w, h, depth, ctype, comp, filt, inter = struct.unpack(
+                    ">IIBBBBB", data[:13]
+                )
+                if depth != 8 or ctype != 2 or comp != 0 or filt != 0 or inter != 0:
+                    return None
+            elif tag == b"IDAT":
+                idat += data
+            elif tag == b"IEND":
+                break
+            pos += 12 + length  # length + tag + data + crc
+        if not w or not h or not idat:
+            return None
+        raw = zlib.decompress(idat)
+        stride = w * 3
+        if len(raw) != h * (1 + stride):
+            return None
+        out = np.zeros((h, stride), dtype=np.uint8)
+        for y in range(h):
+            row = raw[y * (1 + stride) : (y + 1) * (1 + stride)]
+            ftype, scan = row[0], bytearray(row[1:])
+            prev = out[y - 1] if y > 0 else np.zeros(stride, dtype=np.uint8)
+            if ftype == 0:
+                pass
+            elif ftype == 1:  # Sub
+                for i in range(3, stride):
+                    scan[i] = (scan[i] + scan[i - 3]) & 0xFF
+            elif ftype == 2:  # Up
+                for i in range(stride):
+                    scan[i] = (scan[i] + prev[i]) & 0xFF
+            elif ftype == 3:  # Average
+                for i in range(stride):
+                    left = scan[i - 3] if i >= 3 else 0
+                    scan[i] = (scan[i] + ((left + int(prev[i])) >> 1)) & 0xFF
+            elif ftype == 4:  # Paeth
+                for i in range(stride):
+                    left = scan[i - 3] if i >= 3 else 0
+                    above = int(prev[i])
+                    upleft = int(prev[i - 3]) if i >= 3 else 0
+                    scan[i] = (scan[i] + _paeth(left, above, upleft)) & 0xFF
+            else:
+                return None
+            out[y] = np.frombuffer(bytes(scan), dtype=np.uint8)
+        return out.reshape(h, w, 3).copy()
+    except (struct.error, ValueError, zlib.error):
+        return None
+
+
+def encode_png(pixels, filter_for_row: Callable[[int], int] = lambda y: 0) -> bytes:
+    """REAL PNG encode (8-bit truecolor, non-interlaced): forward-filters
+    each scanline with ``filter_for_row(y)`` (0..4 — varying it exercises
+    every decoder filter branch), deflates, and wraps in CRC-correct
+    IHDR/IDAT/IEND chunks. ``decode_png_pixels(encode_png(a, f)) == a`` for
+    any (h, w, 3) uint8 array and any filter choice (round-trip pinned in
+    tests)."""
+    pixels = np.asarray(pixels, dtype=np.uint8)
+    h, w = pixels.shape[:2]
+    flat = pixels.reshape(h, w * 3)
+    stride = w * 3
+    lines = bytearray()
+    for y in range(h):
+        ftype = filter_for_row(y)
+        cur = flat[y].astype(np.int64)
+        prev = flat[y - 1].astype(np.int64) if y > 0 else np.zeros(stride, np.int64)
+        enc = bytearray(stride)
+        for i in range(stride):
+            left = int(cur[i - 3]) if i >= 3 else 0
+            above = int(prev[i])
+            upleft = int(prev[i - 3]) if i >= 3 else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = left
+            elif ftype == 2:
+                pred = above
+            elif ftype == 3:
+                pred = (left + above) >> 1
+            elif ftype == 4:
+                pred = _paeth(left, above, upleft)
+            else:
+                raise ValueError(f"bad filter {ftype}")
+            enc[i] = (int(cur[i]) - pred) & 0xFF
+        lines.append(ftype)
+        lines += enc
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + chunk(b"IEND", b"")
     )

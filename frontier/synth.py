@@ -783,3 +783,32 @@ def synth_pcm_payloads(docs: DataFrame) -> DataFrame:
             )
 
     return docs.select("doc_id").mapInPandas(build, "doc_id long, payload binary")
+
+
+def synth_png_pixel_payloads(docs: DataFrame) -> DataFrame:
+    """``documents`` → ``(doc_id, payload binary)`` of REAL 8-bit truecolor
+    PNGs carrying the SAME closed-form pixel grid as
+    :func:`synth_bmp_pixel_payloads` (w = 4 + doc%5, h = 3 + doc%4,
+    pixel(x,y)[c] = (doc*31 + y*7 + x*3 + c*5) % 256), but encoded through
+    the zlib-deflate scanline path with the filter type CYCLING y % 5 —
+    every row exercises a different one of the five PNG filters
+    (None/Sub/Up/Average/Paeth), so the decoder must invert all of them to
+    recover the formula values."""
+    from .multimodal import encode_png
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            payloads = []
+            for doc_id in batch["doc_id"]:
+                i = int(doc_id)
+                w, h = 4 + i % 5, 3 + i % 4
+                y, x, c = np.meshgrid(
+                    np.arange(h), np.arange(w), np.arange(3), indexing="ij"
+                )
+                px = ((i * 31 + y * 7 + x * 3 + c * 5) % 256).astype(np.uint8)
+                payloads.append(encode_png(px, filter_for_row=lambda r: r % 5))
+            yield pd.DataFrame(
+                {"doc_id": batch["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    return docs.select("doc_id").mapInPandas(build, "doc_id long, payload binary")

@@ -467,3 +467,46 @@ def test_pcm_stats_kernel_real_values(spark):
     assert r.sum_abs == 13
     # sign(x) = x < 0: 3,-2 | -2,5 | 5,0(no) | 0,-1 -> 3 crossings
     assert r.zero_crossings == 3
+
+
+def test_png_roundtrip_every_filter():
+    """decode(encode(a, f)) == a for each single filter type and the
+    cycling selector, across widths that stress the left-neighbor logic."""
+    import numpy as np
+    from frontier.multimodal import decode_png_pixels, encode_png
+
+    rng = np.random.default_rng(11)
+    for w in (1, 2, 5, 8):
+        a = rng.integers(0, 256, size=(5, w, 3), dtype=np.uint8)
+        for f in (0, 1, 2, 3, 4):
+            back = decode_png_pixels(encode_png(a, lambda y, f=f: f))
+            assert back is not None and (back == a).all(), (w, f)
+        back = decode_png_pixels(encode_png(a, lambda y: y % 5))
+        assert (back == a).all(), w
+
+
+def test_png_decode_rejects_unsupported():
+    from frontier.multimodal import build_image_payload, decode_png_pixels
+
+    # build_image_payload PNGs are color type 6 (RGBA) with junk IDAT:
+    # honest None, not garbage pixels
+    assert decode_png_pixels(build_image_payload("png", 4, 4, b"zz")) is None
+    assert decode_png_pixels(b"") is None
+    assert decode_png_pixels(b"\x89PNG\r\n\x1a\ngarbage") is None
+
+
+def test_resize_image_real_png_path():
+    """PNG resize goes through the REAL path: decode the resized output and
+    check the floor-mapped source pixels were selected."""
+    import numpy as np
+    from frontier.multimodal import (
+        decode_png_pixels, encode_png, resize_image_real,
+    )
+
+    a = np.arange(6 * 8 * 3, dtype=np.uint8).reshape(6, 8, 3)
+    out = resize_image_real(encode_png(a, lambda y: y % 5), 4, 3)
+    back = decode_png_pixels(out)
+    assert back.shape == (3, 4, 3)
+    for y in range(3):
+        for x in range(4):
+            assert (back[y, x] == a[2 * y, 2 * x]).all()
