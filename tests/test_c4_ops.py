@@ -109,3 +109,42 @@ def test_blocklist_tld_sibling_kept(block_rows):
     # h7.example.org is NOT h7.example.com: suffix match must not cross TLDs
     row = block_rows["h7.example.org"]
     assert row["kept"] == 1 and row["blocked_by"] is None
+
+
+def _plan_of(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()
+
+
+def test_c4_family_plan_shapes(spark):
+    """Scale-critical plan properties of the C4-family + incremental-dedup
+    queries, pinned in plan form."""
+    # text_c4_filters: page gates ride the exploded rows — no join back;
+    # exactly one hash exchange (the reassembly groupBy)
+    plan = _plan_of(REGISTRY["text_c4_filters"].build(spark, SF_DIR))
+    assert "Join" not in plan
+    assert plan.count("Arguments: hashpartitioning") == 1
+
+    # url_blocklist_filter: the blocklist meets the suffix stream through a
+    # broadcast join — the (exploded) URL side is never exchanged on the
+    # join key
+    plan = _plan_of(REGISTRY["url_blocklist_filter"].build(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+    # dedup_sentence_spans: windows + co-partitioned join only — never an
+    # all-pairs product; the fp window exists (first-wins)
+    plan = _plan_of(REGISTRY["dedup_sentence_spans"].build(spark, SF_DIR))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+
+    # dedup_incremental_minhash: history is probed via the persisted
+    # signature views (InMemoryTableScan), never recomputed per reference
+    plan = _plan_of(REGISTRY["dedup_incremental_minhash"].build(spark, SF_DIR))
+    assert "InMemoryTableScan" in plan
+    assert "CartesianProduct" not in plan
