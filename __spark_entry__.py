@@ -555,6 +555,50 @@ def _media_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_pixel_stats(synth_png_pixel_payloads(docs)).orderBy("doc_id")
 
 
+def _media_gif_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF pixel decode — hand-rolled variable-width LZW (dictionary
+    growth, Clear/End, sub-block reassembly) + palette mapping — over GIFs
+    whose index grid and palette are closed-form; the oracle recomputes the
+    palette-mapped channel values per pixel."""
+    from frontier.multimodal import image_pixel_stats
+    from frontier.synth import synth_gif_pixel_payloads
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return image_pixel_stats(synth_gif_pixel_payloads(docs)).orderBy("doc_id")
+
+
+# synth_gif_pixel_payloads: idx(x,y) = (doc*31 + y*7 + x*3) % 256,
+# palette[i] = (i, 2i % 256, 3i % 256) -> rgb per pixel in closed form.
+_MEDIA_GIF_PIXEL_ORACLE = """
+WITH dims AS (
+    SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents
+),
+px AS (
+    SELECT d.doc_id, d.w, d.h, xs.x, ys.y,
+           (d.doc_id * 31 + ys.y * 7 + xs.x * 3) % 256 AS idx
+    FROM dims d
+    JOIN range(0, 8) xs(x) ON xs.x < d.w
+    JOIN range(0, 6) ys(y) ON ys.y < d.h
+),
+vals AS (
+    SELECT doc_id, w, h, x, y,
+           idx AS r, (idx * 2) % 256 AS g, (idx * 3) % 256 AS b
+    FROM px
+)
+SELECT doc_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(SUM(r) AS BIGINT) AS sum_r,
+       CAST(SUM(g) AS BIGINT) AS sum_g,
+       CAST(SUM(b) AS BIGINT) AS sum_b,
+       CAST(SUM(x * (r + g + b)) AS BIGINT) AS moment_x,
+       CAST(SUM(y * (r + g + b)) AS BIGINT) AS moment_y
+FROM vals
+GROUP BY doc_id, w, h
+ORDER BY doc_id
+"""
+
+
 def _media_wav_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PCM sample decode (chunk walk to the data chunk, int16 LE) over
     WAVs whose every sample is closed-form; the oracle recomputes amplitude
@@ -613,6 +657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["media_bmp_pixel_stats"] = _media_bmp_pixel_stats
     out["media_bmp_resize_real"] = _media_bmp_resize_real
     out["media_png_pixel_stats"] = _media_png_pixel_stats
+    out["media_gif_pixel_stats"] = _media_gif_pixel_stats
     out["media_wav_pcm_stats"] = _media_wav_pcm_stats
     return out
 
@@ -633,5 +678,6 @@ def oracle_sql() -> dict[str, str]:
     out["media_bmp_resize_real"] = _MEDIA_BMP_RESIZE_ORACLE
     # same formula-derived expectation; the PNG decode path must match it
     out["media_png_pixel_stats"] = _MEDIA_BMP_PIXEL_ORACLE
+    out["media_gif_pixel_stats"] = _MEDIA_GIF_PIXEL_ORACLE
     out["media_wav_pcm_stats"] = _MEDIA_WAV_PCM_ORACLE
     return out

@@ -13,8 +13,9 @@ resizes for real (``resize_nearest`` index-map nearest neighbor), and PCM
 WAV decodes to REAL sample arrays (``decode_wav_samples``: chunk walk to
 the data chunk, int16/uint8 interpretation), and 8-bit truecolor PNG
 decodes with stdlib zlib + inversion of all five scanline filters
-(``decode_png_pixels``/``encode_png``). Only entropy-coded formats that
-genuinely need Pillow/ffmpeg/soundfile (JPEG, MP3/OGG audio, video frame
+(``decode_png_pixels``/``encode_png``), and GIF decodes via a hand-rolled
+variable-width LZW (``decode_gif_pixels``/``encode_gif``). Only formats
+needing a full entropy/transform codec (JPEG, MP3/OGG audio, video frame
 extraction) remain STUBBED behind deterministic fakes
 whose outputs are pure functions of ``sha256(payload)``, so those
 pipelines stay testable end to end and oracle-checkable from SQL. Swap
@@ -793,6 +794,8 @@ def image_pixel_stats(media: DataFrame) -> DataFrame:
                 if px is None:
                     px = decode_png_pixels(blob)
                 if px is None:
+                    px = decode_gif_pixels(blob)
+                if px is None:
                     continue
                 h, w = px.shape[:2]
                 s = px.astype(np.int64)
@@ -1018,4 +1021,208 @@ def encode_png(pixels, filter_for_row: Callable[[int], int] = lambda y: 0) -> by
         + chunk(b"IHDR", ihdr)
         + chunk(b"IDAT", zlib.compress(bytes(lines)))
         + chunk(b"IEND", b"")
+    )
+
+
+# --- REAL GIF decode (hand-rolled LZW, no image library) ----------------------
+# GIF's pixel stream is LZW with variable-width codes (min+1 up to 12 bits),
+# dictionary growth, and Clear/End control codes — all implementable in
+# plain Python. Non-interlaced, single-frame, global-or-local color table;
+# interlaced images return an honest None.
+
+
+def _lzw_decode_gif(data: bytes, min_code_size: int):
+    """GIF-variant LZW decode: LSB-first bit packing, width grows when the
+    table reaches 2^width (cap 12), Clear resets, End terminates. Returns
+    the index list or None on a corrupt stream."""
+    if not 2 <= min_code_size <= 11:
+        return None
+    clear = 1 << min_code_size
+    end = clear + 1
+    width = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    prev: bytes | None = None
+    acc = bits = pos = 0
+    n = len(data)
+    while True:
+        while bits < width:
+            if pos >= n:
+                return None  # ran out before End
+            acc |= data[pos] << bits
+            bits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        bits -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            return bytes(out)
+        if prev is None:
+            if code >= len(table):
+                return None
+            entry = table[code]
+        else:
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table):
+                entry = prev + prev[:1]  # the KwKwK case
+            else:
+                return None
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        out += entry
+        prev = entry
+
+
+def _lzw_encode_gif(indices: bytes, min_code_size: int) -> bytes:
+    """GIF-variant LZW encode — a REAL compressor (greedy longest-match
+    dictionary, not the write-literals-only trick), emitting Clear when the
+    12-bit table fills. Round-trips through _lzw_decode_gif bit-exactly."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    acc = bits = 0
+
+    width = min_code_size + 1
+
+    def emit(code: int) -> None:
+        nonlocal acc, bits
+        acc |= code << bits
+        bits += width
+        while bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    emit(clear)
+    w = b""
+    for byte in indices:
+        wk = w + bytes([byte])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w])
+        if next_code < 4096:
+            table[wk] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        else:
+            emit(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+            width = min_code_size + 1
+        w = bytes([byte])
+    if w:
+        emit(table[w])
+    emit(end)
+    if bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def decode_gif_pixels(payload: bytes):
+    """REAL GIF pixel decode: logical-screen / image-descriptor walk,
+    global or local color table, sub-block reassembly, hand-rolled LZW
+    (variable-width codes, dictionary growth, Clear/End), palette mapping.
+    Returns (h, w, 3) uint8 RGB for the FIRST frame of a non-interlaced
+    GIF, None otherwise (callers fall back to the stub)."""
+    try:
+        if payload[:6] not in (b"GIF87a", b"GIF89a") or len(payload) < 13:
+            return None
+        flags = payload[10]
+        pos = 13
+        gct = None
+        if flags & 0x80:
+            n = 2 << (flags & 0x07)
+            gct = np.frombuffer(
+                payload, dtype=np.uint8, count=n * 3, offset=pos
+            ).reshape(n, 3)
+            pos += n * 3
+        n_total = len(payload)
+        while pos < n_total:
+            block = payload[pos]
+            if block == 0x21:  # extension: label + sub-blocks
+                pos += 2
+                while pos < n_total and payload[pos] != 0:
+                    pos += 1 + payload[pos]
+                pos += 1
+            elif block == 0x2C:  # image descriptor
+                iw, ih = struct.unpack("<HH", payload[pos + 5 : pos + 9])
+                iflags = payload[pos + 9]
+                pos += 10
+                if iflags & 0x40:  # interlaced: out of scope, honest None
+                    return None
+                table = gct
+                if iflags & 0x80:
+                    n = 2 << (iflags & 0x07)
+                    table = np.frombuffer(
+                        payload, dtype=np.uint8, count=n * 3, offset=pos
+                    ).reshape(n, 3)
+                    pos += n * 3
+                if table is None:
+                    return None
+                min_code = payload[pos]
+                pos += 1
+                data = bytearray()
+                while pos < n_total and payload[pos] != 0:
+                    size = payload[pos]
+                    data += payload[pos + 1 : pos + 1 + size]
+                    pos += 1 + size
+                idx = _lzw_decode_gif(bytes(data), min_code)
+                if idx is None or len(idx) < iw * ih or iw * ih == 0:
+                    return None
+                arr = np.frombuffer(idx[: iw * ih], dtype=np.uint8)
+                if arr.max(initial=0) >= len(table):
+                    return None
+                return table[arr].reshape(ih, iw, 3).copy()
+            elif block == 0x3B:  # trailer
+                return None
+            else:
+                return None
+        return None
+    except (struct.error, ValueError, IndexError):
+        return None
+
+
+def encode_gif(indices, palette) -> bytes:
+    """REAL GIF89a encode for a single non-interlaced frame: ``indices`` is
+    an (h, w) uint8 index array, ``palette`` an (n, 3) uint8 color table
+    (n padded up to the next power of two >= 2). LZW-compressed with the
+    real compressor above; decode_gif_pixels(encode_gif(i, p)) ==
+    p[i] (round-trip pinned in tests)."""
+    indices = np.asarray(indices, dtype=np.uint8)
+    palette = np.asarray(palette, dtype=np.uint8).reshape(-1, 3)
+    h, w = indices.shape
+    size_pow = 1
+    while (2 << size_pow - 1) < max(len(palette), 2):
+        size_pow += 1
+    n_colors = 2 << size_pow - 1
+    pal = np.zeros((n_colors, 3), dtype=np.uint8)
+    pal[: len(palette)] = palette
+    min_code = max(2, size_pow)
+    lzw = _lzw_encode_gif(indices.tobytes(), min_code)
+    blocks = bytearray()
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)
+    return (
+        b"GIF89a"
+        + struct.pack("<HH", w, h)
+        + bytes([0x80 | (size_pow - 1), 0, 0])
+        + pal.tobytes()
+        + b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        + bytes([min_code])
+        + bytes(blocks)
+        + b"\x3b"
     )

@@ -812,3 +812,41 @@ def synth_png_pixel_payloads(docs: DataFrame) -> DataFrame:
             )
 
     return docs.select("doc_id").mapInPandas(build, "doc_id long, payload binary")
+
+
+def synth_gif_pixel_payloads(docs: DataFrame) -> DataFrame:
+    """``documents`` → ``(doc_id, payload binary)`` of REAL GIF89a frames
+    (LZW-compressed by the real compressor) with closed-form pixels:
+
+        width = 4 + doc_id % 5, height = 3 + doc_id % 4
+        index(x, y) = (doc_id*31 + y*7 + x*3) % 256
+        palette[i]  = (i, (2*i) % 256, (3*i) % 256)
+
+    so pixel (x,y) decodes to rgb = (idx, 2*idx % 256, 3*idx % 256) with
+    idx as above — the decoder must run the full variable-width LZW walk
+    plus palette mapping to recover them."""
+    from .multimodal import encode_gif
+
+    pal = np.stack(
+        [
+            np.arange(256, dtype=np.uint8),
+            (np.arange(256) * 2 % 256).astype(np.uint8),
+            (np.arange(256) * 3 % 256).astype(np.uint8),
+        ],
+        axis=1,
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            payloads = []
+            for doc_id in batch["doc_id"]:
+                i = int(doc_id)
+                w, h = 4 + i % 5, 3 + i % 4
+                y, x = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+                idx = ((i * 31 + y * 7 + x * 3) % 256).astype(np.uint8)
+                payloads.append(encode_gif(idx, pal))
+            yield pd.DataFrame(
+                {"doc_id": batch["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    return docs.select("doc_id").mapInPandas(build, "doc_id long, payload binary")

@@ -72,3 +72,56 @@ def test_decoders_never_raise_on_magic_prefixed_garbage(blob):
         decode_png_pixels(prefix + blob)
         decode_wav_samples(prefix + blob)
         parse_image_header(prefix + blob)
+
+
+@st.composite
+def _gif_frames(draw):
+    w = draw(st.integers(min_value=1, max_value=14))
+    h = draw(st.integers(min_value=1, max_value=9))
+    n_colors = draw(st.integers(min_value=1, max_value=256))
+    idx_raw = draw(st.binary(min_size=w * h, max_size=w * h))
+    pal_raw = draw(st.binary(min_size=n_colors * 3, max_size=n_colors * 3))
+    idx = (
+        np.frombuffer(idx_raw, dtype=np.uint8).reshape(h, w) % n_colors
+    ).astype(np.uint8)
+    pal = np.frombuffer(pal_raw, dtype=np.uint8).reshape(n_colors, 3).copy()
+    return idx, pal
+
+
+@settings(max_examples=50, deadline=None)
+@given(_gif_frames())
+def test_gif_roundtrip_fuzz(frame):
+    from frontier.multimodal import decode_gif_pixels, encode_gif
+
+    idx, pal = frame
+    payload = encode_gif(idx, pal)
+    meta = parse_image_header(payload)
+    assert (meta["width"], meta["height"]) == (idx.shape[1], idx.shape[0])
+    back = decode_gif_pixels(payload)
+    assert back is not None and (back == pal[idx]).all()
+
+
+def test_gif_lzw_actually_compresses_and_survives_table_reset():
+    """Repetitive input must shrink (the dictionary is real, not the
+    literals-only trick) and a stream long enough to fill the 12-bit table
+    must survive the mid-stream Clear/reset."""
+    from frontier.multimodal import _lzw_decode_gif, _lzw_encode_gif
+
+    rep = b"\x01\x02\x03\x04" * 1000
+    enc = _lzw_encode_gif(rep, 8)
+    assert len(enc) < len(rep) // 2
+    assert _lzw_decode_gif(enc, 8) == rep
+
+    rng = np.random.default_rng(9)
+    long = bytes(rng.integers(0, 256, 30000, dtype=np.uint8))
+    assert _lzw_decode_gif(_lzw_encode_gif(long, 8), 8) == long
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(max_size=300))
+def test_gif_decoder_never_raises(blob):
+    from frontier.multimodal import decode_gif_pixels
+
+    decode_gif_pixels(blob)
+    decode_gif_pixels(b"GIF89a" + blob)
+    decode_gif_pixels(b"GIF87a\x08\x00\x06\x00\x80\x00\x00" + blob)
