@@ -599,6 +599,48 @@ ORDER BY doc_id
 """
 
 
+def _media_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline JPEG decode — DHT canonical-Huffman parsing, byte
+    unstuffing, DC sign extension, dequant, orthonormal 2D IDCT — over
+    grayscale JPEGs built from DCT-exact constant blocks (DC-only, even
+    levels divide the q=16 table), so the lossy format becomes closed-form
+    checkable; per-block sums/moments re-derived in SQL."""
+    from frontier.multimodal import image_pixel_stats
+    from frontier.synth import synth_jpeg_block_payloads
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return image_pixel_stats(synth_jpeg_block_payloads(docs)).orderBy("doc_id")
+
+
+# synth_jpeg_block_payloads: bx = 1 + doc%3, by = 1 + doc%2, level(xb,yb)
+# = 2*((doc*31 + yb*7 + xb*3) % 128), gray replicated to rgb. Per constant
+# block: channel sum contribution 64*v; moment_x = 3v * (sum of x over the
+# block's 8 columns = 64*xb + 28) * 8 rows; moment_y symmetric.
+_MEDIA_JPEG_PIXEL_ORACLE = """
+WITH dims AS (
+    SELECT doc_id, 1 + doc_id % 3 AS bx, 1 + doc_id % 2 AS by FROM documents
+),
+blk AS (
+    SELECT d.doc_id, d.bx, d.by, xs.xb, ys.yb,
+           2 * ((d.doc_id * 31 + ys.yb * 7 + xs.xb * 3) % 128) AS v
+    FROM dims d
+    JOIN range(0, 3) xs(xb) ON xs.xb < d.bx
+    JOIN range(0, 2) ys(yb) ON ys.yb < d.by
+)
+SELECT doc_id,
+       CAST(8 * bx AS INT) AS width,
+       CAST(8 * by AS INT) AS height,
+       CAST(SUM(64 * v) AS BIGINT) AS sum_r,
+       CAST(SUM(64 * v) AS BIGINT) AS sum_g,
+       CAST(SUM(64 * v) AS BIGINT) AS sum_b,
+       CAST(SUM(24 * v * (64 * xb + 28)) AS BIGINT) AS moment_x,
+       CAST(SUM(24 * v * (64 * yb + 28)) AS BIGINT) AS moment_y
+FROM blk
+GROUP BY doc_id, bx, by
+ORDER BY doc_id
+"""
+
+
 def _media_wav_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PCM sample decode (chunk walk to the data chunk, int16 LE) over
     WAVs whose every sample is closed-form; the oracle recomputes amplitude
@@ -658,6 +700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["media_bmp_resize_real"] = _media_bmp_resize_real
     out["media_png_pixel_stats"] = _media_png_pixel_stats
     out["media_gif_pixel_stats"] = _media_gif_pixel_stats
+    out["media_jpeg_pixel_stats"] = _media_jpeg_pixel_stats
     out["media_wav_pcm_stats"] = _media_wav_pcm_stats
     return out
 
@@ -679,5 +722,6 @@ def oracle_sql() -> dict[str, str]:
     # same formula-derived expectation; the PNG decode path must match it
     out["media_png_pixel_stats"] = _MEDIA_BMP_PIXEL_ORACLE
     out["media_gif_pixel_stats"] = _MEDIA_GIF_PIXEL_ORACLE
+    out["media_jpeg_pixel_stats"] = _MEDIA_JPEG_PIXEL_ORACLE
     out["media_wav_pcm_stats"] = _MEDIA_WAV_PCM_ORACLE
     return out

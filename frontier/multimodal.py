@@ -13,10 +13,11 @@ resizes for real (``resize_nearest`` index-map nearest neighbor), and PCM
 WAV decodes to REAL sample arrays (``decode_wav_samples``: chunk walk to
 the data chunk, int16/uint8 interpretation), and 8-bit truecolor PNG
 decodes with stdlib zlib + inversion of all five scanline filters
-(``decode_png_pixels``/``encode_png``), and GIF decodes via a hand-rolled
-variable-width LZW (``decode_gif_pixels``/``encode_gif``). Only formats
-needing a full entropy/transform codec (JPEG, MP3/OGG audio, video frame
-extraction) remain STUBBED behind deterministic fakes
+(``decode_png_pixels``/``encode_png``), GIF decodes via a hand-rolled
+variable-width LZW (``decode_gif_pixels``/``encode_gif``), and baseline
+grayscale JPEG decodes via real Huffman + IDCT (``decode_jpeg_pixels``),
+proven on DCT-exact constant-block payloads. Only MP3/OGG audio, video
+frame extraction, and general lossy JPEG remain STUBBED behind deterministic fakes
 whose outputs are pure functions of ``sha256(payload)``, so those
 pipelines stay testable end to end and oracle-checkable from SQL. Swap
 the stub callables for real Pillow/pyav/CLIP calls in a deployment;
@@ -796,6 +797,8 @@ def image_pixel_stats(media: DataFrame) -> DataFrame:
                 if px is None:
                     px = decode_gif_pixels(blob)
                 if px is None:
+                    px = decode_jpeg_pixels(blob)
+                if px is None:
                     continue
                 h, w = px.shape[:2]
                 s = px.astype(np.int64)
@@ -1226,3 +1229,275 @@ def encode_gif(indices, palette) -> bytes:
         + bytes(blocks)
         + b"\x3b"
     )
+
+
+# --- REAL baseline JPEG decode (grayscale, stdlib + numpy) ---------------------
+# Baseline sequential JPEG is Huffman coding + quantized 8x8 DCT — both
+# implementable from the public spec (ITU T.81) with numpy: canonical
+# Huffman tables are READ FROM THE FILE's DHT segments, the entropy stream
+# is unstuffed and bit-decoded (DC categories with sign extension, AC
+# run/size symbols, EOB/ZRL), coefficients dequantize via the DQT table and
+# invert through an orthonormal 2D IDCT. Scope: single-component
+# (grayscale) SOF0 without restart intervals — color subsampling and
+# progressive scans need nothing conceptually new but stay out of scope;
+# such files return an honest None. The paired encoder emits constant
+# 8x8 blocks (DC + EOB only), which are DCT-EXACT: a constant block's
+# only nonzero coefficient is DC, and even-valued levels quantize without
+# remainder — so the REAL decoder's output is closed-form checkable.
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _dct_basis():
+    u = np.arange(8)
+    x = np.arange(8)
+    t = np.cos((2 * x[None, :] + 1) * u[:, None] * np.pi / 16) / 2.0
+    t[0] /= np.sqrt(2.0)
+    return t  # T: spatial = T.T @ F @ T ; F = T @ B @ T.T
+
+
+def _huff_decode_map(bits: list[int], values: list[int]) -> dict:
+    """Canonical Huffman (T.81 Annex C): {(length, code): symbol}."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[(length, code)] = values[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return out
+
+
+class _BitReader:
+    __slots__ = ("data", "pos", "acc", "bits")
+
+    def __init__(self, data: bytes):
+        self.data, self.pos, self.acc, self.bits = data, 0, 0, 0
+
+    def read(self, n: int) -> int:
+        while self.bits < n:
+            if self.pos >= len(self.data):
+                raise ValueError("bitstream exhausted")
+            self.acc = (self.acc << 8) | self.data[self.pos]
+            self.pos += 1
+            self.bits += 8
+        self.bits -= n
+        val = (self.acc >> self.bits) & ((1 << n) - 1)
+        return val
+
+    def huff(self, table: dict) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read(1)
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("bad huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def decode_jpeg_pixels(payload: bytes):
+    """REAL baseline JPEG decode (grayscale SOF0): marker walk, DQT/DHT
+    table parsing, entropy decode with byte unstuffing, dequantization,
+    orthonormal 2D IDCT, level shift, crop. Returns (h, w, 3) uint8 RGB
+    (gray replicated) or None for anything out of scope — color/
+    progressive/restart-interval files fall back to the stub path."""
+    try:
+        if not payload.startswith(b"\xff\xd8"):
+            return None
+        pos, n = 2, len(payload)
+        qt: dict[int, np.ndarray] = {}
+        hdc: dict[int, dict] = {}
+        hac: dict[int, dict] = {}
+        w = h = None
+        comp_q = comp_dc = comp_ac = 0
+        data = None
+        while pos + 4 <= n:
+            if payload[pos] != 0xFF:
+                return None
+            marker = payload[pos + 1]
+            if marker == 0xD8:
+                pos += 2
+                continue
+            (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+            seg = payload[pos + 4 : pos + 2 + seglen]
+            if marker == 0xDB:  # DQT (possibly several tables)
+                s = 0
+                while s < len(seg):
+                    pq, tq = seg[s] >> 4, seg[s] & 0x0F
+                    if pq != 0:
+                        return None  # 16-bit tables out of scope
+                    zz = np.frombuffer(seg[s + 1 : s + 65], dtype=np.uint8)
+                    tab = np.zeros(64, dtype=np.int64)
+                    tab[_ZIGZAG] = zz
+                    qt[tq] = tab.reshape(8, 8)
+                    s += 65
+            elif marker == 0xC4:  # DHT (possibly several tables)
+                s = 0
+                while s < len(seg):
+                    tc, th = seg[s] >> 4, seg[s] & 0x0F
+                    bits = list(seg[s + 1 : s + 17])
+                    cnt = sum(bits)
+                    vals = list(seg[s + 17 : s + 17 + cnt])
+                    (hdc if tc == 0 else hac)[th] = _huff_decode_map(bits, vals)
+                    s += 17 + cnt
+            elif marker == 0xC0:  # SOF0 baseline
+                if seg[0] != 8 or seg[5] != 1:
+                    return None  # 8-bit single-component only
+                h, w = struct.unpack(">HH", seg[1:5])
+                if seg[7] != 0x11:
+                    return None  # no subsampling
+                comp_q = seg[8]
+            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                            0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF, 0xDD):
+                return None  # other SOFs / restart interval: out of scope
+            elif marker == 0xDA:  # SOS: entropy data follows
+                comp_dc, comp_ac = seg[3] >> 4, seg[3] & 0x0F
+                body = payload[pos + 2 + seglen :]
+                out = bytearray()
+                i = 0
+                while i < len(body):
+                    b = body[i]
+                    if b == 0xFF:
+                        nxt = body[i + 1] if i + 1 < len(body) else 0xD9
+                        if nxt == 0x00:
+                            out.append(0xFF)
+                            i += 2
+                            continue
+                        break  # EOI or a marker we don't handle
+                    out.append(b)
+                    i += 1
+                data = bytes(out)
+                break
+            pos += 2 + seglen
+        if data is None or w is None or not w or not h:
+            return None
+        if comp_q not in qt or comp_dc not in hdc or comp_ac not in hac:
+            return None
+        q, tdc, tac = qt[comp_q], hdc[comp_dc], hac[comp_ac]
+        bx, by = (w + 7) // 8, (h + 7) // 8
+        basis = _dct_basis()
+        img = np.zeros((by * 8, bx * 8), dtype=np.float64)
+        reader = _BitReader(data)
+        pred = 0
+        for yb in range(by):
+            for xb in range(bx):
+                coef = np.zeros(64, dtype=np.int64)
+                t = reader.huff(tdc)
+                pred += _extend(reader.read(t), t)
+                coef[0] = pred
+                k = 1
+                while k < 64:
+                    sym = reader.huff(tac)
+                    if sym == 0x00:  # EOB
+                        break
+                    run, size = sym >> 4, sym & 0x0F
+                    if size == 0:
+                        if run != 15:
+                            return None
+                        k += 16  # ZRL
+                        continue
+                    k += run
+                    if k > 63:
+                        return None
+                    coef[_ZIGZAG[k]] = _extend(reader.read(size), size)
+                    k += 1
+                block = coef.reshape(8, 8) * q
+                spatial = basis.T @ block @ basis + 128.0
+                img[yb * 8 : yb * 8 + 8, xb * 8 : xb * 8 + 8] = spatial
+        gray = np.clip(np.rint(img[:h, :w]), 0, 255).astype(np.uint8)
+        return np.repeat(gray[:, :, None], 3, axis=2)
+    except (struct.error, ValueError, IndexError):
+        return None
+
+
+def encode_jpeg_gray_blocks(blocks) -> bytes:
+    """REAL-container grayscale baseline JPEG encoder for constant 8x8
+    blocks (the synth harness for the decoder above): ``blocks`` is a
+    (by, bx) array of EVEN gray levels; each becomes one DC-only MCU
+    (constant blocks have zero AC energy, and even levels quantize by the
+    uniform q=16 table without remainder — DCT-exact, so the decoder must
+    reproduce the levels bit-for-bit). Emits spec-correct DQT/SOF0/DHT/SOS
+    segments with canonical Huffman tables the decoder reads back."""
+    blocks = np.asarray(blocks, dtype=np.int64)
+    by, bx = blocks.shape
+    if ((blocks & 1) != 0).any() or blocks.min() < 0 or blocks.max() > 254:
+        raise ValueError("levels must be even in [0, 254]")
+    h, w = by * 8, bx * 8
+    # canonical DC table (T.81 Annex K luminance): categories 0..11
+    dc_bits = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+    dc_vals = list(range(12))
+    # one-symbol AC table: EOB = code '0'
+    ac_bits = [1] + [0] * 15
+    ac_vals = [0x00]
+
+    def enc_map(bits, values):
+        out = {}
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                out[values[k]] = (length, code)
+                k += 1
+                code += 1
+            code <<= 1
+        return out
+
+    edc, eac = enc_map(dc_bits, dc_vals), enc_map(ac_bits, ac_vals)
+    acc = 0
+    nbits = 0
+    body = bytearray()
+
+    def emit(val, n):
+        nonlocal acc, nbits
+        acc = (acc << n) | val
+        nbits += n
+        while nbits >= 8:
+            nbits -= 8
+            byte = (acc >> nbits) & 0xFF
+            body.append(byte)
+            if byte == 0xFF:
+                body.append(0x00)  # byte stuffing
+
+    pred = 0
+    for yb in range(by):
+        for xb in range(bx):
+            dc = 8 * (int(blocks[yb, xb]) - 128) // 16  # exact: level even
+            diff = dc - pred
+            pred = dc
+            t = abs(diff).bit_length()
+            length, code = edc[t]
+            emit(code, length)
+            if t:
+                emit(diff if diff > 0 else diff + (1 << t) - 1, t)
+            length, code = eac[0x00]
+            emit(code, length)  # EOB
+    if nbits:
+        emit((1 << (8 - nbits)) - 1, 8 - nbits)  # pad with 1s
+
+    qtab = bytes([16] * 64)
+    dqt = b"\xff\xdb" + struct.pack(">H", 2 + 65) + b"\x00" + qtab
+    sof = (
+        b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+        + struct.pack(">HH", h, w) + b"\x01" + bytes([1, 0x11, 0])
+    )
+    dht = (
+        b"\xff\xc4"
+        + struct.pack(">H", 2 + 1 + 16 + len(dc_vals) + 1 + 16 + len(ac_vals))
+        + b"\x00" + bytes(dc_bits) + bytes(dc_vals)
+        + b"\x10" + bytes(ac_bits) + bytes(ac_vals)
+    )
+    sos = b"\xff\xda" + struct.pack(">H", 8) + b"\x01" + bytes([1, 0x00, 0, 63, 0])
+    return b"\xff\xd8" + dqt + sof + dht + sos + bytes(body) + b"\xff\xd9"

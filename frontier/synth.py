@@ -850,3 +850,32 @@ def synth_gif_pixel_payloads(docs: DataFrame) -> DataFrame:
             )
 
     return docs.select("doc_id").mapInPandas(build, "doc_id long, payload binary")
+
+
+def synth_jpeg_block_payloads(docs: DataFrame) -> DataFrame:
+    """``documents`` → ``(doc_id, payload binary)`` of REAL baseline
+    grayscale JPEGs made of constant 8×8 blocks with closed-form levels:
+
+        blocks_x = 1 + doc_id % 3, blocks_y = 1 + doc_id % 2
+        level(xb, yb) = 2 * ((doc_id*31 + yb*7 + xb*3) % 128)
+
+    Constant blocks are DCT-exact (DC-only, even levels divide the q=16
+    table), so the REAL Huffman+IDCT decoder must reproduce the levels
+    bit-for-bit — closed-form oracle territory despite JPEG being lossy in
+    general."""
+    from .multimodal import encode_jpeg_gray_blocks
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            payloads = []
+            for doc_id in batch["doc_id"]:
+                i = int(doc_id)
+                bx, by = 1 + i % 3, 1 + i % 2
+                yb, xb = np.meshgrid(np.arange(by), np.arange(bx), indexing="ij")
+                blocks = 2 * ((i * 31 + yb * 7 + xb * 3) % 128)
+                payloads.append(encode_jpeg_gray_blocks(blocks))
+            yield pd.DataFrame(
+                {"doc_id": batch["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    return docs.select("doc_id").mapInPandas(build, "doc_id long, payload binary")

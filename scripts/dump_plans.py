@@ -75,6 +75,7 @@ AUDITED = {
     "media_wav_pcm_stats": "shuffle-free mapInPandas REAL PCM decode; same single-stage shape",
     "media_png_pixel_stats": "shuffle-free mapInPandas REAL PNG decode (zlib + filter inversion); same single-stage shape",
     "media_gif_pixel_stats": "shuffle-free mapInPandas REAL GIF decode (hand-rolled variable-width LZW + palette); same single-stage shape",
+    "media_jpeg_pixel_stats": "shuffle-free mapInPandas REAL baseline JPEG decode (Huffman + IDCT, DCT-exact payloads); same single-stage shape",
     "dedup_incremental_minhash": "history probe = ONE (j,mh) equi-join against the persisted index (InMemoryTableScan of mh_sigs, no recompute); Jaccard verify joins candidate ids back on 8-byte shingle hashes only",
 }
 

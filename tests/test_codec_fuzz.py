@@ -125,3 +125,39 @@ def test_gif_decoder_never_raises(blob):
     decode_gif_pixels(blob)
     decode_gif_pixels(b"GIF89a" + blob)
     decode_gif_pixels(b"GIF87a\x08\x00\x06\x00\x80\x00\x00" + blob)
+
+
+def test_jpeg_roundtrip_constant_blocks():
+    """Random even-level constant-block grids decode bit-exactly through
+    the REAL Huffman/IDCT path (DCT-exact by construction), across DC
+    diffs of both signs and multi-block Huffman bitstreams."""
+    from frontier.multimodal import decode_jpeg_pixels, encode_jpeg_gray_blocks
+
+    rng = np.random.default_rng(21)
+    for bx, by in ((1, 1), (4, 3), (7, 2), (2, 6)):
+        blocks = (rng.integers(0, 128, size=(by, bx)) * 2).astype(np.int64)
+        out = decode_jpeg_pixels(encode_jpeg_gray_blocks(blocks))
+        assert out is not None and out.shape == (by * 8, bx * 8, 3)
+        expanded = np.repeat(np.repeat(blocks, 8, 0), 8, 1)
+        assert (out[:, :, 0] == expanded).all()
+        assert (out[:, :, 1] == out[:, :, 0]).all()
+        assert (out[:, :, 2] == out[:, :, 0]).all()
+
+
+def test_jpeg_decoder_rejects_out_of_scope():
+    from frontier.multimodal import build_image_payload, decode_jpeg_pixels
+
+    # build_image_payload jpegs have no DQT/DHT/SOS: honest None
+    assert decode_jpeg_pixels(build_image_payload("jpeg", 16, 16, b"x")) is None
+    assert decode_jpeg_pixels(b"") is None
+    assert decode_jpeg_pixels(b"\xff\xd8\xff\xd9") is None
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(max_size=400))
+def test_jpeg_decoder_never_raises(blob):
+    from frontier.multimodal import decode_jpeg_pixels
+
+    decode_jpeg_pixels(blob)
+    decode_jpeg_pixels(b"\xff\xd8" + blob)
+    decode_jpeg_pixels(b"\xff\xd8\xff\xdb\x00\x43\x00" + bytes(64) + blob)
