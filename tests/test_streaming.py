@@ -488,3 +488,43 @@ def test_stream_adaptive_budgets_latency_rung(spark, tmp_path):
     got = {r.host: r for r in spark.sql("SELECT * FROM lat_sink").collect()}
     assert got["h3.example.com"].n_slow == 2
     assert got["h3.example.com"].next_budget == 8
+
+
+def test_media_kernels_run_on_streams(spark, tmp_path):
+    """The multimodal decode kernels are stateless mapInPandas stages, so
+    they run UNCHANGED on a streaming source: land real BMP + WAV payloads
+    in a landing zone, readStream them, and drive image_pixel_stats /
+    audio_pcm_stats through an availableNow drain — same rows as batch."""
+    import numpy as np
+
+    from frontier.multimodal import (
+        audio_pcm_stats, build_wav_payload, encode_bmp, image_pixel_stats,
+    )
+
+    px = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    samples = np.array([7, -7, 7, -7], dtype="<i2")
+    landing = str(tmp_path / "media_landing")
+    spark.createDataFrame(
+        [
+            (1, bytearray(encode_bmp(px))),
+            (2, bytearray(build_wav_payload(1, 8000, 16, 4, data=samples.tobytes()))),
+        ],
+        "doc_id long, payload binary",
+    ).coalesce(1).write.mode("append").parquet(landing)
+
+    stream = (
+        spark.readStream.schema("doc_id long, payload binary").parquet(landing)
+    )
+    run_available_now(
+        image_pixel_stats(stream), str(tmp_path / "ck_px"), "px_sink"
+    )
+    run_available_now(
+        audio_pcm_stats(stream), str(tmp_path / "ck_pcm"), "pcm_sink"
+    )
+
+    px_rows = spark.sql("SELECT * FROM px_sink").collect()
+    assert len(px_rows) == 1 and px_rows[0].doc_id == 1
+    assert px_rows[0].sum_r == int(px[:, :, 0].sum())
+    pcm_rows = spark.sql("SELECT * FROM pcm_sink").collect()
+    assert len(pcm_rows) == 1 and pcm_rows[0].doc_id == 2
+    assert pcm_rows[0].zero_crossings == 3
