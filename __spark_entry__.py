@@ -682,6 +682,145 @@ ORDER BY doc_id
 """
 
 
+def _media_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual difference-hash (dHash) over REAL decoded pixels: the
+    standard image near-dup key at corpus scale, emitted as four 16-bit
+    Hamming-LSH bands. Every stage is deterministic integer arithmetic
+    (floor-mapped 9x8 resample, (r+g+b)//3 gray, adjacent-pixel
+    comparisons), so the oracle re-derives all 64 bits from the synth
+    pixel formula — a decoder or hasher that mishandles orientation,
+    padding, or bit packing cannot match."""
+    from frontier.multimodal import image_dhash
+    from frontier.synth import synth_bmp_neardup_payloads
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return image_dhash(synth_bmp_neardup_payloads(docs)).orderBy("doc_id")
+
+
+# synth_bmp_neardup_payloads: base = doc - doc%3, delta = (doc%3)*2,
+# w = 4 + base%5, h = 3 + base%4, pixel(x,y)[c] = (base*31+y*7+x*3+c*5+delta)
+# % 256. dHash grid source pixel: sx = (gx*w)//9, sy = (gy*h)//8.
+_DHASH_CTES = """
+dims AS (
+    SELECT doc_id,
+           doc_id - doc_id % 3 AS base,
+           (doc_id % 3) * 2 AS delta,
+           4 + (doc_id - doc_id % 3) % 5 AS w,
+           3 + (doc_id - doc_id % 3) % 4 AS h
+    FROM documents
+),
+grid AS (
+    SELECT d.doc_id, gx.x AS gx, gy.y AS gy,
+           d.base * 31 + ((gy.y * d.h) // 8) * 7
+             + ((gx.x * d.w) // 9) * 3 + d.delta AS k
+    FROM dims d, range(0, 9) gx(x), range(0, 8) gy(y)
+),
+gray AS (
+    SELECT doc_id, gx, gy,
+           ((k % 256) + ((k + 5) % 256) + ((k + 10) % 256)) // 3 AS g
+    FROM grid
+),
+bits AS (
+    SELECT a.doc_id, a.gy, a.gx,
+           CASE WHEN b.g > a.g THEN 1 ELSE 0 END AS bit
+    FROM gray a
+    JOIN gray b ON b.doc_id = a.doc_id AND b.gy = a.gy AND b.gx = a.gx + 1
+    WHERE a.gx < 8
+),
+img_dh AS (
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN gy < 2 THEN bit * (1 << ((gy % 2) * 8 + gx))
+                         ELSE 0 END) AS BIGINT) AS b0,
+           CAST(SUM(CASE WHEN gy >= 2 AND gy < 4
+                         THEN bit * (1 << ((gy % 2) * 8 + gx))
+                         ELSE 0 END) AS BIGINT) AS b1,
+           CAST(SUM(CASE WHEN gy >= 4 AND gy < 6
+                         THEN bit * (1 << ((gy % 2) * 8 + gx))
+                         ELSE 0 END) AS BIGINT) AS b2,
+           CAST(SUM(CASE WHEN gy >= 6 THEN bit * (1 << ((gy % 2) * 8 + gx))
+                         ELSE 0 END) AS BIGINT) AS b3
+    FROM bits GROUP BY doc_id
+)
+"""
+
+_MEDIA_DHASH_ORACLE = (
+    "WITH "
+    + _DHASH_CTES
+    + "SELECT doc_id, b0, b1, b2, b3 FROM img_dh ORDER BY doc_id"
+)
+
+# Banded-Hamming pairing tail over the img_dh hash table — identical
+# scheme to dedup_simhash_hamming (4 bands, pigeonhole full recall at
+# distance <= 3, bucket cap against degenerate flat images), applied to
+# the perceptual hash. {hk} formats to the engine's xor-popcount.
+_DHASH_PAIRS_TAIL = """
+bands AS (
+    SELECT doc_id, b0, b1, b2, b3, band,
+           CASE band WHEN 0 THEN b0 WHEN 1 THEN b1
+                     WHEN 2 THEN b2 ELSE b3 END AS bval
+    FROM img_dh
+    CROSS JOIN (SELECT 0 AS band UNION ALL SELECT 1
+                UNION ALL SELECT 2 UNION ALL SELECT 3) bs
+),
+buckets AS (
+    SELECT band, bval FROM bands
+    GROUP BY band, bval HAVING COUNT(*) BETWEEN 2 AND 256
+),
+inb AS (
+    SELECT d.doc_id, d.b0, d.b1, d.b2, d.b3, d.band, d.bval
+    FROM bands d JOIN buckets u ON d.band = u.band AND d.bval = u.bval
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.b0 AS a0, a.b1 AS a1, a.b2 AS a2, a.b3 AS a3,
+           b.b0 AS c0, b.b1 AS c1, b.b2 AS c2, b.b3 AS c3
+    FROM inb a JOIN inb b
+      ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST({h0} + {h1} + {h2} + {h3} AS BIGINT) AS hamming
+FROM cand
+WHERE {h0} + {h1} + {h2} + {h3} <= 3
+ORDER BY doc_a, doc_b
+"""
+
+
+def _dedup_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs: REAL pixel decode → dHash → 4x16-bit
+    banded Hamming LSH → xor-popcount verify at distance <= 3. The image
+    analogue of ``dedup_simhash_hamming``: candidate generation is a
+    (band, value) equi-join on compact int keys — no all-pairs work, no
+    pixels past the hash kernel — so the plan holds at 10^10 images. The
+    hash table is localCheckpointed: it is referenced three times
+    downstream (buckets + both self-join sides) and multi-referenced
+    views defeat cache substitution (the pagerank_fetch_plan pathology),
+    which here would re-run the decode kernel per reference."""
+    from frontier.multimodal import image_dhash
+    from frontier.synth import synth_bmp_neardup_payloads
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    hashes = image_dhash(synth_bmp_neardup_payloads(docs)).localCheckpoint(
+        eager=True
+    )
+    hashes.createOrReplaceTempView("img_dh")
+    return spark.sql(
+        "WITH "
+        + _DHASH_PAIRS_TAIL.format(
+            **{f"h{k}": f"bit_count(a{k} ^ c{k})" for k in range(4)}
+        )
+    )
+
+
+_DEDUP_DHASH_ORACLE = (
+    "WITH "
+    + _DHASH_CTES
+    + ","
+    + _DHASH_PAIRS_TAIL.format(
+        **{f"h{k}": f"bit_count(xor(a{k}, c{k}))" for k in range(4)}
+    )
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         name: qd.build for name, qd in REGISTRY.items()
@@ -702,6 +841,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["media_gif_pixel_stats"] = _media_gif_pixel_stats
     out["media_jpeg_pixel_stats"] = _media_jpeg_pixel_stats
     out["media_wav_pcm_stats"] = _media_wav_pcm_stats
+    out["media_image_dhash"] = _media_image_dhash
+    out["dedup_image_dhash"] = _dedup_image_dhash
     return out
 
 
@@ -724,4 +865,6 @@ def oracle_sql() -> dict[str, str]:
     out["media_gif_pixel_stats"] = _MEDIA_GIF_PIXEL_ORACLE
     out["media_jpeg_pixel_stats"] = _MEDIA_JPEG_PIXEL_ORACLE
     out["media_wav_pcm_stats"] = _MEDIA_WAV_PCM_ORACLE
+    out["media_image_dhash"] = _MEDIA_DHASH_ORACLE
+    out["dedup_image_dhash"] = _DEDUP_DHASH_ORACLE
     return out

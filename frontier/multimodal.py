@@ -761,6 +761,24 @@ def decode_wav_samples(payload: bytes):
     return None
 
 
+def decode_image_pixels(blob: bytes):
+    """Decode cascade across every REAL library-free image decoder
+    (24-bit BMP → 8-bit truecolor PNG → GIF → baseline grayscale JPEG).
+    Returns an ``(h, w, 3)`` uint8 RGB array with y measured from the TOP,
+    or None when no real decoder covers the payload (callers skip the row
+    or fall back to the stub path)."""
+    for decode in (
+        decode_bmp_pixels,
+        decode_png_pixels,
+        decode_gif_pixels,
+        decode_jpeg_pixels,
+    ):
+        px = decode(blob)
+        if px is not None:
+            return px
+    return None
+
+
 PIXEL_STATS_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -791,13 +809,7 @@ def image_pixel_stats(media: DataFrame) -> DataFrame:
             rows = []
             for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
                 blob = bytes(payload) if payload is not None else b""
-                px = decode_bmp_pixels(blob)
-                if px is None:
-                    px = decode_png_pixels(blob)
-                if px is None:
-                    px = decode_gif_pixels(blob)
-                if px is None:
-                    px = decode_jpeg_pixels(blob)
+                px = decode_image_pixels(blob)
                 if px is None:
                     continue
                 h, w = px.shape[:2]
@@ -831,6 +843,72 @@ def image_pixel_stats(media: DataFrame) -> DataFrame:
     return media.select("doc_id", "payload").mapInPandas(
         run, PIXEL_STATS_SCHEMA
     )
+
+
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("b0", T.LongType()),
+        T.StructField("b1", T.LongType()),
+        T.StructField("b2", T.LongType()),
+        T.StructField("b3", T.LongType()),
+    ]
+)
+
+
+def image_dhash(media: DataFrame) -> DataFrame:
+    """``(doc_id, payload)`` → 64-bit difference-hash (dHash) of the REAL
+    decoded pixels, emitted as four 16-bit band values ready for banded
+    Hamming LSH — the standard perceptual-hash near-dup key for image
+    corpora (the shape LAION-scale pipelines use for image dedup).
+
+    Deterministic integer spec (so a SQL oracle recomputes it exactly):
+
+    - decode via :func:`decode_image_pixels` (any of the four real
+      library-free decoders); undecodable payloads yield no row
+    - resample to a 9x8 grid with :func:`resize_nearest`
+      (``src = (dst * src_dim) // dst_dim`` floor mapping)
+    - integer grayscale ``(r + g + b) // 3``
+    - ``bit[row, col] = gray[row, col+1] > gray[row, col]`` for col 0..7,
+      global bit position ``row * 8 + col``
+    - band ``j`` packs rows ``2j`` and ``2j+1``: value =
+      ``sum(bit << ((row % 2) * 8 + col))`` — 16 bits per band
+
+    Two images within Hamming distance d share at least one identical
+    band whenever d <= 3 (pigeonhole over 4 bands), so a (band, value)
+    equi-join finds every such pair with no all-pairs work — identical
+    banding scheme to ``dedup_simhash_hamming``, applied to pixels.
+    Shuffle-free ``mapInPandas``; payload bytes never leave the executor."""
+    col_w = np.arange(8, dtype=np.int64)[None, :]
+    row_w = (np.arange(8, dtype=np.int64)[:, None] % 2) * 8
+    weights = np.int64(1) << (row_w + col_w)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                blob = bytes(payload) if payload is not None else b""
+                px = decode_image_pixels(blob)
+                if px is None:
+                    continue
+                grid = resize_nearest(px, 9, 8).astype(np.int64)
+                gray = grid.sum(axis=2) // 3
+                bits = (gray[:, 1:] > gray[:, :-1]).astype(np.int64)
+                vals = bits * weights
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "b0": int(vals[0:2].sum()),
+                        "b1": int(vals[2:4].sum()),
+                        "b2": int(vals[4:6].sum()),
+                        "b3": int(vals[6:8].sum()),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "b0", "b1", "b2", "b3"]
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(run, DHASH_SCHEMA)
 
 
 PCM_STATS_SCHEMA = T.StructType(

@@ -754,6 +754,47 @@ def synth_bmp_pixel_payloads(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(build, "doc_id long, payload binary")
 
 
+def synth_bmp_neardup_payloads(docs: DataFrame) -> DataFrame:
+    """``documents`` → ``(doc_id, payload binary)`` of REAL 24-bit BMPs in
+    planted NEAR-DUPLICATE groups for the perceptual-hash dedup queries —
+    every pixel closed-form so a SQL oracle can re-derive the dHash bands
+    exactly:
+
+        base          = doc_id - doc_id % 3     (groups of <= 3 variants)
+        delta         = (doc_id % 3) * 2        (uniform brightness shift)
+        width         = 4 + base % 5
+        height        = 3 + base % 4
+        pixel(x,y)[c] = (base*31 + y*7 + x*3 + c*5 + delta) % 256
+
+    Variants of one base share dimensions and differ only by the uniform
+    ``delta``, which leaves most adjacent-pixel gray comparisons (the
+    dHash bits) unchanged — except where the mod-256 wraparound flips an
+    inequality, perturbing a few low-margin bits. That yields genuine
+    NEAR (not just exact) duplicate pairs at small Hamming distance,
+    exercising the banded-LSH recall path end-to-end."""
+    from .multimodal import encode_bmp
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            payloads = []
+            for doc_id in batch["doc_id"]:
+                i = int(doc_id)
+                base, delta = i - i % 3, (i % 3) * 2
+                w, h = 4 + base % 5, 3 + base % 4
+                y, x, c = np.meshgrid(
+                    np.arange(h), np.arange(w), np.arange(3), indexing="ij"
+                )
+                px = (
+                    (base * 31 + y * 7 + x * 3 + c * 5 + delta) % 256
+                ).astype(np.uint8)
+                payloads.append(encode_bmp(px))
+            yield pd.DataFrame(
+                {"doc_id": batch["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    return docs.select("doc_id").mapInPandas(build, "doc_id long, payload binary")
+
+
 def synth_pcm_payloads(docs: DataFrame) -> DataFrame:
     """``documents`` → ``(doc_id, payload binary)`` of REAL 16-bit mono PCM
     WAVs with closed-form samples, so a SQL oracle can re-derive the

@@ -510,3 +510,51 @@ def test_resize_image_real_png_path():
     for y in range(3):
         for x in range(4):
             assert (back[y, x] == a[2 * y, 2 * x]).all()
+
+
+def test_image_dhash_kernel_exact_bits(spark):
+    """image_dhash over a hand-built BMP: recompute the 64 dHash bits in
+    plain Python (floor-mapped 9x8 resample, integer gray, right>left
+    comparisons, 16-bit row-pair bands) and demand exact band values."""
+    import numpy as np
+    from frontier.multimodal import encode_bmp, image_dhash
+
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_bmp(a))), (2, bytearray(b"junk"))],
+        "doc_id long, payload binary",
+    )
+    rows = image_dhash(df).collect()
+    assert len(rows) == 1  # undecodable payload yields no row
+    h, w = a.shape[:2]
+    gray = [
+        [int(a[(gy * h) // 8, (gx * w) // 9].astype(int).sum()) // 3
+         for gx in range(9)]
+        for gy in range(8)
+    ]
+    bands = [0, 0, 0, 0]
+    for gy in range(8):
+        for gx in range(8):
+            if gray[gy][gx + 1] > gray[gy][gx]:
+                bands[gy // 2] |= 1 << ((gy % 2) * 8 + gx)
+    r = rows[0]
+    assert (r.b0, r.b1, r.b2, r.b3) == tuple(bands)
+
+
+def test_image_dhash_neardup_invariance(spark):
+    """The planted near-dup payloads (uniform brightness shift) hash to
+    identical dHash bands — the property the dedup_image_dhash pairing
+    relies on — while an unrelated base image differs."""
+    from frontier.multimodal import image_dhash
+    from frontier.synth import synth_bmp_neardup_payloads
+
+    docs = spark.createDataFrame(
+        [(i,) for i in (0, 1, 2, 3)], "doc_id long"
+    )
+    rows = {
+        r.doc_id: (r.b0, r.b1, r.b2, r.b3)
+        for r in image_dhash(synth_bmp_neardup_payloads(docs)).collect()
+    }
+    assert rows[0] == rows[1] == rows[2]  # same base, brightness variants
+    assert len(rows) == 4
