@@ -6648,3 +6648,149 @@ _register(
             "verify; history dup beats batch dup",
     ),
 )
+
+
+# OPIC (Abiteboul, Preda & Cobena, WWW 2003 "Adaptive On-Line Page
+# Importance Computation"): the on-line counterpart to PageRank that real
+# crawlers (e.g. Apache Nutch's OPIC scoring) used to prioritize fetches
+# WITHOUT rerunning a full power iteration over the whole graph. Each node
+# carries (cash, history): a visited node banks its cash into history and
+# distributes it equally to its successors; dangling nodes hand their cash
+# to a VIRTUAL node that redistributes uniformly, so total cash is conserved
+# (modulo deterministic floor-division dust) and link-poor regions still get
+# re-crawl pressure. Importance estimate after k rounds = history + cash;
+# the CRAWL signal is `cash` itself — cash accumulated since last visit is
+# exactly "how much new importance evidence arrived", so the fetch queue
+# orders by cash desc (Nutch's "OPIC score").
+#
+# This is the synchronous batch variant (every node distributes each round)
+# over the same deterministic host graph as host_pagerank: one join + one
+# map-side-combinable aggregation per round over compact (id, cash, hist)
+# triples — bodies/text never enter the loop, so at 10^9 hosts each round
+# shuffles ~24 bytes/host. INTEGER arithmetic end-to-end (1e-12 units,
+# floor division): bit-identical results regardless of partitioning or
+# aggregation order, same rationale as host_pagerank. The Spark side loops
+# the DataFrame (persisting each round's state — the state is referenced
+# three times per round, so leaving it lazy would re-inline the whole
+# prefix 3^k times); the oracle unrolls the identical rounds as CTEs.
+_OPIC_ROUNDS = 5
+_OPIC_HANDLES: dict[str, DataFrame] = {}
+
+
+def _opic_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    for h in _OPIC_HANDLES.values():
+        h.unpersist()
+    _OPIC_HANDLES.clear()
+    _load(spark, sf_dir, "documents")
+    base = spark.sql(
+        "WITH " + _PR_GRAPH_SQL.format(mod=_PR_MOD)
+        + "SELECT e.src, e.dst, d.deg FROM edges e JOIN outdeg d ON d.id = e.src"
+    ).persist()
+    nodes = (
+        base.select(F.col("src").alias("id"))
+        .union(base.select(F.col("dst").alias("id")))
+        .distinct()
+        .persist()
+    )
+    outdeg = base.select(F.col("src").alias("id"), "deg").distinct()
+    _OPIC_HANDLES["base"] = base
+    _OPIC_HANDLES["nodes"] = nodes
+    cnt = nodes.agg(F.count("*").alias("n"))
+    state = (
+        nodes.crossJoin(cnt)
+        .select(
+            "id",
+            (F.lit(_PR_SCALE) / F.col("n")).cast("bigint").alias("cash"),
+            F.lit(0).cast("bigint").alias("hist"),
+            "n",
+        )
+        .persist()
+    )
+    _OPIC_HANDLES["state0"] = state
+    for k in range(_OPIC_ROUNDS):
+        # successors receive floor(cash/deg) each; map-side combinable
+        contrib = (
+            base.join(state.select(F.col("id").alias("src"), "cash"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.floor(F.col("cash") / F.col("deg"))).alias("contrib"))
+        )
+        # dangling nodes (no out-edges) bank their cash with the virtual node
+        virtual = (
+            state.join(outdeg, "id", "left_anti")
+            .agg(F.coalesce(F.sum("cash"), F.lit(0)).alias("vcash"))
+        )
+        new_state = (
+            state.crossJoin(virtual)
+            .join(contrib, "id", "left")
+            .select(
+                "id",
+                (
+                    F.coalesce("contrib", F.lit(0))
+                    + F.floor(F.col("vcash") / F.col("n"))
+                ).cast("bigint").alias("cash"),
+                (F.col("hist") + F.col("cash")).cast("bigint").alias("hist"),
+                "n",
+            )
+            # eager lineage truncation: the state feeds three consumers next
+            # round (contrib join, dangling scan, hist carry), so a lazy
+            # plan re-inlines the whole prefix 3^k times — Catalyst planning
+            # alone OOMs the driver by round 5. The state is ~24 bytes/host;
+            # checkpointing it per round is the scale-correct shape too.
+            .localCheckpoint(eager=True)
+        )
+        state = new_state
+    return state.select(
+        F.col("id").alias("host_id"),
+        F.col("cash").alias("cash_units"),
+        F.col("hist").alias("hist_units"),
+        (F.col("hist") + F.col("cash")).cast("bigint").alias("importance_units"),
+    ).orderBy("host_id")
+
+
+def _opic_oracle() -> str:
+    parts = ["WITH " + _PR_GRAPH_SQL.format(mod=_PR_MOD)]
+    parts.append(
+        f", opic0 AS (SELECT id, {_PR_SCALE} // (SELECT n FROM cnt) AS cash,"
+        " CAST(0 AS BIGINT) AS hist FROM nodes)"
+    )
+    for k in range(_OPIC_ROUNDS):
+        parts.append(f""",
+opic{k + 1} AS (
+    SELECT n.id,
+           COALESCE(s.contrib, 0)
+           + (SELECT COALESCE(SUM(p.cash), 0)
+              FROM opic{k} p LEFT JOIN outdeg d ON d.id = p.id
+              WHERE d.deg IS NULL) // c.n AS cash,
+           p0.hist + p0.cash AS hist
+    FROM nodes n CROSS JOIN cnt c
+    JOIN opic{k} p0 ON p0.id = n.id
+    LEFT JOIN (
+        SELECT e.dst AS id, SUM(p.cash // d.deg) AS contrib
+        FROM edges e
+        JOIN opic{k} p ON p.id = e.src
+        JOIN outdeg d ON d.id = e.src
+        GROUP BY e.dst
+    ) s ON s.id = n.id
+)""")
+    parts.append(f"""
+SELECT id AS host_id,
+       CAST(cash AS BIGINT) AS cash_units,
+       CAST(hist AS BIGINT) AS hist_units,
+       CAST(hist + cash AS BIGINT) AS importance_units
+FROM opic{_OPIC_ROUNDS} ORDER BY host_id""")
+    return "".join(parts)
+
+
+_register(
+    "host_opic_priority",
+    QueryDef(
+        build=_opic_build,
+        oracle=_opic_oracle(),
+        doc="OPIC adaptive crawl importance (Abiteboul et al. WWW'03): "
+            "synchronous cash/history rounds with virtual-node dangling "
+            "redistribution, exact integer arithmetic; fetch priority = "
+            "cash accumulated since last visit",
+    ),
+)

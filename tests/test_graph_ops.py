@@ -96,3 +96,28 @@ def test_merge_upsert_classification(spark):
             assert r.latest_ts == incoming[r.url]
         else:
             assert r.latest_ts == existing[r.url]
+
+
+def test_opic_cash_conservation_and_dangling(spark):
+    """OPIC invariants: total mass (hist never decreases, cash stays within
+    the initial grant modulo floor dust), dangling hosts keep receiving
+    cash through the virtual node, and the run is bit-deterministic."""
+    rows = REGISTRY["host_opic_priority"].build(spark, SF_DIR).collect()
+    assert len(rows) == 40
+    # cash is conserved up to floor-division dust: never exceeds the grant
+    total_cash = sum(r.cash_units for r in rows)
+    assert 0 < total_cash <= _PR_SCALE
+    assert total_cash >= _PR_SCALE * 0.80
+    # every host was visited every round -> hist = sum of its past cash > 0
+    assert all(r.hist_units > 0 for r in rows)
+    assert all(
+        r.importance_units == r.hist_units + r.cash_units for r in rows
+    )
+    # the graph has dangling hosts (dst-only); the virtual node must have
+    # routed cash back to them, so no host starves to zero cash
+    assert all(r.cash_units > 0 for r in rows)
+    # cash differentiates hosts (a uniform result would test nothing)
+    assert len({r.cash_units for r in rows}) > 1
+    again = REGISTRY["host_opic_priority"].build(spark, SF_DIR).collect()
+    assert sorted((r.host_id, r.cash_units, r.hist_units) for r in rows) == \
+        sorted((r.host_id, r.cash_units, r.hist_units) for r in again)
