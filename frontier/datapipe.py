@@ -2464,10 +2464,11 @@ ORDER BY doc_id
 _DECON_HANDLES: dict[str, DataFrame] = {}
 
 
-def _decontam_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _decontam_views(spark: SparkSession, sf_dir: str) -> None:
     """Persist the exploded gram table once (a CTE would re-run the
-    md5-transform pipeline for the eval and train sides separately),
-    then broadcast the small distinct-eval-gram side into the probe."""
+    md5-transform pipeline for the eval and train sides separately) and
+    register the ``grams`` / ``eval_grams`` views both decontam variants
+    probe."""
     for h in _DECON_HANDLES.values():
         h.unpersist()
     _DECON_HANDLES.clear()
@@ -2494,6 +2495,10 @@ def _decontam_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.sql(
         f"SELECT DISTINCT gram FROM grams WHERE doc_id % {_DECON_EVAL_MOD} = 0"
     ).createOrReplaceTempView("eval_grams")
+
+
+def _decontam_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _decontam_views(spark, sf_dir)
     return spark.sql(
         # eval_grams is the small side: hint it broadcast so the train-side
         # gram stream never shuffles on the join key.
@@ -6792,5 +6797,56 @@ _register(
             "synchronous cash/history rounds with virtual-node dangling "
             "redistribution, exact integer arithmetic; fetch priority = "
             "cash accumulated since last visit",
+    ),
+)
+
+
+# Scale path for benchmark decontamination (same verdicts as
+# decontam_ngram_overlap, different physical plan): when the eval/blocklist
+# gram set is too large to broadcast as a join hash table (a full eval-suite
+# union is ~10^9 distinct grams; GPT-3's 13-gram blocklist era), the
+# broadcast-hash-join plan dies. This variant probes a Bloom bitmap of the
+# eval grams map-side (`frontier.dedup.make_member_filter`) — bloom-negative
+# train grams (the overwhelming majority) are discarded without ever
+# shuffling — and only the positive slice (~fpp of the stream + true hits)
+# meets the eval-gram table in an exact semi-join. No false negatives by
+# Bloom construction, so the oracle is the EXACT decontam SQL: the driver
+# gate green is the exactness proof (same pattern as url_seen_filter).
+def _decontam_bloom_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from frontier.dedup import make_member_filter
+
+    _decontam_views(spark, sf_dir)
+    eval_grams = spark.table("eval_grams")
+    train = spark.sql(
+        f"SELECT doc_id, gram FROM grams WHERE doc_id % {_DECON_EVAL_MOD} <> 0"
+    )
+    member = make_member_filter(
+        eval_grams,
+        key_col="gram",
+        # sized for the test corpus; at a 10^9-gram blocklist pass the real
+        # count and the flagger auto-shards the bitmap above the broadcast
+        # budget (co-grouped probe, nothing collected or broadcast)
+        expected_keys=200_000,
+        fpp=0.01,
+    )
+    return (
+        member(train)
+        .groupBy("doc_id")
+        .agg(F.count_distinct("gram").alias("n_contaminated_grams"))
+        .orderBy("doc_id")
+    )
+
+
+_register(
+    "decontam_bloom",
+    QueryDef(
+        build=_decontam_bloom_build,
+        oracle=_DECON_ORACLE,
+        doc="decontamination scale path: Bloom-bitmap prefilter over the "
+            "eval gram set (map-side discard, no broadcast hash table) + "
+            "exact semi-join confirm of the positives; oracle = the exact "
+            "overlap SQL, so green == exactness",
     ),
 )

@@ -169,22 +169,20 @@ def build_bloom_shards(
     )
 
 
-def make_unseen_filter(
+def _make_bloom_flagger(
     seen: DataFrame,
-    url_col: str = "url",
-    expected_urls: int = 1_000_000,
-    fpp: float = 0.03,
-    n_shards: int | None = None,
-    salt: bytes = b"frontier",
+    url_col: str,
+    expected_urls: int,
+    fpp: float,
+    n_shards: int | None,
+    salt: bytes,
 ):
-    """Build the Bloom side ONCE and return a reusable
-    ``candidates → unseen-candidates`` closure.
-
-    A crawl applies the seen filter to every wave's pending frontier;
-    rebuilding the bitmap per wave would re-scan the seen table ≤13 times.
-    The broadcast bitmap (or the materialized shard DataFrame) is computed
-    here and reused by every application — the seen table itself is only
-    re-touched by the (small) Bloom-positive anti-join slice."""
+    """Shared core of make_unseen_filter / make_member_filter: build the
+    Bloom side once and return a ``candidates → candidates + _maybe_seen``
+    flagging closure (broadcast bitmap, or sharded co-group above the
+    broadcast budget). ``_maybe_seen`` has no false negatives — a key
+    present in ``seen`` always flags True — so either exact confirmation
+    direction (anti-join the positives, or semi-join them) stays exact."""
     m_bits, k = _bloom_params(expected_urls, fpp)
     if n_shards is None and m_bits // 8 > BROADCAST_BITMAP_BYTES:
         n_shards = max(1, math.ceil((m_bits // 8) / SHARD_BITMAP_BYTES))
@@ -208,7 +206,7 @@ def make_unseen_filter(
         bloom_bc = seen.sparkSession.sparkContext.broadcast(bloom)
         shards = None
 
-    def apply(candidates: DataFrame) -> DataFrame:
+    def flag_df(candidates: DataFrame) -> DataFrame:
         flagged_schema = StructType(
             list(candidates.schema.fields)
             + [StructField("_maybe_seen", BooleanType())]
@@ -248,12 +246,74 @@ def make_unseen_filter(
 
             flagged = candidates.mapInPandas(flag, flagged_schema)
 
+        return flagged
+
+    return flag_df
+
+
+def make_unseen_filter(
+    seen: DataFrame,
+    url_col: str = "url",
+    expected_urls: int = 1_000_000,
+    fpp: float = 0.03,
+    n_shards: int | None = None,
+    salt: bytes = b"frontier",
+):
+    """Build the Bloom side ONCE and return a reusable
+    ``candidates → unseen-candidates`` closure.
+
+    A crawl applies the seen filter to every wave's pending frontier;
+    rebuilding the bitmap per wave would re-scan the seen table ≤13 times.
+    The broadcast bitmap (or the materialized shard DataFrame) is computed
+    here and reused by every application — the seen table itself is only
+    re-touched by the (small) Bloom-positive anti-join slice."""
+    flag_df = _make_bloom_flagger(
+        seen, url_col, expected_urls, fpp, n_shards, salt
+    )
+
+    def apply(candidates: DataFrame) -> DataFrame:
+        flagged = flag_df(candidates)
         fresh = flagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
         suspects = flagged.filter(F.col("_maybe_seen")).drop("_maybe_seen")
         confirmed_new = suspects.join(
             seen.select(F.col(url_col)), url_col, "left_anti"
         )
         return fresh.unionByName(confirmed_new)
+
+    return apply
+
+
+def make_member_filter(
+    members: DataFrame,
+    key_col: str = "url",
+    expected_keys: int = 1_000_000,
+    fpp: float = 0.03,
+    n_shards: int | None = None,
+    salt: bytes = b"frontier",
+):
+    """Positive-side twin of :func:`make_unseen_filter`: a reusable
+    ``candidates → candidates whose key IS in members`` closure, exact.
+
+    The Bloom bitmap stands in for a broadcast hash table when the member
+    set is too big to broadcast (a 10^9-gram benchmark-decontamination
+    blocklist, a 10^10-URL seen set used positively): bloom-negatives are
+    discarded map-side without any join (no false negatives — a member key
+    always flags True), and only the positive slice (~fpp of the stream +
+    true hits) meets the member table in an exact semi-join. The candidate
+    stream is never shuffled on the full key space."""
+    flag_df = _make_bloom_flagger(
+        members, key_col, expected_keys, fpp, n_shards, salt
+    )
+
+    def apply(candidates: DataFrame) -> DataFrame:
+        suspects = (
+            flag_df(candidates)
+            .filter(F.col("_maybe_seen"))
+            .drop("_maybe_seen")
+        )
+        return suspects.join(
+            members.select(F.col(key_col)), key_col, "left_semi"
+        )
 
     return apply
 

@@ -244,3 +244,42 @@ def test_ivf_probe_knobs(spark):
     assert set(best1) <= set(best4)
     assert all(best4[q] >= best1[q] for q in best1)
     assert hits(n_centroids=32, n_probes=2)  # larger-k configuration runs
+
+
+def test_member_filter_exactness_broadcast_and_sharded(spark):
+    """make_member_filter (Bloom prefilter + semi-join confirm) must equal
+    the plain semi-join exactly, on both the broadcast-bitmap and the
+    sharded co-group strategies, at an fpp high enough that bloom false
+    positives genuinely occur (exercising the exact-confirm path)."""
+    from frontier.dedup import build_bloom, make_member_filter
+
+    candidates = spark.createDataFrame(
+        [(f"http://c{i % 700}.com/p{i % 900}", i) for i in range(3000)],
+        "url string, payload long",
+    ).dropDuplicates(["url"])
+    members = spark.createDataFrame(
+        [(f"http://c{i % 500}.com/p{i % 600}",) for i in range(2000)],
+        "url string",
+    ).distinct()
+
+    want = sorted(
+        (r.url, r.payload)
+        for r in candidates.join(members, "url", "left_semi").collect()
+    )
+    for shards in (None, 4):
+        member = make_member_filter(
+            members, expected_keys=256, fpp=0.3, n_shards=shards
+        )
+        got = sorted((r.url, r.payload) for r in member(candidates).collect())
+        assert got == want, f"n_shards={shards}"
+
+    # the tight bloom must fire false positives on this input, or the
+    # semi-join confirm was never exercised
+    bloom = build_bloom(members, "url", 256, 0.3)
+    member_urls = {r.url for r in members.collect()}
+    fp = sum(
+        1
+        for r in candidates.collect()
+        if r.url not in member_urls and bloom.might_contain(r.url)
+    )
+    assert fp > 0
