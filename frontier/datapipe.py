@@ -6850,3 +6850,171 @@ _register(
             "overlap SQL, so green == exactness",
     ),
 )
+
+
+# Distributed BPE merge learning (Sennrich et al. 2016 "Neural Machine
+# Translation of Rare Words with Subword Units" — the byte-pair-encoding
+# training loop behind GPT/Llama-family tokenizers). Classic BPE trains on
+# the DISTINCT-WORD frequency table, not the corpus: tokenize, count words
+# once (map-side combinable; the vocab table is corpus-bounded, ~10^8 rows
+# at 100 TB while the corpus is 10^12 docs), then per round (a) count
+# adjacent token pairs weighted by word frequency, (b) pick the globally
+# most frequent pair (ties broken lexicographically — deterministic), and
+# (c) merge that pair greedily left-to-right inside every word. The merge
+# is the non-trivial distributed step: greedy non-overlapping left-to-right
+# semantics ("aaa" with pair (a,a) -> ["aa","a"]) are exactly "keep the
+# odd-indexed positions of each maximal run of consecutive matches", a
+# gaps-and-islands window computation per word — no UDF, no driver loop
+# over words. Each round costs one explode + one co-partitioned window pass
+# + one reassembly groupBy over the vocab table only.
+#
+# Output = the learned merge table (step, lhs, rhs, merged, pair_count) —
+# the artifact a tokenizer trainer ships. The oracle unrolls the identical
+# rounds as DuckDB CTEs; the Spark side materializes per-round views
+# (expl/best are each read twice per round — left lazy, the prefix would
+# re-inline 2^k times, the same pathology documented at _decontam_views).
+_BPE_ROUNDS = 4
+_BPE_HANDLES: dict[str, DataFrame] = {}
+
+_BPE_WORDS_SPARK = f"""
+SELECT word, COUNT(*) AS cnt,
+       transform(sequence(1, length(word)), i -> substr(word, i, 1)) AS toks
+FROM (SELECT w.word FROM (SELECT {_SPARK_WORDS} AS words FROM documents) d
+      LATERAL VIEW explode(words) w AS word)
+GROUP BY word
+"""
+_BPE_WORDS_DUCK = f"""
+SELECT word, COUNT(*) AS cnt,
+       list_transform(range(1, length(word) + 1),
+                      i -> substr(word, i, 1)) AS toks
+FROM (SELECT unnest(words) AS word
+      FROM (SELECT {_DUCK_WORDS} AS words FROM documents) d)
+GROUP BY word
+"""
+
+_BPE_EXPL_SPARK = """
+SELECT word, cnt, pos, tok,
+       LEAD(tok) OVER (PARTITION BY word ORDER BY pos) AS nxt
+FROM (SELECT word, cnt, pos + 1 AS pos, tok
+      FROM {tok} LATERAL VIEW posexplode(toks) u AS pos, tok)
+"""
+_BPE_EXPL_DUCK = """
+SELECT word, cnt, pos, tok,
+       LEAD(tok) OVER (PARTITION BY word ORDER BY pos) AS nxt
+FROM (SELECT word, cnt, i AS pos, toks[i] AS tok
+      FROM {tok}, unnest(range(1, len(toks) + 1)) AS u(i))
+"""
+
+# globally best pair this round: weight = word frequency
+_BPE_BEST = """
+SELECT tok AS a, nxt AS b, SUM(cnt) AS total
+FROM {expl} WHERE nxt IS NOT NULL
+GROUP BY tok, nxt
+ORDER BY total DESC, a ASC, b ASC LIMIT 1
+"""
+
+# greedy left-to-right merge of (a,b): within each maximal run of
+# consecutive matched positions keep the 1st, 3rd, ... match; a kept match
+# absorbs the following token (prev_kept drops it)
+_BPE_MERGE = """
+SELECT word, cnt, {reasm} AS toks
+FROM (
+  SELECT word, cnt, pos, newtok,
+         LAG(kept) OVER (PARTITION BY word ORDER BY pos) AS prev_kept
+  FROM (
+    SELECT word, cnt, pos,
+           CASE WHEN kept THEN a || b ELSE tok END AS newtok, kept
+    FROM (
+      SELECT word, cnt, pos, tok, a, b, is_m,
+             (is_m AND (ROW_NUMBER() OVER (
+                 PARTITION BY word, is_m, mgrp ORDER BY pos)) % 2 = 1)
+             AS kept
+      FROM (
+        SELECT word, cnt, pos, tok, a, b, is_m,
+               pos - ROW_NUMBER() OVER (
+                   PARTITION BY word, is_m ORDER BY pos) AS mgrp
+        FROM (
+          SELECT e.word, e.cnt, e.pos, e.tok, bst.a, bst.b,
+                 (e.tok = bst.a AND e.nxt = bst.b) AS is_m
+          FROM {expl} e CROSS JOIN {best} bst
+        ) f0
+      ) f1
+    ) f2
+  ) f3
+) f4
+WHERE prev_kept IS NOT TRUE
+GROUP BY word, cnt
+"""
+_BPE_REASM_SPARK = (
+    "transform(array_sort(collect_list(struct(pos, newtok))), s -> s.newtok)"
+)
+_BPE_REASM_DUCK = "list(newtok ORDER BY pos)"
+
+_BPE_FINAL = """
+SELECT step, a AS lhs, b AS rhs, a || b AS merged,
+       CAST(total AS BIGINT) AS pair_count
+FROM ({steps})
+ORDER BY step
+"""
+
+
+def _bpe_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for h in _BPE_HANDLES.values():
+        h.unpersist()
+    _BPE_HANDLES.clear()
+    _load(spark, sf_dir, "documents")
+    tok = spark.sql(_BPE_WORDS_SPARK).persist()
+    tok.createOrReplaceTempView("bpe_tok0")
+    _BPE_HANDLES["tok0"] = tok
+    for r in range(_BPE_ROUNDS):
+        expl = spark.sql(_BPE_EXPL_SPARK.format(tok=f"bpe_tok{r}")).persist()
+        expl.createOrReplaceTempView(f"bpe_expl{r}")
+        _BPE_HANDLES[f"expl{r}"] = expl
+        best = spark.sql(_BPE_BEST.format(expl=f"bpe_expl{r}")).persist()
+        best.createOrReplaceTempView(f"bpe_best{r + 1}")
+        _BPE_HANDLES[f"best{r + 1}"] = best
+        tok = spark.sql(
+            _BPE_MERGE.format(
+                expl=f"bpe_expl{r}",
+                best=f"bpe_best{r + 1}",
+                reasm=_BPE_REASM_SPARK,
+            )
+        ).persist()
+        tok.createOrReplaceTempView(f"bpe_tok{r + 1}")
+        _BPE_HANDLES[f"tok{r + 1}"] = tok
+    steps = " UNION ALL ".join(
+        f"SELECT {r + 1} AS step, a, b, total FROM bpe_best{r + 1}"
+        for r in range(_BPE_ROUNDS)
+    )
+    return spark.sql(_BPE_FINAL.format(steps=steps))
+
+
+def _bpe_oracle() -> str:
+    parts = [f"WITH tok0 AS ({_BPE_WORDS_DUCK})"]
+    for r in range(_BPE_ROUNDS):
+        parts.append(
+            f", expl{r} AS ({_BPE_EXPL_DUCK.format(tok=f'tok{r}')})"
+        )
+        parts.append(f", best{r + 1} AS ({_BPE_BEST.format(expl=f'expl{r}')})")
+        parts.append(
+            f", tok{r + 1} AS ({_BPE_MERGE.format(expl=f'expl{r}', best=f'best{r + 1}', reasm=_BPE_REASM_DUCK)})"
+        )
+    steps = " UNION ALL ".join(
+        f"SELECT {r + 1} AS step, a, b, total FROM best{r + 1}"
+        for r in range(_BPE_ROUNDS)
+    )
+    parts.append(_BPE_FINAL.format(steps=steps))
+    return "".join(parts)
+
+
+_register(
+    "bpe_train_merges",
+    QueryDef(
+        build=_bpe_build,
+        oracle=_bpe_oracle(),
+        doc="distributed BPE tokenizer training (Sennrich et al. 2016): "
+            "4 merge-learning rounds over the distinct-word frequency "
+            "table; greedy left-to-right pair merge as a gaps-and-islands "
+            "window pass, no UDF, vocab-bounded shuffles only",
+    ),
+)

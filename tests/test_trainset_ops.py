@@ -770,3 +770,78 @@ def test_pagerank_fetch_plan_respects_budgets(spark):
     for _, g in out.groupby("host_id"):
         got = sorted(g.fetch_rank)
         assert got == list(range(1, len(got) + 1))
+
+
+def test_bpe_greedy_merge_islands(spark):
+    """The gaps-and-islands merge must implement greedy left-to-right BPE
+    semantics exactly: overlapping matches alternate within a run, kept
+    matches absorb their right neighbor, non-matching words pass through."""
+    from frontier.datapipe import (
+        _BPE_EXPL_SPARK,
+        _BPE_MERGE,
+        _BPE_REASM_SPARK,
+    )
+
+    tok = spark.createDataFrame(
+        [
+            ("aaa", 3, ["a", "a", "a"]),
+            ("aaaa", 2, ["a", "a", "a", "a"]),
+            ("abab", 1, ["a", "b", "a", "b"]),
+            ("xyz", 1, ["x", "y", "z"]),
+            ("a", 1, ["a"]),
+        ],
+        "word string, cnt long, toks array<string>",
+    )
+    tok.createOrReplaceTempView("t_bpe_tok")
+    spark.sql(_BPE_EXPL_SPARK.format(tok="t_bpe_tok")).createOrReplaceTempView(
+        "t_bpe_expl"
+    )
+    spark.createDataFrame(
+        [("a", "a", 5)], "a string, b string, total long"
+    ).createOrReplaceTempView("t_bpe_best")
+    out = {
+        r.word: r.toks
+        for r in spark.sql(
+            _BPE_MERGE.format(
+                expl="t_bpe_expl", best="t_bpe_best", reasm=_BPE_REASM_SPARK
+            )
+        ).collect()
+    }
+    assert out["aaa"] == ["aa", "a"]        # greedy: first pair wins
+    assert out["aaaa"] == ["aa", "aa"]      # alternating within the run
+    assert out["abab"] == ["a", "b", "a", "b"]  # no (a,a) pair present
+    assert out["xyz"] == ["x", "y", "z"]
+    assert out["a"] == ["a"]                # 1-token word untouched
+
+
+def test_bpe_train_merges_contract(spark):
+    """Full training run: one merge per step, merged = lhs||rhs, pair
+    counts positive, deterministic across rebuilds, and step-1 merge is
+    the true argmax adjacent character pair of the corpus word table."""
+    from frontier.datapipe import _BPE_ROUNDS
+
+    rows = REGISTRY["bpe_train_merges"].build(spark, SF_DIR).collect()
+    assert [r.step for r in rows] == list(range(1, _BPE_ROUNDS + 1))
+    assert all(r.merged == r.lhs + r.rhs for r in rows)
+    assert all(r.pair_count > 0 for r in rows)
+
+    # recompute the step-1 argmax pair in plain Python from the documents
+    import re
+    from collections import Counter
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    words = Counter()
+    for d in docs:
+        for w in re.split(r"[^a-z0-9]+", d.text.lower()):
+            if w:
+                words[w] += 1
+    pairs = Counter()
+    for w, c in words.items():
+        for i in range(len(w) - 1):
+            pairs[(w[i], w[i + 1])] += c
+    best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert (rows[0].lhs, rows[0].rhs) == best[0]
+    assert rows[0].pair_count == best[1]
+
+    again = REGISTRY["bpe_train_merges"].build(spark, SF_DIR).collect()
+    assert rows == again
