@@ -6958,7 +6958,10 @@ ORDER BY step
 """
 
 
-def _bpe_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bpe_learn_views(spark: SparkSession, sf_dir: str) -> None:
+    """Run the merge-learning loop, registering per-round views: the
+    learned merges at ``bpe_best{1..K}`` and the per-word tokenization
+    dictionary after all K merges at ``bpe_tok{K}``."""
     for h in _BPE_HANDLES.values():
         h.unpersist()
     _BPE_HANDLES.clear()
@@ -6967,12 +6970,20 @@ def _bpe_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok.createOrReplaceTempView("bpe_tok0")
     _BPE_HANDLES["tok0"] = tok
     for r in range(_BPE_ROUNDS):
-        expl = spark.sql(_BPE_EXPL_SPARK.format(tok=f"bpe_tok{r}")).persist()
+        # eager lineage truncation (not a lazy persist): expl{r} is read
+        # twice per round (best + merge) and tok{r+1} is itself consumed
+        # downstream, so a lazy chain re-inlines the prefix 2^k times —
+        # Catalyst planning alone OOMs the driver by round 4 (same
+        # pathology as the OPIC loop, see _opic_build). The checkpointed
+        # table is the per-round working set the loop recomputes anyway.
+        expl = spark.sql(
+            _BPE_EXPL_SPARK.format(tok=f"bpe_tok{r}")
+        ).localCheckpoint(eager=True)
         expl.createOrReplaceTempView(f"bpe_expl{r}")
-        _BPE_HANDLES[f"expl{r}"] = expl
-        best = spark.sql(_BPE_BEST.format(expl=f"bpe_expl{r}")).persist()
+        best = spark.sql(
+            _BPE_BEST.format(expl=f"bpe_expl{r}")
+        ).localCheckpoint(eager=True)
         best.createOrReplaceTempView(f"bpe_best{r + 1}")
-        _BPE_HANDLES[f"best{r + 1}"] = best
         tok = spark.sql(
             _BPE_MERGE.format(
                 expl=f"bpe_expl{r}",
@@ -6982,6 +6993,10 @@ def _bpe_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).persist()
         tok.createOrReplaceTempView(f"bpe_tok{r + 1}")
         _BPE_HANDLES[f"tok{r + 1}"] = tok
+
+
+def _bpe_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _bpe_learn_views(spark, sf_dir)
     steps = " UNION ALL ".join(
         f"SELECT {r + 1} AS step, a, b, total FROM bpe_best{r + 1}"
         for r in range(_BPE_ROUNDS)
@@ -7016,5 +7031,73 @@ _register(
             "4 merge-learning rounds over the distinct-word frequency "
             "table; greedy left-to-right pair merge as a gaps-and-islands "
             "window pass, no UDF, vocab-bounded shuffles only",
+    ),
+)
+
+
+# BPE ENCODE — the apply side of bpe_train_merges, and the tokenizer-true
+# replacement for the regex estimate in text_bpe_token_count: per-document
+# token counts under the learned merge table. The scale shape is the key
+# design point: merges are NOT applied to the corpus token stream (K window
+# passes over 10^12 docs); they are applied once to the DISTINCT-WORD table
+# (corpus-bounded, the same table the training loop already produces), which
+# yields a word -> subword-tokenization dictionary, and the corpus then
+# meets that dictionary in ONE equi-join on the word key. Per doc:
+# n_bpe_tokens = sum over word occurrences of len(dict[word]). Docs whose
+# token array is empty keep a 0 count via the left join-back.
+_BPE_ENCODE_FINAL = """
+SELECT d.doc_id, CAST(COALESCE(s.n, 0) AS BIGINT) AS n_bpe_tokens
+FROM documents d
+LEFT JOIN (
+    SELECT w.doc_id, SUM({toklen}) AS n
+    FROM ({word_stream}) w
+    JOIN {dict} t ON t.word = w.word
+    GROUP BY w.doc_id
+) s ON s.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+_BPE_WORD_STREAM_SPARK = (
+    "SELECT doc_id, u.word FROM "
+    f"(SELECT doc_id, {_SPARK_WORDS} AS words FROM documents) x "
+    "LATERAL VIEW explode(words) u AS word"
+)
+_BPE_WORD_STREAM_DUCK = (
+    "SELECT doc_id, unnest(words) AS word FROM "
+    f"(SELECT doc_id, {_DUCK_WORDS} AS words FROM documents) x"
+)
+
+
+def _bpe_encode_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _bpe_learn_views(spark, sf_dir)
+    return spark.sql(
+        _BPE_ENCODE_FINAL.format(
+            toklen="size(t.toks)",
+            word_stream=_BPE_WORD_STREAM_SPARK,
+            dict=f"bpe_tok{_BPE_ROUNDS}",
+        )
+    )
+
+
+def _bpe_encode_oracle() -> str:
+    # reuse the training CTE chain, then join the corpus word stream
+    # against the final dictionary
+    learn = _bpe_oracle()
+    prefix = learn[: learn.rindex("\nSELECT step,")]
+    return prefix + _BPE_ENCODE_FINAL.format(
+        toklen="len(t.toks)",
+        word_stream=_BPE_WORD_STREAM_DUCK,
+        dict=f"tok{_BPE_ROUNDS}",
+    )
+
+
+_register(
+    "bpe_encode_corpus",
+    QueryDef(
+        build=_bpe_encode_build,
+        oracle=_bpe_encode_oracle(),
+        doc="BPE apply: per-doc token counts under the learned merges — "
+            "merges applied once to the distinct-word table, corpus joins "
+            "the word->tokens dictionary on the word key (one equi-join, "
+            "no corpus-wide window passes)",
     ),
 )

@@ -77,6 +77,10 @@ AUDITED = {
     "media_gif_pixel_stats": "shuffle-free mapInPandas REAL GIF decode (hand-rolled variable-width LZW + palette); same single-stage shape",
     "media_jpeg_pixel_stats": "shuffle-free mapInPandas REAL baseline JPEG decode (Huffman + IDCT, DCT-exact payloads); same single-stage shape",
     "dedup_incremental_minhash": "history probe = ONE (j,mh) equi-join against the persisted index (InMemoryTableScan of mh_sigs, no recompute); Jaccard verify joins candidate ids back on 8-byte shingle hashes only",
+    "host_opic_priority": "per-round contrib join + partial agg over compact (id,cash,hist) triples; localCheckpoint per round truncates the 3-consumer lineage (plan stays O(1) per round)",
+    "decontam_bloom": "bloom flag map-side (MapInPandas over the gram stream BEFORE any join — the bloom-negative majority never reaches a join operator); only the positive slice meets the exact confirm semi-join (AQE broadcasts it at test scale; at a 10^9-gram eval set it becomes a shuffle of the ~fpp-sized slice, never of the full gram stream)",
+    "bpe_train_merges": "per-round explode + co-partitioned per-word windows over the VOCAB table only (never the corpus); best-pair agg map-side combinable; per-round tables eagerly checkpointed (plan stays O(1) per round)",
+    "bpe_encode_corpus": "merges applied to the distinct-word table once; the corpus word stream meets the word->tokens dictionary in ONE equi-join + per-doc partial agg — no corpus-wide window passes",
 }
 
 

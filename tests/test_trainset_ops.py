@@ -845,3 +845,38 @@ def test_bpe_train_merges_contract(spark):
 
     again = REGISTRY["bpe_train_merges"].build(spark, SF_DIR).collect()
     assert rows == again
+
+
+def test_bpe_encode_matches_python_reapply(spark):
+    """Per-doc BPE token counts must equal a plain-Python re-application
+    of the learned merge list (greedy left-to-right, one pair per step)."""
+    import re
+
+    merges = [
+        (r.lhs, r.rhs)
+        for r in REGISTRY["bpe_train_merges"].build(spark, SF_DIR).collect()
+    ]
+    counts = {
+        r.doc_id: r.n_bpe_tokens
+        for r in REGISTRY["bpe_encode_corpus"].build(spark, SF_DIR).collect()
+    }
+
+    def encode(word: str) -> int:
+        toks = list(word)
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            toks = out
+        return len(toks)
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    assert len(counts) == len(docs)
+    for d in docs:
+        words = [w for w in re.split(r"[^a-z0-9]+", d.text.lower()) if w]
+        assert counts[d.doc_id] == sum(encode(w) for w in words), d.doc_id
