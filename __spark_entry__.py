@@ -453,6 +453,93 @@ ORDER BY url
 """
 
 
+# Engine-shared revisit classification: first capture of each payload
+# digest (by capture time, then URL) stays a full `response` record, every
+# later identical capture becomes a `revisit` referring to it — ISO 28500
+# revisit semantics, the mechanism behind Common Crawl's digest-based
+# storage dedup. One window over (body_md5) — a single hash exchange on
+# the 16-byte digest; payload bytes never shuffle (the digest is computed
+# scan-side and `saved_bytes` is just the already-parsed record length).
+_WARC_REVISIT_SQL = """
+SELECT url, capture_ts, body_md5,
+       CASE WHEN rn = 1 THEN 'response' ELSE 'revisit' END AS record_type,
+       CASE WHEN rn > 1 THEN f_url END AS refers_to_url,
+       CASE WHEN rn > 1 THEN f_ts END AS refers_to_ts,
+       CAST(CASE WHEN rn > 1 THEN n_bytes ELSE 0 END AS BIGINT)
+         AS saved_bytes
+FROM (
+    SELECT url, capture_ts, body_md5, n_bytes,
+           ROW_NUMBER() OVER (PARTITION BY body_md5
+                              ORDER BY capture_ts, url) AS rn,
+           FIRST_VALUE(url) OVER (PARTITION BY body_md5
+                                  ORDER BY capture_ts, url) AS f_url,
+           FIRST_VALUE(capture_ts) OVER (PARTITION BY body_md5
+                                         ORDER BY capture_ts, url) AS f_ts
+    FROM warc_caps
+) x
+ORDER BY url
+"""
+
+
+def _warc_dedup_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC revisit-record dedup (ISO 28500 §6.7.2 revisit /
+    identical-payload-digest — how Common Crawl stores recrawls): a
+    recrawl pass re-captures every 6th document at a shifted id (different
+    URL + later capture time, same text), segments are built and re-parsed
+    through the real WARC walk, and captures sharing a payload digest
+    collapse to one `response` + N `revisit` records pointing at it. The
+    planted WARC/1.0 banner (doc_id % 7) makes some mirrors genuinely
+    NON-duplicate — banner membership differs after the id shift — so the
+    query must classify by actual payload bytes, not by provenance."""
+    from frontier.synth import synth_warc_segments
+    from frontier.warc import warc_records
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.select("doc_id", "text")
+    mirrors = (
+        base.filter(F.col("doc_id") % 6 == 0)
+        .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    recs = warc_records(
+        synth_warc_segments(base.unionByName(mirrors)), responses_only=True
+    )
+    recs.select(
+        "url",
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("capture_ts"),
+        F.md5("html").alias("body_md5"),
+        F.length("html").alias("n_bytes"),
+    ).createOrReplaceTempView("warc_caps")
+    return spark.sql(_WARC_REVISIT_SQL)
+
+
+_WARC_DEDUP_ORACLE = """
+WITH src AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 100000, text FROM documents WHERE doc_id % 6 = 0
+),
+b AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0
+                THEN 'WARC/1.0' || chr(13) || chr(10) || chr(13) || chr(10)
+                ELSE '' END
+             || '<html><body>' || coalesce(text, '') || '</body></html>'
+             AS body
+    FROM src
+),
+warc_caps AS (
+    SELECT 'http://host' || CAST(doc_id % 50 AS VARCHAR)
+             || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+           strftime(TIMESTAMP '2025-01-01 00:00:00'
+                    + INTERVAL 1 SECOND * doc_id,
+                    '%Y-%m-%d %H:%M:%S') AS capture_ts,
+           md5(body) AS body_md5,
+           CAST(strlen(body) AS BIGINT) AS n_bytes
+    FROM b
+)
+""" + _WARC_REVISIT_SQL
+
+
 def _media_bmp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL pixel decode (no image library: uncompressed 24-bit BMP —
     bottom-up rows, 4-byte padding, BGR) over BMPs whose every pixel is
@@ -830,6 +917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["flagship_tree"] = _flagship_gate
     out["media_metadata"] = _media_metadata
     out["warc_ingest"] = _warc_ingest
+    out["warc_dedup_digest"] = _warc_dedup_digest
     out["media_audio_metadata"] = _media_audio_metadata
     out["media_mp3_metadata"] = _media_mp3_metadata
     out["media_resize"] = _media_resize
@@ -853,6 +941,7 @@ def oracle_sql() -> dict[str, str]:
     out["frontier_fetch_plan"] = _FETCH_PLAN_ORACLE
     out["media_metadata"] = _MEDIA_META_ORACLE
     out["warc_ingest"] = _WARC_INGEST_ORACLE
+    out["warc_dedup_digest"] = _WARC_DEDUP_ORACLE
     out["media_audio_metadata"] = _MEDIA_AUDIO_ORACLE
     out["media_mp3_metadata"] = _MEDIA_MP3_ORACLE
     out["media_resize"] = _MEDIA_RESIZE_ORACLE

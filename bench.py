@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "decontam_bloom",
     "bpe_train_merges",
     "bpe_encode_corpus",
+    "warc_dedup_digest",
 ]
 
 

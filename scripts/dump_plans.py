@@ -81,6 +81,7 @@ AUDITED = {
     "decontam_bloom": "bloom flag map-side (MapInPandas over the gram stream BEFORE any join — the bloom-negative majority never reaches a join operator); only the positive slice meets the exact confirm semi-join (AQE broadcasts it at test scale; at a 10^9-gram eval set it becomes a shuffle of the ~fpp-sized slice, never of the full gram stream)",
     "bpe_train_merges": "per-round explode + co-partitioned per-word windows over the VOCAB table only (never the corpus); best-pair agg map-side combinable; per-round tables eagerly checkpointed (plan stays O(1) per round)",
     "bpe_encode_corpus": "merges applied to the distinct-word table once; the corpus word stream meets the word->tokens dictionary in ONE equi-join + per-doc partial agg — no corpus-wide window passes",
+    "warc_dedup_digest": "digest computed scan-side in the record-walk kernel output; ONE window exchange on the 16-byte digest classifies response vs revisit — payload bytes never shuffle",
 }
 
 

@@ -188,3 +188,42 @@ def test_synth_contract_matches_oracle_formulas(spark):
             assert r.etag is None
         assert r.last_modified == r.warc_ts  # synth stamps them equal
         assert r.x_robots == ("noindex" if i % 11 == 0 else None)
+
+
+def test_warc_revisit_dedup_semantics(spark):
+    """Revisit classification: every duplicate-payload capture becomes a
+    `revisit` pointing at the FIRST capture of that digest; mirrors whose
+    banner membership changed under the id shift are genuinely different
+    payloads and must stay `response`."""
+    import __spark_entry__ as e
+
+    rows = e.queries()["warc_dedup_digest"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by_url = {r.url: r for r in rows}
+    n_docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).count()
+    assert len(rows) == n_docs + len(
+        [i for i in range(n_docs) if i % 6 == 0]
+    )
+    for i in range(0, n_docs, 6):
+        m = by_url[f"http://host{(i + 100000) % 50}.example.com/doc/{i + 100000}"]
+        orig = by_url[f"http://host{i % 50}.example.com/doc/{i}"]
+        assert orig.record_type == "response"
+        if i % 7 in (0, 2):
+            # banner flag flips under +100000 (== +5 mod 7): not a dup
+            assert m.record_type == "response"
+            assert m.refers_to_url is None and m.saved_bytes == 0
+        else:
+            assert m.record_type == "revisit"
+            assert m.refers_to_url == orig.url
+            assert m.refers_to_ts == orig.capture_ts
+            assert m.body_md5 == orig.body_md5
+            assert m.saved_bytes > 0
+    # originals are all first captures: no original is ever a revisit
+    assert all(
+        by_url[f"http://host{i % 50}.example.com/doc/{i}"].record_type
+        == "response"
+        for i in range(n_docs)
+    )
