@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "bpe_train_merges",
     "bpe_encode_corpus",
     "warc_dedup_digest",
+    "host_shard_rendezvous",
 ]
 
 

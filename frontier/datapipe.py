@@ -7101,3 +7101,77 @@ _register(
             "no corpus-wide window passes)",
     ),
 )
+
+
+# Rendezvous (HRW) crawler sharding — Thaler & Ravishankar 1998, the
+# host-to-fetcher assignment rule in Mercator-style distributed crawlers:
+# every (host, worker) pair gets a hash score and the host goes to the
+# highest-scoring worker. The property that matters operationally is
+# MINIMAL DISRUPTION: removing a worker reassigns only that worker's hosts
+# (each surviving host's argmax is unchanged), so a fetcher crash never
+# reshuffles the politeness queues of the other fetchers (tested). Scale
+# shape: the Spark side is PURE CODEGEN per host row — the W=16 candidate
+# scores live in one transform(sequence(...)) array expression and
+# array_max picks the (score, worker) struct, so there is no explode, no
+# join, and no shuffle proportional to W; only the presentation window/
+# sort touches an exchange. The oracle reproduces the argmax relationally
+# (explode + row_number) — same result, different (audit-friendly) shape.
+_RENDEZVOUS_WORKERS = 16
+
+_RENDEZVOUS_SPARK = f"""
+WITH hosts AS (
+    SELECT DISTINCT 'h' || CAST(user_id % 20 AS STRING) AS host FROM events
+),
+assigned AS (
+    SELECT host,
+           array_max(transform(sequence(0, {_RENDEZVOUS_WORKERS - 1}),
+               w -> struct(md5(concat(host, ':', CAST(w AS STRING))) AS s,
+                           w))).w AS worker
+    FROM hosts
+)
+SELECT host, CAST(worker AS INT) AS worker,
+       CAST(COUNT(*) OVER (PARTITION BY worker) AS BIGINT) AS hosts_on_worker
+FROM assigned
+ORDER BY host
+"""
+
+_RENDEZVOUS_ORACLE = f"""
+WITH hosts AS (
+    SELECT DISTINCT 'h' || CAST(user_id % 20 AS VARCHAR) AS host FROM events
+),
+scored AS (
+    SELECT h.host, w.w AS worker,
+           md5(h.host || ':' || CAST(w.w AS VARCHAR)) AS s
+    FROM hosts h
+    CROSS JOIN (SELECT unnest(range(0, {_RENDEZVOUS_WORKERS})) AS w) w
+),
+assigned AS (
+    SELECT host, worker FROM (
+        SELECT host, worker,
+               ROW_NUMBER() OVER (PARTITION BY host
+                                  ORDER BY s DESC, worker DESC) AS rn
+        FROM scored
+    ) r WHERE rn = 1
+)
+SELECT host, CAST(worker AS INT) AS worker,
+       CAST(COUNT(*) OVER (PARTITION BY worker) AS BIGINT) AS hosts_on_worker
+FROM assigned
+ORDER BY host
+"""
+
+
+def _rendezvous_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _load(spark, sf_dir, "events")
+    return spark.sql(_RENDEZVOUS_SPARK)
+
+
+_register(
+    "host_shard_rendezvous",
+    QueryDef(
+        build=_rendezvous_build,
+        oracle=_RENDEZVOUS_ORACLE,
+        doc="rendezvous-hash (HRW) crawler sharding: host -> argmax-score "
+            "fetcher as one codegen array expression per host (no explode/"
+            "join); removing a worker moves only that worker's hosts",
+    ),
+)

@@ -82,6 +82,7 @@ AUDITED = {
     "bpe_train_merges": "per-round explode + co-partitioned per-word windows over the VOCAB table only (never the corpus); best-pair agg map-side combinable; per-round tables eagerly checkpointed (plan stays O(1) per round)",
     "bpe_encode_corpus": "merges applied to the distinct-word table once; the corpus word stream meets the word->tokens dictionary in ONE equi-join + per-doc partial agg — no corpus-wide window passes",
     "warc_dedup_digest": "digest computed scan-side in the record-walk kernel output; ONE window exchange on the 16-byte digest classifies response vs revisit — payload bytes never shuffle",
+    "host_shard_rendezvous": "HRW argmax as ONE codegen array expression per host row (transform+array_max): no explode, no join, no W-proportional shuffle; only the presentation window exchanges",
 }
 
 

@@ -283,3 +283,48 @@ def test_member_filter_exactness_broadcast_and_sharded(spark):
         if r.url not in member_urls and bloom.might_contain(r.url)
     )
     assert fp > 0
+
+
+def test_rendezvous_minimal_disruption(spark):
+    """HRW sharding property: with worker 7 removed, every host previously
+    assigned to a surviving worker keeps its assignment — only worker 7's
+    hosts move. Also: assignments match the relational argmax."""
+    from frontier.datapipe import REGISTRY, _RENDEZVOUS_WORKERS
+
+    rows = REGISTRY["host_shard_rendezvous"].build(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assign = {r.host: r.worker for r in rows}
+    assert all(0 <= w < _RENDEZVOUS_WORKERS for w in assign.values())
+    # balance column is consistent with the actual distribution
+    from collections import Counter
+
+    dist = Counter(assign.values())
+    assert all(r.hosts_on_worker == dist[r.worker] for r in rows)
+
+    # remove worker 7: recompute with the candidate filtered out
+    spark.read.parquet(
+        "/root/testdata/sf0.001/events.parquet"
+    ).createOrReplaceTempView("events")
+    survivors = spark.sql(f"""
+        WITH hosts AS (
+            SELECT DISTINCT 'h' || CAST(user_id % 20 AS STRING) AS host
+            FROM events
+        )
+        SELECT host,
+               array_max(transform(
+                   filter(sequence(0, {_RENDEZVOUS_WORKERS - 1}),
+                          w -> w <> 7),
+                   w -> struct(md5(concat(host, ':', CAST(w AS STRING)))
+                               AS s, w))).w AS worker
+        FROM hosts
+    """).collect()
+    reassign = {r.host: r.worker for r in survivors}
+    for host, w in assign.items():
+        if w != 7:
+            assert reassign[host] == w, host
+        else:
+            assert reassign[host] != 7, host
+    # the corpus must actually exercise the property (someone on 7 or not
+    # is fine either way, but assignments must be non-degenerate)
+    assert len(set(assign.values())) > 1
