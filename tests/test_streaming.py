@@ -528,3 +528,49 @@ def test_media_kernels_run_on_streams(spark, tmp_path):
     pcm_rows = spark.sql("SELECT * FROM pcm_sink").collect()
     assert len(pcm_rows) == 1 and pcm_rows[0].doc_id == 2
     assert pcm_rows[0].zero_crossings == 3
+
+
+def test_stream_member_filter_blocklist_gate(spark, tmp_path):
+    """The Bloom member filter runs unchanged on a STREAM: the flagger is a
+    stateless mapInPandas and the exact confirm is a stream-static semi
+    join — the supported shape for gating a fetch stream against a large
+    member set (blocklist, decontamination grams, seen digests). Verdicts
+    must equal the batch path exactly."""
+    from frontier.dedup import make_member_filter
+
+    members = spark.createDataFrame(
+        [(f"http://blocked{i}.example.com/",) for i in range(50)],
+        "url string",
+    )
+    member = make_member_filter(members, expected_keys=64, fpp=0.2)
+
+    rows = [
+        (f"http://blocked{i}.example.com/" if i % 3 == 0
+         else f"http://ok{i}.example.com/",)
+        for i in range(90)
+    ]
+    landing = str(tmp_path / "member_landing")
+    spark.createDataFrame(rows, "url string").coalesce(1).write.mode(
+        "append"
+    ).parquet(landing)
+
+    stream = (
+        spark.readStream.schema("url string").parquet(landing)
+    )
+    out = member(stream)
+    assert out.isStreaming
+    run_available_now(out, str(tmp_path / "ck_member"), "member_sink")
+    got = sorted(
+        r.url for r in spark.sql("SELECT * FROM member_sink").collect()
+    )
+    want = sorted(
+        r.url
+        for r in member(spark.read.parquet(landing)).collect()
+    )
+    assert got == want
+    # and both equal the ground truth: blocked{i} for i % 3 == 0, i < 50
+    assert got == sorted(
+        f"http://blocked{i}.example.com/"
+        for i in range(90)
+        if i % 3 == 0 and i < 50
+    )

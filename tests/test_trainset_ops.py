@@ -880,3 +880,58 @@ def test_bpe_encode_matches_python_reapply(spark):
     for d in docs:
         words = [w for w in re.split(r"[^a-z0-9]+", d.text.lower()) if w]
         assert counts[d.doc_id] == sum(encode(w) for w in words), d.doc_id
+
+
+def test_bpe_merge_exhaustive_two_letter_words(spark):
+    """Exhaustive adversarial check of the gaps-and-islands merge SQL:
+    every word over {a,b} up to length 6 (126 words — every overlap/run
+    pattern that can exist), merged against all four pairs, must equal a
+    plain-Python greedy left-to-right merge."""
+    from itertools import product
+
+    from frontier.datapipe import (
+        _BPE_EXPL_SPARK,
+        _BPE_MERGE,
+        _BPE_REASM_SPARK,
+    )
+
+    words = [
+        "".join(t)
+        for n in range(1, 7)
+        for t in product("ab", repeat=n)
+    ]
+    tok = spark.createDataFrame(
+        [(w, 1, list(w)) for w in words],
+        "word string, cnt long, toks array<string>",
+    )
+    tok.createOrReplaceTempView("x_bpe_tok")
+    spark.sql(_BPE_EXPL_SPARK.format(tok="x_bpe_tok")).createOrReplaceTempView(
+        "x_bpe_expl"
+    )
+
+    def py_merge(toks, a, b):
+        out, i = [], 0
+        while i < len(toks):
+            if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(toks[i])
+                i += 1
+        return out
+
+    for a, b in product("ab", repeat=2):
+        spark.createDataFrame(
+            [(a, b, 1)], "a string, b string, total long"
+        ).createOrReplaceTempView("x_bpe_best")
+        got = {
+            r.word: r.toks
+            for r in spark.sql(
+                _BPE_MERGE.format(
+                    expl="x_bpe_expl", best="x_bpe_best",
+                    reasm=_BPE_REASM_SPARK,
+                )
+            ).collect()
+        }
+        for w in words:
+            assert got[w] == py_merge(list(w), a, b), (w, a, b)
