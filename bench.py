@@ -94,6 +94,9 @@ BENCH_QUERIES = [
     "bpe_encode_corpus",
     "warc_dedup_digest",
     "host_shard_rendezvous",
+    "host_url_hll",
+    "token_cms_topk",
+    "fetch_latency_quantiles",
 ]
 
 

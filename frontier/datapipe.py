@@ -7175,3 +7175,263 @@ _register(
             "join); removing a worker moves only that worker's hosts",
     ),
 )
+
+
+# =============================================================================
+# Sketch summaries (the frontier-monitoring family): a 10^10-URL frontier
+# cannot afford exact per-host DISTINCT counts, exact global token counts,
+# or a global sort for latency percentiles on every monitoring tick. The
+# three canonical streaming-sketch shapes are expressed here as pure
+# relational plans with integer-exact cross-engine arithmetic (no ln/exp/
+# pow floats — the one constant, HLL's alpha_256, is a scaled rational and
+# the estimate division is exact DECIMAL(38)/HUGEINT floor division).
+# =============================================================================
+
+# HyperLogLog (Flajolet et al. 2007) per-host distinct-URL cardinality,
+# p=8 (m=256 registers). The register aggregation IS Spark's partial agg:
+# per-partition maxes are the per-partition sketches and the shuffle merges
+# them — exactly how HLL merges distribute (max is associative/commutative),
+# so the only exchange carries <= 256 rows per host regardless of URL count.
+# Hash = 56-bit md5 prefix: top 8 bits pick the register, rho = leading
+# zeros of the low 48 bits + 1 via length(bin(x)) (both engines render
+# minimal binary strings — no float log2). The estimate is the raw HLL
+# formula E = alpha_m * m^2 / sum(2^-M_j) carried out entirely in scaled
+# integers: each register contributes 2^(49-M_j) (zero registers 2^49), so
+# S fits a BIGINT and E = (718272 * 65536 * 2^49) / (10^6 * S) runs in
+# DECIMAL(38,0)/HUGEINT floor division — bit-identical across engines.
+# Small-range linear counting (E <= 5m/2 with zero registers) needs ln and
+# is intentionally out of scope: the synthesized per-host cardinalities sit
+# in the raw-HLL band, and the zero_registers column is emitted so a caller
+# can route to LC. Estimator quality (not just cross-engine equality) is
+# pinned by tests/test_sketches.py against exact COUNT(DISTINCT).
+_HLL_TWO48 = 1 << 48
+_HLL_TWO49 = 1 << 49
+
+_HLL_SQL = """
+WITH urls AS (
+    SELECT source AS host,
+           'http://' || source || '.example.com/page/'
+               || CAST((doc_id * 40 + i) % 4096 AS {STR}) AS url
+    FROM documents{EXPLODE40}
+),
+hashed AS (
+    SELECT host, CAST({H14} AS BIGINT) AS h FROM urls
+),
+regs AS (
+    SELECT host,
+           CAST(h {DIV} 281474976710656 AS INT) AS reg,
+           h % 281474976710656 AS rem
+    FROM hashed
+),
+rho AS (
+    SELECT host, reg,
+           MAX(CASE WHEN rem = 0 THEN 49
+                    ELSE 49 - length(bin(rem)) END) AS m_j,
+           COUNT(*) AS n_in_reg
+    FROM regs GROUP BY host, reg
+),
+summed AS (
+    SELECT host,
+           CAST(SUM(n_in_reg) AS BIGINT) AS n_urls,
+           COUNT(*) AS regs_hit,
+           CAST(SUM({SHL49}) AS BIGINT) AS s_hit
+    FROM rho GROUP BY host
+)
+SELECT host, n_urls,
+       CAST(256 - regs_hit AS BIGINT) AS zero_registers,
+       CAST(s_hit + (256 - regs_hit) * 562949953421312 AS BIGINT) AS s_scaled,
+       CAST({EST} AS BIGINT) AS hll_est
+FROM summed
+ORDER BY host
+"""
+
+_HLL_SPARK = (
+    _HLL_SQL
+    .replace("{STR}", "STRING")
+    .replace("{EXPLODE40}", " LATERAL VIEW explode(sequence(0, 39)) t AS i")
+    .replace("{H14}", "conv(substr(md5(url), 1, 14), 16, 10)")
+    .replace("{DIV}", "DIV")
+    .replace("{SHL49}", "shiftleft(CAST(1 AS BIGINT), 49 - m_j)")
+    .replace(
+        "{EST}",
+        "(CAST(718272 AS DECIMAL(38,0)) * 65536"
+        " * CAST(562949953421312 AS DECIMAL(38,0)))"
+        " div (CAST(1000000 AS DECIMAL(38,0))"
+        " * (s_hit + (256 - regs_hit) * 562949953421312))",
+    )
+)
+
+_HLL_ORACLE = (
+    _HLL_SQL
+    .replace("{STR}", "VARCHAR")
+    .replace("{EXPLODE40}", ", unnest(range(0, 40)) AS t(i)")
+    .replace("{H14}", "('0x' || substr(md5(url), 1, 14))")
+    .replace("{DIV}", "//")
+    .replace("{SHL49}", "1::BIGINT << (49 - m_j)")
+    .replace(
+        "{EST}",
+        "(718272::HUGEINT * 65536 * 562949953421312::HUGEINT)"
+        " // (1000000::HUGEINT"
+        " * (s_hit + (256 - regs_hit) * 562949953421312)::HUGEINT)",
+    )
+)
+
+_register(
+    "host_url_hll",
+    _sql_query(
+        _HLL_SPARK,
+        ("documents",),
+        "HyperLogLog (p=8) per-host distinct-URL estimate: register maxes "
+        "ride Spark's partial agg (<=256 rows/host cross the exchange), "
+        "rho via length(bin()) and the alpha*m^2/S estimate in exact "
+        "scaled-integer division - no floats anywhere",
+        oracle=_HLL_ORACLE,
+    ),
+)
+
+
+# Count-min sketch (Cormode & Muthukrishnan 2005) token heavy hitters:
+# d=2 Kirsch-Mitzenmacher hash rows x w=16 columns (deliberately narrower
+# than the vocabulary so collisions - the thing CMS is ABOUT - actually
+# occur at test scale; est >= true is pinned by tests/test_sketches.py).
+# Build shape at 10^10 tokens: occurrences partial-agg to (token, count)
+# map-side, scatter into (row, col) cells - the cell table is d*w rows
+# total (32 here), broadcastable anywhere; the probe side hashes its
+# candidates and takes MIN over the d cells. No stage ever shuffles more
+# than vocab-sized data, and the sketch itself is mergeable by cell-wise
+# SUM (partial agg again).
+_CMS_D = 2
+_CMS_W = 16
+
+_CMS_SQL = """
+WITH toks AS (
+    SELECT {WORDS} AS words FROM documents
+),
+t AS (
+    SELECT w FROM {TOKSRC}
+),
+cnt AS (
+    SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY w
+),
+hashes AS (
+    SELECT w, c,
+           CAST({H1} AS BIGINT) AS h1,
+           CAST({H2} AS BIGINT) | 1 AS h2
+    FROM cnt
+),
+cells AS (
+    SELECT i, (h1 + i * h2) % {W} AS col, CAST(SUM(c) AS BIGINT) AS cell
+    FROM hashes{EXPLODED}
+    GROUP BY i, (h1 + i * h2) % {W}
+),
+probes AS (
+    SELECT w, h1, h2, {IVAR} AS i FROM hashes{EXPLODEDH}
+),
+est AS (
+    SELECT p.w, MIN(cells.cell) AS cms_est
+    FROM probes p
+    JOIN cells ON cells.i = p.i AND cells.col = (p.h1 + p.i * p.h2) % {W}
+    GROUP BY p.w
+),
+ranked AS (
+    SELECT w, cms_est,
+           row_number() OVER (ORDER BY cms_est DESC, w) AS rk
+    FROM est
+)
+SELECT w AS token, cms_est, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= 20
+ORDER BY rk
+"""
+
+
+def _cms_fill(sql: str, spark: bool) -> str:
+    if spark:
+        return (
+            sql
+            .replace("{WORDS}", _SPARK_WORDS)
+            .replace("{TOKSRC}", "toks LATERAL VIEW explode(words) t AS w")
+            .replace("{H1}", "conv(substr(md5(w), 1, 14), 16, 10)")
+            .replace("{H2}", "conv(substr(md5(w), 15, 14), 16, 10)")
+            .replace(
+                "{EXPLODED}",
+                f" LATERAL VIEW explode(sequence(0, {_CMS_D - 1})) e AS i",
+            )
+            .replace(
+                "{EXPLODEDH}",
+                f" LATERAL VIEW explode(sequence(0, {_CMS_D - 1})) e AS i",
+            )
+            .replace("{IVAR}", "e.i")
+            .replace("{W}", str(_CMS_W))
+        )
+    return (
+        sql
+        .replace("{WORDS}", _DUCK_WORDS)
+        .replace("{TOKSRC}", "(SELECT unnest(words) AS w FROM toks) u")
+        .replace("{H1}", "('0x' || substr(md5(w), 1, 14))")
+        .replace("{H2}", "('0x' || substr(md5(w), 15, 14))")
+        .replace("{EXPLODED}", f", unnest(range(0, {_CMS_D})) AS e(i)")
+        .replace("{EXPLODEDH}", f", unnest(range(0, {_CMS_D})) AS e(i)")
+        .replace("{IVAR}", "e.i")
+        .replace("{W}", str(_CMS_W))
+    )
+
+
+_register(
+    "token_cms_topk",
+    _sql_query(
+        _cms_fill(_CMS_SQL, spark=True),
+        ("documents",),
+        "count-min sketch (d=2, w=16) token heavy hitters: occurrences "
+        "partial-agg map-side, scatter to a 32-cell mergeable sketch, "
+        "probe = MIN over d cells; top-20 by estimate",
+        oracle=_cms_fill(_CMS_SQL, spark=False),
+    ),
+)
+
+
+# Exact nearest-rank latency quantiles per host (p50/p95/p99/max): the
+# monitoring readout for per-host fetch politeness SLAs. Latencies are
+# centi-unit integers (FLOOR(value*100 + 0.5) on identical IEEE doubles -
+# deterministic in both engines; no round-half mode dependence), ranks are
+# r_p = CEIL(p*n) nearest-rank (no interpolation -> no float results).
+# Scale shape: ONE hash exchange on host, in-partition sort only (Spark
+# window) - no global sort; per-host fetch-latency volumes are the thing
+# that fits a partition by construction (politeness caps per-host rates).
+# Ties in the sort carry equal values, so tie order cannot change any
+# emitted quantile.
+_QUANTILE_SQL = """
+WITH lat AS (
+    SELECT 'h' || CAST(user_id % 16 AS {STR}) AS host,
+           CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS lat_c
+    FROM events
+),
+ranked AS (
+    SELECT host, lat_c,
+           row_number() OVER (PARTITION BY host ORDER BY lat_c) AS rn,
+           COUNT(*) OVER (PARTITION BY host) AS n
+    FROM lat
+)
+SELECT host, CAST(MAX(n) AS BIGINT) AS n,
+       MAX(CASE WHEN rn = CAST(CEIL(0.50 * n) AS BIGINT)
+                THEN lat_c END) AS p50_c,
+       MAX(CASE WHEN rn = CAST(CEIL(0.95 * n) AS BIGINT)
+                THEN lat_c END) AS p95_c,
+       MAX(CASE WHEN rn = CAST(CEIL(0.99 * n) AS BIGINT)
+                THEN lat_c END) AS p99_c,
+       MAX(lat_c) AS max_c
+FROM ranked
+GROUP BY host
+ORDER BY host
+"""
+
+_register(
+    "fetch_latency_quantiles",
+    _sql_query(
+        _QUANTILE_SQL.replace("{STR}", "STRING"),
+        ("events",),
+        "exact nearest-rank per-host latency quantiles (p50/p95/p99/max) "
+        "in centi-unit integers: one host exchange, in-partition sort, "
+        "no interpolation floats",
+        oracle=_QUANTILE_SQL.replace("{STR}", "VARCHAR"),
+    ),
+)
