@@ -97,6 +97,8 @@ BENCH_QUERIES = [
     "host_url_hll",
     "token_cms_topk",
     "fetch_latency_quantiles",
+    "url_canonical_collapse",
+    "sitemap_scope_audit",
 ]
 
 

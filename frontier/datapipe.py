@@ -7435,3 +7435,160 @@ _register(
         oracle=_QUANTILE_SQL.replace("{STR}", "VARCHAR"),
     ),
 )
+
+
+# =============================================================================
+# Publisher-declared dedup + sitemap protocol compliance
+# =============================================================================
+
+# rel=canonical duplicate-cluster collapse: mirror/tracking/session-param
+# variants of one document all point <link rel=canonical> at the same
+# target, so collapsing on it removes the duplicates the PUBLISHER itself
+# identified — the cheapest dedup pass in every webtext pipeline, run
+# before any content hashing. Kernel = frontier.pages.html_canonical (real
+# HTMLParser: first-declaration-wins, rel token lists, <base href>
+# resolution, decoys rejected); collapse = one groupBy on the canonical
+# target. Scale shape: extraction is shuffle-free mapInPandas riding the
+# scan; the only exchange carries (canonical_url, member) pairs — never
+# bodies.
+def _canonical_collapse_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pages import extract_canonical_links
+
+    _load(spark, sf_dir, "documents")
+    pages = spark.sql(
+        """
+        SELECT url, encode(page_html, 'utf-8') AS html FROM (
+          SELECT 'http://' || source || '.example.com/p'
+                   || CAST(doc_id AS STRING) AS url,
+            CASE CAST(doc_id % 4 AS INTEGER)
+              WHEN 0 THEN '<html><head><link rel="canonical" href="http://'
+                || source || '.example.com/p' || CAST(doc_id AS STRING)
+                || '"></head><body>x</body></html>'
+              WHEN 1 THEN '<html><head><base href="/">'
+                || '<link rel="canonical" href="p'
+                || CAST(doc_id - 1 AS STRING) || '">'
+                || '</head><body>x</body></html>'
+              WHEN 2 THEN '<html><head><link rel="stylesheet" href="s.css">'
+                || '</head><body>no canonical</body></html>'
+              ELSE '<html><head>'
+                || '<link rel="alternate canonical" href="/c'
+                || CAST(doc_id % 10 AS STRING) || '">'
+                || '<link rel="canonical" href="/WRONG-second-declaration">'
+                || '</head><body>x</body></html>'
+            END AS page_html
+          FROM documents)
+        """
+    )
+    links = extract_canonical_links(pages)
+    links.createOrReplaceTempView("canon_links")
+    return spark.sql(
+        """
+        SELECT canonical_url,
+               CAST(COUNT(*) AS BIGINT) AS n_members,
+               CAST(SUM(CASE WHEN is_self THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_self,
+               MIN(url) AS survivor
+        FROM canon_links
+        WHERE canonical_url IS NOT NULL
+        GROUP BY canonical_url
+        ORDER BY canonical_url
+        """
+    )
+
+
+_CANONICAL_COLLAPSE_ORACLE = """
+WITH links AS (
+    SELECT 'http://' || source || '.example.com/p'
+             || CAST(doc_id AS VARCHAR) AS url,
+           CASE CAST(doc_id % 4 AS INTEGER)
+             WHEN 0 THEN 'http://' || source || '.example.com/p'
+               || CAST(doc_id AS VARCHAR)
+             WHEN 1 THEN 'http://' || source || '.example.com/p'
+               || CAST(doc_id - 1 AS VARCHAR)
+             WHEN 2 THEN NULL
+             ELSE 'http://' || source || '.example.com/c'
+               || CAST(doc_id % 10 AS VARCHAR)
+           END AS canonical_url,
+           doc_id % 4 = 0 AS is_self
+    FROM documents
+)
+SELECT canonical_url,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(CASE WHEN is_self THEN 1 ELSE 0 END) AS BIGINT) AS n_self,
+       MIN(url) AS survivor
+FROM links
+WHERE canonical_url IS NOT NULL
+GROUP BY canonical_url
+ORDER BY canonical_url
+"""
+
+_register(
+    "url_canonical_collapse",
+    QueryDef(
+        build=_canonical_collapse_build,
+        oracle=_CANONICAL_COLLAPSE_ORACLE,
+        doc=(
+            "rel=canonical duplicate-cluster collapse: real HTMLParser "
+            "kernel (first declaration wins, rel token lists, base-href "
+            "resolution) vs closed-form expected clusters; one groupBy on "
+            "the canonical target, bodies never shuffle"
+        ),
+    ),
+)
+
+
+# Sitemap scope audit (sitemaps.org protocol "Sitemap file location"): a
+# sitemap at http://h/catalog/sitemap.xml may only list URLs under
+# http://h/catalog/ — EXCEPT sitemaps declared in robots.txt, whose scope
+# widens to the whole host (the cross-submission rule). Out-of-scope
+# entries are exactly how hostile sitemaps inject foreign URLs into a
+# crawler's frontier, so the audit is a frontier admission gate, not a
+# style check. Pure codegen: directory prefix via regexp, scope check via
+# substr equality — no join, no UDF; at 10^10 entries this rides the
+# sitemap-parse scan untouched.
+_SCOPE_AUDIT_SQL = """
+WITH entries AS (
+    SELECT 'http://' || source || '.example.com'
+             || CASE CAST(doc_id % 3 AS INTEGER)
+                  WHEN 0 THEN '/sitemap.xml'
+                  WHEN 1 THEN '/catalog/sitemap.xml'
+                  ELSE '/a/b/sitemap.xml'
+                END AS sitemap_url,
+           doc_id % 5 = 0 AS declared_in_robots,
+           'http://'
+             || CASE WHEN doc_id % 7 = 0 THEN 'other.example.org'
+                     ELSE source || '.example.com' END
+             || CASE CAST(doc_id % 4 AS INTEGER)
+                  WHEN 0 THEN '/catalog/item' || CAST(doc_id AS {STR})
+                  WHEN 1 THEN '/images/img' || CAST(doc_id AS {STR})
+                  WHEN 2 THEN '/a/b/page' || CAST(doc_id AS {STR})
+                  ELSE '/p' || CAST(doc_id AS {STR})
+                END AS page_url
+    FROM documents
+),
+scoped AS (
+    SELECT sitemap_url, page_url, declared_in_robots,
+           regexp_replace(sitemap_url, '[^/]*$', '') AS scope_dir,
+           regexp_extract(sitemap_url, '^https?://([^/]+)', 1) AS sitemap_host,
+           regexp_extract(page_url, '^https?://([^/]+)', 1) AS page_host
+    FROM entries
+)
+SELECT sitemap_url, page_url, declared_in_robots,
+       CASE WHEN declared_in_robots THEN page_host = sitemap_host
+            ELSE substr(page_url, 1, length(scope_dir)) = scope_dir
+       END AS in_scope
+FROM scoped
+ORDER BY sitemap_url, page_url
+"""
+
+_register(
+    "sitemap_scope_audit",
+    _sql_query(
+        _SCOPE_AUDIT_SQL.replace("{STR}", "STRING"),
+        ("documents",),
+        "sitemaps.org scope rule as a frontier admission gate: path-prefix "
+        "scope per sitemap directory, widened to whole-host for robots.txt-"
+        "declared sitemaps (cross-submission); pure codegen, no join",
+        oracle=_SCOPE_AUDIT_SQL.replace("{STR}", "VARCHAR"),
+    ),
+)

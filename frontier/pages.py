@@ -50,8 +50,10 @@ __all__ = [
     "expand_frontier",
     "extract_anchors",
     "extract_links",
+    "extract_canonical_links",
     "extract_main_text",
     "extract_text",
+    "html_canonical",
     "host_link_graph",
     "html_anchors",
     "html_main_text",
@@ -631,6 +633,90 @@ def extract_feed_links(
         .select(url_col, F.explode("feeds").alias("_f"))
         .select(url_col, F.col("_f.feed_url").alias("feed_url"),
                 F.col("_f.feed_kind").alias("feed_kind"))
+    )
+
+
+class _CanonicalCollector(HTMLParser):
+    """Collects the page's FIRST ``<link rel=canonical href=...>`` (the
+    rule search engines apply when a page declares several: later ones are
+    ignored) plus the first ``<base href>`` for resolution. ``rel`` is a
+    space/comma token list — ``rel="canonical alternate"`` still counts,
+    ``rel="canonicalish"`` does not."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.canonical_href: str | None = None
+        self.base_href: str | None = None
+
+    def handle_starttag(self, tag, attrs) -> None:
+        if tag == "link" and self.canonical_href is None:
+            d = {name: (value or "") for name, value in attrs}
+            rel = re.split(r"[\s,]+", d.get("rel", "").lower())
+            if "canonical" in rel and d.get("href"):
+                self.canonical_href = d["href"]
+        elif tag == "base" and self.base_href is None:
+            for name, value in attrs:
+                if name == "href" and value:
+                    self.base_href = value
+                    break
+
+    def handle_startendtag(self, tag, attrs) -> None:
+        self.handle_starttag(tag, attrs)
+
+
+def html_canonical(html: bytes | str | None, base_url: str) -> str | None:
+    """The page's declared canonical URL (resolved against its effective
+    base), or None when it declares none — the signal behind URL-level
+    duplicate-cluster collapse in webtext pipelines: mirror/tracking/
+    session-parameter variants of one document all point their
+    ``rel=canonical`` at the same target, so collapsing on it removes
+    duplicates *the publisher itself identified* before any content
+    hashing runs."""
+    collector = _CanonicalCollector()
+    if html is not None:
+        if isinstance(html, (bytes, bytearray, memoryview)):
+            html = bytes(html).decode("utf-8", errors="replace")
+        collector.feed(html)
+        collector.close()
+    if collector.canonical_href is None:
+        return None
+    return _resolve_href(
+        collector.canonical_href, _effective_base(base_url, collector.base_href)
+    )
+
+
+def extract_canonical_links(
+    pages: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """``(url, canonical_url, is_self)`` per page from a pages corpus.
+
+    ``canonical_url`` is NULL for pages declaring none (treat-as-self is
+    the caller's policy decision, matching search-engine behavior);
+    ``is_self`` marks pages whose declaration points at themselves. Same
+    shuffle-free Arrow shape as :func:`extract_links` — one kernel row per
+    page, no explode needed (at most one canonical per page)."""
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [pages.schema[url_col], T.StructField("canonical_url", T.StringType())]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            yield pd.DataFrame(
+                {
+                    url_col: batch[url_col],
+                    "canonical_url": [
+                        html_canonical(h, u)
+                        for h, u in zip(batch[html_col], batch[url_col])
+                    ],
+                }
+            )
+
+    return pages.mapInPandas(kernel, schema).select(
+        url_col,
+        "canonical_url",
+        (F.col("canonical_url") == F.col(url_col)).alias("is_self"),
     )
 
 

@@ -661,3 +661,57 @@ def test_warc_to_text_ingest_pipeline(spark):
         # leading character data (it IS page text, not a record boundary)
         banner = "WARC/1.0\r\n\r\n\n" if i % 7 == 0 else ""
         assert r.extracted == f"{banner}doc body {i}"
+
+
+# --- rel=canonical extraction ------------------------------------------------
+
+import pytest as _pytest
+
+from frontier.pages import extract_canonical_links, html_canonical
+
+
+@_pytest.mark.parametrize(
+    "html,expected",
+    [
+        # absolute declaration
+        ('<link rel="canonical" href="http://a.com/x">', "http://a.com/x"),
+        # relative, resolved against the page URL
+        ('<link rel="canonical" href="/x">', "http://h.com/x"),
+        ('<link rel="canonical" href="x2">', "http://h.com/dir/x2"),
+        # <base href> changes the resolution root
+        ('<base href="/b/"><link rel="canonical" href="x">', "http://h.com/b/x"),
+        # rel is a token list; order and case don't matter
+        ('<link rel="Alternate CANONICAL" href="/t">', "http://h.com/t"),
+        # first declaration wins
+        (
+            '<link rel="canonical" href="/first">'
+            '<link rel="canonical" href="/second">',
+            "http://h.com/first",
+        ),
+        # decoys: wrong rel token, missing href, substring token
+        ('<link rel="stylesheet" href="/s.css">', None),
+        ('<link rel="canonical">', None),
+        ('<link rel="canonicalish" href="/x">', None),
+        # no declaration / empty / None input
+        ("<html><body>hi</body></html>", None),
+        ("", None),
+        (None, None),
+    ],
+)
+def test_html_canonical_contract(html, expected):
+    base = "http://h.com/dir/page.html"
+    assert html_canonical(html, base) == expected
+
+
+def test_html_canonical_bytes_and_self(spark):
+    page_url = "http://h.com/p"
+    html = f'<link rel="canonical" href="{page_url}">'.encode()
+    assert html_canonical(html, page_url) == page_url
+    df = spark.createDataFrame(
+        [(page_url, bytearray(html)), ("http://h.com/q", bytearray(b"<p>n</p>"))],
+        "url string, html binary",
+    )
+    rows = {r["url"]: r for r in extract_canonical_links(df).collect()}
+    assert rows[page_url]["canonical_url"] == page_url
+    assert rows[page_url]["is_self"] is True
+    assert rows["http://h.com/q"]["canonical_url"] is None
