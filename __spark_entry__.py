@@ -453,6 +453,69 @@ ORDER BY url
 """
 
 
+# WARC → CDX index writing: the missing link between segment ingest
+# (warc_ingest) and the SURT range lookup (cdx_surt_lookup). Every
+# response record becomes one CDX line — (surt, ts14, url, mime, status,
+# digest, length) — sorted by (surt, ts14), which IS the Common-Crawl /
+# Internet-Archive index file order: writing this sorted (Iceberg sort
+# order / range partitioning at scale) is exactly what makes the SURT
+# prefix lookup a pruned range scan. Scale shape: the record walk is the
+# same shuffle-free mapInPandas scan as warc_ingest; the only exchange is
+# the range sort that the index format itself demands.
+def _warc_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frontier.synth import synth_warc_segments
+    from frontier.warc import warc_records
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    recs = warc_records(synth_warc_segments(docs), responses_only=True)
+    recs.createOrReplaceTempView("cdx_recs")
+    return spark.sql(
+        """
+        SELECT array_join(reverse(split(
+                   regexp_extract(url, '^https?://([^/]+)', 1), '[.]')), ',')
+                 || ')' || regexp_extract(url, '^https?://[^/]+(/.*)$', 1)
+                 AS surt,
+               date_format(warc_ts, 'yyyyMMddHHmmss') AS ts14,
+               url,
+               content_type AS mime,
+               CAST(http_status AS INT) AS status,
+               md5(html) AS digest,
+               CAST(length(html) AS BIGINT) AS length
+        FROM cdx_recs
+        ORDER BY surt, ts14
+        """
+    )
+
+
+# closed-form from the synth_warc_segments contract (same derivations as
+# _WARC_INGEST_ORACLE; host = host{doc_id%50}.example.com, path /doc/{id})
+_WARC_CDX_ORACLE = """
+WITH b AS (
+  SELECT doc_id, text,
+         CASE WHEN doc_id % 7 = 0
+              THEN 'WARC/1.0' || chr(13) || chr(10) || chr(13) || chr(10)
+              ELSE '' END
+           || '<html><body>' || coalesce(text, '') || '</body></html>'
+           AS body
+  FROM documents
+)
+SELECT 'com,example,host' || CAST(doc_id % 50 AS VARCHAR)
+         || ')/doc/' || CAST(doc_id AS VARCHAR) AS surt,
+       strftime(TIMESTAMP '2025-01-01 00:00:00' + INTERVAL 1 SECOND * doc_id,
+                '%Y%m%d%H%M%S') AS ts14,
+       'http://host' || CAST(doc_id % 50 AS VARCHAR)
+         || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+       CASE WHEN doc_id % 5 = 0 THEN 'text/plain' ELSE 'text/html' END
+         AS mime,
+       CAST(CASE WHEN doc_id % 13 = 0 THEN 404 ELSE 200 END AS INT)
+         AS status,
+       md5(body) AS digest,
+       CAST(strlen(body) AS BIGINT) AS length
+FROM b
+ORDER BY surt, ts14
+"""
+
+
 # Engine-shared revisit classification: first capture of each payload
 # digest (by capture time, then URL) stays a full `response` record, every
 # later identical capture becomes a `revisit` referring to it — ISO 28500
@@ -918,6 +981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["media_metadata"] = _media_metadata
     out["warc_ingest"] = _warc_ingest
     out["warc_dedup_digest"] = _warc_dedup_digest
+    out["warc_cdx_index"] = _warc_cdx_index
     out["media_audio_metadata"] = _media_audio_metadata
     out["media_mp3_metadata"] = _media_mp3_metadata
     out["media_resize"] = _media_resize
@@ -942,6 +1006,7 @@ def oracle_sql() -> dict[str, str]:
     out["media_metadata"] = _MEDIA_META_ORACLE
     out["warc_ingest"] = _WARC_INGEST_ORACLE
     out["warc_dedup_digest"] = _WARC_DEDUP_ORACLE
+    out["warc_cdx_index"] = _WARC_CDX_ORACLE
     out["media_audio_metadata"] = _MEDIA_AUDIO_ORACLE
     out["media_mp3_metadata"] = _MEDIA_MP3_ORACLE
     out["media_resize"] = _MEDIA_RESIZE_ORACLE

@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "fetch_latency_quantiles",
     "url_canonical_collapse",
     "sitemap_scope_audit",
+    "warc_cdx_index",
 ]
 
 
