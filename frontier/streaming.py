@@ -576,3 +576,82 @@ def stream_adaptive_budgets(
         "n_slow",
         ladder.cast("long").alias("next_budget"),
     )
+
+
+def stream_hll_cardinality(
+    fetches: DataFrame,
+    window: str = "1 minute",
+    watermark: str = "5 minutes",
+    url_col: str = "url",
+) -> DataFrame:
+    """Windowed per-host DISTINCT-URL estimates on the live fetch stream —
+    the streaming twin of the batch ``host_url_hll`` sketch (HyperLogLog,
+    m=64 registers): "how many distinct URLs did host H surface this
+    minute" without keeping per-URL state.
+
+    Stateless-windowed: the 64 register maxes are 64 conditional MAX
+    aggregates inside ONE event-time window aggregation, so streaming
+    state per (window, host) is 64 small ints — bounded, watermark-evicted,
+    and mergeable across micro-batches by construction (max is what the
+    state store already does). No arbitrary-state operator, no per-URL
+    memory, and the whole pipeline (md5 prefix hash via ``conv``, rho via
+    ``length(bin())``, the alpha*m^2/S estimate in exact DECIMAL(38)
+    integer division) is JVM codegen — no Python worker.
+
+    The same function applied to a static DataFrame produces bit-identical
+    rows (pinned by test), because nothing here is stream-specific except
+    the watermark.
+    """
+    two50 = 1 << 50  # rem width: 56-bit hash minus p=6 register bits
+    host = F.lower(
+        F.coalesce(
+            F.parse_url(F.coalesce(F.col("final_url"), F.col(url_col)),
+                        F.lit("HOST")),
+            F.lit(""),
+        )
+    )
+    hashed = (
+        fetches.withColumn("host", host)
+        .withColumn(
+            "h",
+            F.expr(f"CAST(conv(substr(md5({url_col}), 1, 14), 16, 10) AS BIGINT)"),
+        )
+        .withColumn("reg", F.expr(f"CAST(h DIV {two50} AS INT)"))
+        .withColumn(
+            "rho",
+            F.expr(
+                f"CASE WHEN h % {two50} = 0 THEN 51 "
+                f"ELSE 51 - length(bin(h % {two50})) END"
+            ),
+        )
+    )
+    aggs = [F.count("*").alias("n_urls")] + [
+        F.max(F.when(F.col("reg") == j, F.col("rho"))).alias(f"m{j}")
+        for j in range(64)
+    ]
+    agg = (
+        hashed.withWatermark("fetch_ts", watermark)
+        .groupBy(F.window("fetch_ts", window).alias("win"), "host")
+        .agg(*aggs)
+    )
+    two51 = 1 << 51
+    s_terms = " + ".join(
+        f"coalesce(shiftleft(CAST(1 AS BIGINT), 51 - m{j}), {two51})"
+        for j in range(64)
+    )
+    # alpha_64 = 0.7213 / (1 + 1.079/64) = 0.709341 (scaled by 10^6)
+    est = (
+        f"(CAST(709341 AS DECIMAL(38,0)) * 4096 * CAST({two51} AS DECIMAL(38,0)))"
+        f" div (CAST(1000000 AS DECIMAL(38,0)) * s_scaled)"
+    )
+    return (
+        agg.withColumn("s_scaled", F.expr(s_terms))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "host",
+            "n_urls",
+            "s_scaled",
+            F.expr(est).cast("long").alias("distinct_urls_est"),
+        )
+    )

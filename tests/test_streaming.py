@@ -574,3 +574,59 @@ def test_stream_member_filter_blocklist_gate(spark, tmp_path):
         for i in range(90)
         if i % 3 == 0 and i < 50
     )
+
+
+def test_stream_hll_cardinality_matches_batch_and_estimates(spark, tmp_path):
+    """Windowed per-host HLL on the stream: bit-identical to the same
+    function applied in batch (nothing is stream-specific but the
+    watermark), and the estimate lands within the m=64 error band of the
+    exact distinct count."""
+    from frontier.streaming import stream_hll_cardinality
+
+    landing = str(tmp_path / "landing_hll")
+    t0 = dt.datetime(2025, 6, 1, 12, 0, 0)
+    rows = []
+    # h1: 3000 fetches, 1500 distinct URLs (each fetched twice), one window
+    for i in range(3000):
+        rows.append(
+            (f"http://h1.example.com/p{i % 1500}", None, 200, None, None,
+             t0 + dt.timedelta(milliseconds=i * 10))
+        )
+    # h2: 800 fetches, 800 distinct, split across two windows
+    for i in range(800):
+        rows.append(
+            (f"http://h2.example.com/q{i}", None, 200, None, None,
+             t0 + dt.timedelta(seconds=0 if i % 2 == 0 else 90))
+        )
+    _land(spark, landing, rows)
+
+    est = stream_hll_cardinality(read_fetch_stream(spark, landing))
+    run_available_now(
+        est, str(tmp_path / "ck_hll"), "hll_sink", output_mode="complete"
+    )
+    got = {
+        (r.host, r.window_start): r
+        for r in spark.sql("SELECT * FROM hll_sink").collect()
+    }
+
+    # batch equality: same function over the same rows read statically
+    batch = {
+        (r.host, r.window_start): r
+        for r in stream_hll_cardinality(spark.read.parquet(landing)).collect()
+    }
+    assert set(got) == set(batch)
+    for key, r in got.items():
+        b = batch[key]
+        assert (r.n_urls, r.s_scaled, r.distinct_urls_est) == (
+            b.n_urls, b.s_scaled, b.distinct_urls_est
+        ), key
+
+    h1 = got[("h1.example.com", t0)]
+    assert h1.n_urls == 3000
+    # m=64 -> sigma ~13%; 3-sigma band against the true 1500
+    assert abs(h1.distinct_urls_est - 1500) / 1500 < 0.40, h1.distinct_urls_est
+    h2a = got[("h2.example.com", t0)]
+    h2b = got[("h2.example.com", t0 + dt.timedelta(seconds=60))]
+    assert h2a.n_urls == 400 and h2b.n_urls == 400
+    assert abs(h2a.distinct_urls_est - 400) / 400 < 0.40
+    assert abs(h2b.distinct_urls_est - 400) / 400 < 0.40
