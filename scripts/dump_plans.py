@@ -83,6 +83,12 @@ AUDITED = {
     "bpe_encode_corpus": "merges applied to the distinct-word table once; the corpus word stream meets the word->tokens dictionary in ONE equi-join + per-doc partial agg — no corpus-wide window passes",
     "warc_dedup_digest": "digest computed scan-side in the record-walk kernel output; ONE window exchange on the 16-byte digest classifies response vs revisit — payload bytes never shuffle",
     "host_shard_rendezvous": "HRW argmax as ONE codegen array expression per host row (transform+array_max): no explode, no join, no W-proportional shuffle; only the presentation window exchanges",
+    "host_url_hll": "register maxes ride the partial agg (per-partition HLL sketches merge in the shuffle); <=256 rows/host cross the (host,reg) exchange; estimate is codegen integer arithmetic",
+    "token_cms_topk": "occurrence counts partial-agg map-side; the d*w cell table (32 rows) and the probe MIN both operate on vocab-sized data only",
+    "fetch_latency_quantiles": "ONE hash exchange on host; nearest-rank via in-partition row_number window — no global sort, no interpolation",
+    "url_canonical_collapse": "canonical extraction shuffle-free mapInPandas riding the scan; ONE groupBy exchange carrying (canonical_url, member) pairs — bodies never shuffle",
+    "sitemap_scope_audit": "pure codegen regexp dir/host extraction + substr-prefix equality; zero joins, zero hash exchanges",
+    "warc_cdx_index": "shuffle-free record-walk scan; the only exchange is the (surt, ts14) range sort the index format demands",
 }
 
 
