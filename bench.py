@@ -100,6 +100,9 @@ BENCH_QUERIES = [
     "url_canonical_collapse",
     "sitemap_scope_audit",
     "warc_cdx_index",
+    "host_hits_scores",
+    "url_param_rewrite_mining",
+    "lastmod_trust_score",
 ]
 
 

@@ -7592,3 +7592,301 @@ _register(
         oracle=_SCOPE_AUDIT_SQL.replace("{STR}", "VARCHAR"),
     ),
 )
+
+
+# HITS hubs & authorities (Kleinberg 1999, "Authoritative sources in a
+# hyperlinked environment") — the fourth member of the link-analysis
+# family (host_pagerank / host_trustrank / host_opic_priority): crawl
+# schedulers use AUTHORITY scores to prioritize content hosts and HUB
+# scores to prioritize directory/aggregator hosts whose outlinks are worth
+# re-scanning for discovery. Power iteration with L1 normalization each
+# half-step (any norm works for power iteration — only the direction
+# converges; L1 keeps the arithmetic in exact integers: the renormalizing
+# floor(SCALE * raw / S) runs in DECIMAL(38)/HUGEINT, so both engines
+# produce bit-identical units). Same compact loop shape as PageRank: per
+# round, two (edge join + partial agg) passes over (id, score) pairs —
+# never anything wider; per-round eager localCheckpoints stop the
+# two-consumer plan re-expansion.
+def _hits_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    _load(spark, sf_dir, "documents")
+    edges = spark.sql(
+        "WITH " + _PR_GRAPH_SQL.format(mod=_PR_MOD) + "SELECT src, dst FROM edges"
+    ).persist()
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .persist()
+    )
+    _PR_HANDLES["hits_edges"] = edges
+    _PR_HANDLES["hits_nodes"] = nodes
+    cnt = nodes.agg(F.count("*").alias("n"))
+    hub = nodes.crossJoin(cnt).select(
+        "id", (F.lit(_PR_SCALE) / F.col("n")).cast("bigint").alias("s")
+    )
+
+    def _renorm(raw: DataFrame) -> DataFrame:
+        # floor(SCALE * raw / sum(raw)) in DECIMAL(38,0): raw sums reach
+        # n*SCALE and the product SCALE*raw would overflow BIGINT
+        tot = raw.agg(F.sum("s_raw").alias("tot"))
+        return (
+            nodes.join(raw, "id", "left")
+            .crossJoin(tot)
+            .select(
+                "id",
+                F.expr(
+                    f"CAST((CAST(coalesce(s_raw, 0) AS DECIMAL(38,0))"
+                    f" * {_PR_SCALE}) div CAST(tot AS DECIMAL(38,0))"
+                    f" AS BIGINT)"
+                ).alias("s"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    auth = None
+    for _ in range(_PR_ROUNDS):
+        auth = _renorm(
+            edges.join(hub.select(F.col("id").alias("src"), "s"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("s").alias("s_raw"))
+        )
+        hub = _renorm(
+            edges.join(auth.select(F.col("id").alias("dst"), "s"), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum("s").alias("s_raw"))
+        )
+    return (
+        nodes.join(auth.select("id", F.col("s").alias("auth_units")), "id")
+        .join(hub.select("id", F.col("s").alias("hub_units")), "id")
+        .select(F.col("id").alias("host_id"), "auth_units", "hub_units")
+        .orderBy("host_id")
+    )
+
+
+def _hits_cte_prefix() -> str:
+    parts = ["WITH " + _PR_GRAPH_SQL.format(mod=_PR_MOD)]
+    parts.append(
+        f", hub0 AS (SELECT id, {_PR_SCALE} // (SELECT n FROM cnt) AS s FROM nodes)"
+    )
+    for k in range(_PR_ROUNDS):
+        # MATERIALIZED: each *_raw CTE is referenced twice (join + the
+        # renormalizing SUM subquery); DuckDB's default inlining would
+        # re-evaluate the whole chain per reference -> 4^rounds blowup
+        parts.append(f""",
+auth{k + 1}_raw AS MATERIALIZED (
+    SELECT e.dst AS id, SUM(h.s) AS s_raw
+    FROM edges e JOIN hub{k} h ON h.id = e.src
+    GROUP BY e.dst
+),
+auth{k + 1} AS MATERIALIZED (
+    SELECT n.id,
+           CAST((COALESCE(r.s_raw, 0)::HUGEINT * {_PR_SCALE})
+                // (SELECT SUM(s_raw) FROM auth{k + 1}_raw)::HUGEINT
+                AS BIGINT) AS s
+    FROM nodes n LEFT JOIN auth{k + 1}_raw r ON r.id = n.id
+),
+hub{k + 1}_raw AS MATERIALIZED (
+    SELECT e.src AS id, SUM(a.s) AS s_raw
+    FROM edges e JOIN auth{k + 1} a ON a.id = e.dst
+    GROUP BY e.src
+),
+hub{k + 1} AS MATERIALIZED (
+    SELECT n.id,
+           CAST((COALESCE(r.s_raw, 0)::HUGEINT * {_PR_SCALE})
+                // (SELECT SUM(s_raw) FROM hub{k + 1}_raw)::HUGEINT
+                AS BIGINT) AS s
+    FROM nodes n LEFT JOIN hub{k + 1}_raw r ON r.id = n.id
+)""")
+    return "".join(parts)
+
+
+_register(
+    "host_hits_scores",
+    QueryDef(
+        build=_hits_build,
+        oracle=_hits_cte_prefix()
+        + f"\nSELECT n.id AS host_id, a.s AS auth_units, h.s AS hub_units "
+          f"FROM nodes n JOIN auth{_PR_ROUNDS} a ON a.id = n.id "
+          f"JOIN hub{_PR_ROUNDS} h ON h.id = n.id ORDER BY host_id",
+        doc="HITS hubs & authorities (Kleinberg 1999): 5 L1-normalized "
+            "power-iteration rounds in exact integer units; two edge-join "
+            "+ partial-agg passes per round over (id, score) pairs only",
+    ),
+)
+
+
+# URL-parameter rewrite-rule mining (Dasgupta et al., WWW'08 "De-duping
+# URLs via rewrite rules"; the DUST problem — Different URLs with Similar
+# Text): for each (host, parameter), group that host's URLs by "the URL
+# with this parameter removed" and compare content fingerprints within
+# each group. A parameter whose dup-groups always share one fingerprint is
+# content-irrelevant (sessionids, tracking tags) and becomes a rewrite
+# rule that collapses frontier URLs BEFORE fetching — the only dedup that
+# saves the fetch itself, not just storage. Verdicts are evidence-based:
+# no multi-URL group -> no_evidence; dup groups all clean -> irrelevant;
+# any group with >1 fingerprint -> content_bearing. Scale shape: the
+# per-(url, candidate-param) expansion is bounded by params-per-host
+# (production mines the top-k parameter keys per host); every aggregation
+# is map-side combinable over (host, param, group) keys; fingerprints are
+# 32-hex strings — bodies never enter the pipeline.
+_PARAM_MINE_SQL = """
+WITH pages AS (
+    SELECT DISTINCT
+        source AS host,
+        'http://' || source || '.example.com/item' AS path,
+        CAST((doc_id {DIV} 20) % 7 AS {STR}) AS id_v,
+        CAST((doc_id {DIV} 20) % 2 AS {STR}) AS page_v,
+        's' || CAST(doc_id % 3 AS {STR}) AS sess_v,
+        md5(source || ':' || CAST((doc_id {DIV} 20) % 7 AS {STR})
+            || ':' || CAST((doc_id {DIV} 20) % 2 AS {STR})) AS fp
+    FROM documents
+),
+urls AS (
+    SELECT DISTINCT host, path,
+           path || '?id=' || id_v || '&page=' || page_v
+                || '&sessionid=' || sess_v AS url,
+           id_v, page_v, sess_v, fp
+    FROM pages
+),
+params AS (
+    SELECT host, url, fp, 'id' AS pk, id_v AS pv FROM urls
+    UNION ALL
+    SELECT host, url, fp, 'page', page_v FROM urls
+    UNION ALL
+    SELECT host, url, fp, 'sessionid', sess_v FROM urls
+),
+candidates AS (
+    SELECT DISTINCT host, pk AS cand FROM params
+),
+per_url_cand AS (
+    SELECT p.host, p.url, c.cand, p.fp,
+           {SORTJOIN} AS stripped
+    FROM params p
+    JOIN candidates c ON c.host = p.host
+    GROUP BY p.host, p.url, c.cand, p.fp
+),
+groups AS (
+    SELECT host, cand, stripped,
+           COUNT(DISTINCT url) AS n_urls,
+           COUNT(DISTINCT fp) AS n_fps
+    FROM per_url_cand
+    GROUP BY host, cand, stripped
+)
+SELECT host, cand AS param,
+       CAST(SUM(CASE WHEN n_urls > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_groups,
+       CAST(SUM(CASE WHEN n_urls > 1 AND n_fps > 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_leaky_groups,
+       CASE WHEN SUM(CASE WHEN n_urls > 1 THEN 1 ELSE 0 END) = 0
+              THEN 'no_evidence'
+            WHEN SUM(CASE WHEN n_urls > 1 AND n_fps > 1 THEN 1 ELSE 0 END) = 0
+              THEN 'irrelevant'
+            ELSE 'content_bearing'
+       END AS verdict
+FROM groups
+GROUP BY host, cand
+ORDER BY host, param
+"""
+
+_register(
+    "url_param_rewrite_mining",
+    _sql_query(
+        _PARAM_MINE_SQL
+        .replace("{DIV}", "DIV")
+        .replace("{STR}", "STRING")
+        .replace(
+            "{SORTJOIN}",
+            "array_join(sort_array(collect_list("
+            "CASE WHEN p.pk <> c.cand THEN p.pk || '=' || p.pv END)), '&')",
+        ),
+        ("documents",),
+        "DUST rewrite-rule mining (Dasgupta et al. WWW'08): per (host, "
+        "param), group URLs by the param-stripped form and compare content "
+        "fingerprints - sessionid-style params come out 'irrelevant' and "
+        "become pre-fetch URL collapse rules; map-side-combinable aggs "
+        "over (host,param,group) keys, bodies never enter",
+        oracle=_PARAM_MINE_SQL
+        .replace("{DIV}", "//")
+        .replace("{STR}", "VARCHAR")
+        .replace(
+            "{SORTJOIN}",
+            "string_agg(CASE WHEN p.pk <> c.cand THEN p.pk || '=' || p.pv END,"
+            " '&' ORDER BY p.pk || '=' || p.pv)",
+        ),
+    ),
+)
+
+
+# lastmod trust scoring: sitemap <lastmod> is publisher-asserted and
+# frequently wrong (studies of sitemap accuracy consistently find hosts
+# that bump lastmod on every request and hosts that never update it);
+# recrawl planners therefore weight lastmod by an OBSERVED per-host trust
+# score before letting it drive scheduling (recrawl_plan /
+# conditional_fetch_plan compose with this). Signal: for consecutive
+# captures of the same URL, did the content fingerprint change exactly
+# when lastmod changed? trust_permille = 1000 * agreements / pairs.
+# One (url) window for the lag pass, one (host) partial agg — compact
+# (url, ts, fp, lastmod) tuples only.
+_LASTMOD_TRUST_SQL = """
+WITH captures AS (
+    SELECT source AS host,
+           'http://' || source || '.example.com/d' || CAST(doc_id AS {STR})
+             AS url,
+           cap.n AS capture_no,
+           -- capture 2 bumps lastmod for doc_id % 3 != 0, and actually
+           -- changes content for doc_id % 4 != 0 (so %3=0 xor %4=0 rows
+           -- are the liar cases in both directions)
+           CASE WHEN cap.n = 2 AND doc_id % 3 <> 0
+                THEN 'lm2' ELSE 'lm1' END AS lastmod_tag,
+           md5(CAST(doc_id AS {STR}) ||
+               CASE WHEN cap.n = 2 AND doc_id % 4 <> 0
+                    THEN ':v2' ELSE ':v1' END) AS fp
+    FROM documents{CAPS}
+),
+pairs AS (
+    SELECT host, url, capture_no, lastmod_tag, fp,
+           lag(lastmod_tag) OVER (PARTITION BY url ORDER BY capture_no)
+             AS prev_lm,
+           lag(fp) OVER (PARTITION BY url ORDER BY capture_no) AS prev_fp
+    FROM captures
+),
+judged AS (
+    SELECT host,
+           (lastmod_tag <> prev_lm) AS lm_changed,
+           (fp <> prev_fp) AS fp_changed
+    FROM pairs WHERE prev_lm IS NOT NULL
+)
+SELECT host,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN lm_changed THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_lastmod_changed,
+       CAST(SUM(CASE WHEN fp_changed THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_content_changed,
+       CAST(SUM(CASE WHEN lm_changed = fp_changed THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_agree,
+       CAST((1000 * SUM(CASE WHEN lm_changed = fp_changed THEN 1 ELSE 0 END))
+            {DIV} COUNT(*) AS BIGINT) AS trust_permille
+FROM judged
+GROUP BY host
+ORDER BY host
+"""
+
+_register(
+    "lastmod_trust_score",
+    _sql_query(
+        _LASTMOD_TRUST_SQL
+        .replace("{STR}", "STRING")
+        .replace("{CAPS}", " LATERAL VIEW explode(array(1, 2)) cap AS n")
+        .replace("{DIV}", "DIV"),
+        ("documents",),
+        "per-host lastmod trust: do consecutive captures change content "
+        "exactly when lastmod changes? trust_permille feeds recrawl "
+        "planning; one url-window lag pass + one host partial agg",
+        oracle=_LASTMOD_TRUST_SQL
+        .replace("{STR}", "VARCHAR")
+        .replace("{CAPS}", ", (SELECT unnest(range(1, 3)) AS n) cap")
+        .replace("{DIV}", "//"),
+    ),
+)

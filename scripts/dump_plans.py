@@ -89,6 +89,9 @@ AUDITED = {
     "url_canonical_collapse": "canonical extraction shuffle-free mapInPandas riding the scan; ONE groupBy exchange carrying (canonical_url, member) pairs — bodies never shuffle",
     "sitemap_scope_audit": "pure codegen regexp dir/host extraction + substr-prefix equality; zero joins, zero hash exchanges",
     "warc_cdx_index": "shuffle-free record-walk scan; the only exchange is the (surt, ts14) range sort the index format demands",
+    "host_hits_scores": "two edge-join + partial-agg passes per round over (id, score) pairs; per-round localCheckpoint keeps the plan O(1)",
+    "url_param_rewrite_mining": "map-side-combinable aggs over (host,param,group) keys; candidate expansion bounded by params-per-host; only 32-hex fps flow",
+    "lastmod_trust_score": "one url-window lag pass + one host partial agg over compact capture tuples",
 }
 
 

@@ -121,3 +121,21 @@ def test_opic_cash_conservation_and_dangling(spark):
     again = REGISTRY["host_opic_priority"].build(spark, SF_DIR).collect()
     assert sorted((r.host_id, r.cash_units, r.hist_units) for r in rows) == \
         sorted((r.host_id, r.cash_units, r.hist_units) for r in again)
+
+
+def test_hits_invariants(spark):
+    """HITS: L1 renormalization keeps each vector's total at ~SCALE every
+    round (floor leaks at most 1 unit per node), scores are non-negative,
+    both vectors are non-uniform on the variable-degree synth graph, and
+    the build is deterministic (exact integer arithmetic)."""
+    rows = REGISTRY["host_hits_scores"].build(spark, SF_DIR).collect()
+    assert len(rows) == 40
+    for col in ("auth_units", "hub_units"):
+        vals = [r[col] for r in rows]
+        assert all(v >= 0 for v in vals)
+        # floor(SCALE*raw/S) loses < 1 unit per node: total in (SCALE-n, SCALE]
+        assert _PR_SCALE - 40 < sum(vals) <= _PR_SCALE, (col, sum(vals))
+        assert len(set(vals)) > 1, f"{col} degenerated to uniform"
+    again = REGISTRY["host_hits_scores"].build(spark, SF_DIR).collect()
+    assert sorted((r.host_id, r.auth_units, r.hub_units) for r in rows) == \
+        sorted((r.host_id, r.auth_units, r.hub_units) for r in again)
