@@ -103,6 +103,9 @@ BENCH_QUERIES = [
     "host_hits_scores",
     "url_param_rewrite_mining",
     "lastmod_trust_score",
+    "politeness_compliance_audit",
+    "adaptive_delay_from_latency",
+    "url_normalize_savings",
 ]
 
 

@@ -7890,3 +7890,226 @@ _register(
         .replace("{DIV}", "//"),
     ),
 )
+
+
+# Politeness-compliance audit: the retrospective twin of the politeness
+# SCHEDULER (fetch_plan / adaptive_politeness plan budgets; this measures
+# what the fetch log actually did). For each host: the minimum gap between
+# consecutive fetches and how many gaps violated the host's required
+# crawl delay — the report a crawl operator reads before a host's admin
+# does. One (host) window lag pass over (host, ts) pairs + one partial
+# agg; millisecond integer arithmetic end to end (unix_millis/epoch_ms
+# truncate identically), no interval/float types cross an engine boundary.
+_POLITE_AUDIT_SQL = """
+WITH fetches AS (
+    SELECT 'h' || CAST(user_id % 16 AS {STR}) AS host,
+           30000 * (1 + (user_id % 16) % 5) AS required_gap_ms,
+           {EPOCHMS} AS ts_ms
+    FROM events
+),
+gaps AS (
+    SELECT host, required_gap_ms,
+           ts_ms - lag(ts_ms) OVER (PARTITION BY host ORDER BY ts_ms)
+             AS gap_ms
+    FROM fetches
+)
+SELECT host,
+       CAST(MAX(required_gap_ms) AS BIGINT) AS required_gap_ms,
+       CAST(COUNT(*) AS BIGINT) AS n_fetches,
+       CAST(MIN(gap_ms) AS BIGINT) AS min_gap_ms,
+       CAST(SUM(CASE WHEN gap_ms < required_gap_ms THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_violations,
+       CAST((1000 * SUM(CASE WHEN gap_ms < required_gap_ms THEN 1 ELSE 0 END))
+            {DIV} (COUNT(*) - 1) AS BIGINT) AS violation_permille
+FROM gaps
+GROUP BY host
+ORDER BY host
+"""
+
+_register(
+    "politeness_compliance_audit",
+    _sql_query(
+        _POLITE_AUDIT_SQL
+        .replace("{STR}", "STRING")
+        .replace("{EPOCHMS}", "unix_millis(ts)")
+        .replace("{DIV}", "DIV"),
+        ("events",),
+        "retrospective politeness audit: per-host min inter-fetch gap and "
+        "crawl-delay violation rate from the fetch log; one host-window "
+        "lag pass + one partial agg, integer milliseconds throughout",
+        oracle=_POLITE_AUDIT_SQL
+        .replace("{STR}", "VARCHAR")
+        .replace("{EPOCHMS}", "epoch_ms(ts)")
+        .replace("{DIV}", "//"),
+    ),
+)
+
+
+# Latency-adaptive crawl delay (the IRLbot/Googlebot-documented heuristic:
+# pace each host proportionally to its observed response time, so slow —
+# i.e. loaded — servers automatically get gentler treatment without any
+# robots.txt Crawl-delay): delay_ms = clamp(2 x p95 latency, 100..5000),
+# budget per 30 s politeness round = 30000 div delay. Composes the
+# nearest-rank quantile readout (fetch_latency_quantiles) into the
+# scheduler's per-host-budget contract (fetch_plan_budgeted /
+# stream_politeness_gate take exactly this shape). Same scale profile as
+# the quantile op: ONE host exchange, in-partition sort, integer
+# arithmetic only.
+_ADAPTIVE_DELAY_SQL = """
+WITH lat AS (
+    SELECT 'h' || CAST(user_id % 16 AS {STR}) AS host,
+           CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS lat_c
+    FROM events
+),
+ranked AS (
+    SELECT host, lat_c,
+           row_number() OVER (PARTITION BY host ORDER BY lat_c) AS rn,
+           COUNT(*) OVER (PARTITION BY host) AS n
+    FROM lat
+),
+p95 AS (
+    SELECT host,
+           MAX(CASE WHEN rn = CAST(CEIL(0.95 * n) AS BIGINT)
+                    THEN lat_c END) AS p95_c
+    FROM ranked
+    GROUP BY host
+)
+SELECT host, p95_c,
+       -- centi-units -> ms is /100; doubled p95, clamped to [100, 5000] ms
+       LEAST(5000, GREATEST(100, CAST((2 * p95_c) {DIV} 100 AS BIGINT)))
+         AS delay_ms,
+       CAST(30000 {DIV} LEAST(5000, GREATEST(100,
+            CAST((2 * p95_c) {DIV} 100 AS BIGINT))) AS BIGINT)
+         AS budget_per_round
+FROM p95
+ORDER BY host
+"""
+
+_register(
+    "adaptive_delay_from_latency",
+    _sql_query(
+        _ADAPTIVE_DELAY_SQL.replace("{STR}", "STRING").replace("{DIV}", "DIV"),
+        ("events",),
+        "latency-adaptive politeness: delay = clamp(2*p95, 100..5000 ms) "
+        "per host, budget = round_ms div delay - slow servers get gentler "
+        "pacing automatically; one host exchange, integer arithmetic",
+        oracle=_ADAPTIVE_DELAY_SQL.replace("{STR}", "VARCHAR")
+        .replace("{DIV}", "//"),
+    ),
+)
+
+
+# URL-normalization payoff (the operational capstone over the DUST mining
+# verdicts): apply each host's mined 'irrelevant' parameters as rewrite
+# rules — strip them, keep the rest in sorted order — and report how many
+# frontier URLs collapse, i.e. how many FETCHES normalization saves
+# before a single request is made. Same synthesized corpus as
+# url_param_rewrite_mining, so the two operators' verdicts provably
+# compose. Scale shape: mining aggregates as before; the apply side is
+# one more groupBy per URL (rebuild from kept params) + one host rollup —
+# everything on short strings, map-side combinable.
+_PARAM_APPLY_SQL = """
+WITH pages AS (
+    SELECT DISTINCT
+        source AS host,
+        'http://' || source || '.example.com/item' AS path,
+        CAST((doc_id {DIV} 20) % 7 AS {STR}) AS id_v,
+        CAST((doc_id {DIV} 20) % 2 AS {STR}) AS page_v,
+        's' || CAST(doc_id % 3 AS {STR}) AS sess_v,
+        md5(source || ':' || CAST((doc_id {DIV} 20) % 7 AS {STR})
+            || ':' || CAST((doc_id {DIV} 20) % 2 AS {STR})) AS fp
+    FROM documents
+),
+urls AS (
+    SELECT DISTINCT host, path,
+           path || '?id=' || id_v || '&page=' || page_v
+                || '&sessionid=' || sess_v AS url,
+           id_v, page_v, sess_v, fp
+    FROM pages
+),
+params AS (
+    SELECT host, url, path, fp, 'id' AS pk, id_v AS pv FROM urls
+    UNION ALL
+    SELECT host, url, path, fp, 'page', page_v FROM urls
+    UNION ALL
+    SELECT host, url, path, fp, 'sessionid', sess_v FROM urls
+),
+candidates AS (
+    SELECT DISTINCT host, pk AS cand FROM params
+),
+per_url_cand AS (
+    SELECT p.host, p.url, c.cand, p.fp,
+           {SORTJOIN_STRIP} AS stripped
+    FROM params p
+    JOIN candidates c ON c.host = p.host
+    GROUP BY p.host, p.url, c.cand, p.fp
+),
+groups AS (
+    SELECT host, cand, stripped,
+           COUNT(DISTINCT url) AS n_urls,
+           COUNT(DISTINCT fp) AS n_fps
+    FROM per_url_cand
+    GROUP BY host, cand, stripped
+),
+verdicts AS (
+    SELECT host, cand,
+           (SUM(CASE WHEN n_urls > 1 THEN 1 ELSE 0 END) > 0
+            AND SUM(CASE WHEN n_urls > 1 AND n_fps > 1 THEN 1 ELSE 0 END) = 0)
+             AS irrelevant
+    FROM groups
+    GROUP BY host, cand
+),
+rewritten AS (
+    SELECT p.host, p.url,
+           p.path || '?' || {SORTJOIN_KEEP} AS normalized_url
+    FROM params p
+    JOIN verdicts v ON v.host = p.host AND v.cand = p.pk
+    GROUP BY p.host, p.url, p.path
+)
+SELECT host,
+       CAST(COUNT(DISTINCT url) AS BIGINT) AS n_urls_raw,
+       CAST(COUNT(DISTINCT normalized_url) AS BIGINT) AS n_urls_normalized,
+       CAST(COUNT(DISTINCT url) - COUNT(DISTINCT normalized_url) AS BIGINT)
+         AS saved_fetches,
+       CAST((1000 * (COUNT(DISTINCT url) - COUNT(DISTINCT normalized_url)))
+            {DIV} COUNT(DISTINCT url) AS BIGINT) AS saved_permille
+FROM rewritten
+GROUP BY host
+ORDER BY host
+"""
+
+_register(
+    "url_normalize_savings",
+    _sql_query(
+        _PARAM_APPLY_SQL
+        .replace("{DIV}", "DIV")
+        .replace("{STR}", "STRING")
+        .replace(
+            "{SORTJOIN_STRIP}",
+            "array_join(sort_array(collect_list("
+            "CASE WHEN p.pk <> c.cand THEN p.pk || '=' || p.pv END)), '&')",
+        )
+        .replace(
+            "{SORTJOIN_KEEP}",
+            "array_join(sort_array(collect_list("
+            "CASE WHEN NOT v.irrelevant THEN p.pk || '=' || p.pv END)), '&')",
+        ),
+        ("documents",),
+        "URL normalization payoff: apply the mined irrelevant-param rewrite "
+        "rules and count the frontier URLs (= fetches) that collapse; "
+        "short-string groupBys only, composes with url_param_rewrite_mining",
+        oracle=_PARAM_APPLY_SQL
+        .replace("{DIV}", "//")
+        .replace("{STR}", "VARCHAR")
+        .replace(
+            "{SORTJOIN_STRIP}",
+            "string_agg(CASE WHEN p.pk <> c.cand THEN p.pk || '=' || p.pv END,"
+            " '&' ORDER BY p.pk || '=' || p.pv)",
+        )
+        .replace(
+            "{SORTJOIN_KEEP}",
+            "string_agg(CASE WHEN NOT v.irrelevant THEN p.pk || '=' || p.pv END,"
+            " '&' ORDER BY p.pk || '=' || p.pv)",
+        ),
+    ),
+)

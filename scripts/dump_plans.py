@@ -92,6 +92,9 @@ AUDITED = {
     "host_hits_scores": "two edge-join + partial-agg passes per round over (id, score) pairs; per-round localCheckpoint keeps the plan O(1)",
     "url_param_rewrite_mining": "map-side-combinable aggs over (host,param,group) keys; candidate expansion bounded by params-per-host; only 32-hex fps flow",
     "lastmod_trust_score": "one url-window lag pass + one host partial agg over compact capture tuples",
+    "politeness_compliance_audit": "one host-window lag pass + partial agg; integer milliseconds, no interval types",
+    "adaptive_delay_from_latency": "one host exchange + in-partition sort (nearest-rank p95); clamp/budget pure codegen",
+    "url_normalize_savings": "mining aggs + one rebuild groupBy per URL + host rollup; short strings only",
 }
 
 
