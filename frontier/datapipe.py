@@ -7931,7 +7931,9 @@ _register(
     _sql_query(
         _POLITE_AUDIT_SQL
         .replace("{STR}", "STRING")
-        .replace("{EPOCHMS}", "unix_millis(ts)")
+        # NTZ -> TIMESTAMP is wall-clock reinterpretation in the session TZ;
+        # the engine pins UTC sessions, so this equals DuckDB's epoch_ms
+        .replace("{EPOCHMS}", "unix_millis(CAST(ts AS TIMESTAMP))")
         .replace("{DIV}", "DIV"),
         ("events",),
         "retrospective politeness audit: per-host min inter-fetch gap and "
