@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "politeness_compliance_audit",
     "adaptive_delay_from_latency",
     "url_normalize_savings",
+    "sitemap_write_roundtrip",
 ]
 
 

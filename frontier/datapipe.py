@@ -8115,3 +8115,128 @@ _register(
         ),
     ),
 )
+
+
+# Sitemap WRITING + round-trip (the publisher side of the protocol the
+# whole engine consumes): a URL table renders into paginated urlset XML
+# files (10 URLs/file here; 50,000/50 MB in production — same mechanism),
+# and the generated documents are then parsed back by the engine's OWN
+# expat kernel (frontier.parse.parse_sitemap_text — the byte-parity core
+# the golden tests pin against the reference). The registered output is
+# the PARSED records, and the DuckDB oracle reconstructs them straight
+# from the source table: the comparison therefore proves writer and
+# parser are exact inverses on every field (loc / W3C lastmod /
+# changefreq / priority) — a full protocol round-trip, not a string
+# check. Scale shape: one (host) window for pagination, one ordered-agg
+# groupBy per file, then a shuffle-free mapInPandas parse; file bodies
+# never cross an exchange after assembly.
+_SITEMAP_WRITE_SQL = """
+WITH recs AS (
+    SELECT source AS host, doc_id,
+           'http://' || source || '.example.com/p'
+             || CAST(doc_id AS STRING) AS loc,
+           format_string('2025-%02d-%02d',
+                         CAST(1 + doc_id % 12 AS INT),
+                         CAST(1 + doc_id % 28 AS INT)) AS lastmod,
+           element_at(array('always','hourly','daily','weekly','monthly',
+                            'yearly','never'), CAST(doc_id % 7 AS INT) + 1)
+             AS cf,
+           '0.' || CAST(doc_id % 10 AS STRING) AS pr,
+           row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+    FROM documents
+),
+entries AS (
+    SELECT host, CAST((rn - 1) DIV 10 AS INT) AS file_no, doc_id,
+           '<url><loc>' || loc || '</loc><lastmod>' || lastmod
+             || '</lastmod><changefreq>' || cf || '</changefreq><priority>'
+             || pr || '</priority></url>' AS entry
+    FROM recs
+)
+SELECT 'http://' || host || '.example.com/sitemap_'
+         || CAST(file_no AS STRING) || '.xml' AS sitemap_url,
+       '<?xml version="1.0" encoding="UTF-8"?>'
+         || '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+         || array_join(transform(
+                sort_array(collect_list(struct(doc_id, entry))), e -> e.entry),
+            '')
+         || '</urlset>' AS xml
+FROM entries
+GROUP BY host, file_no
+"""
+
+
+def _sitemap_roundtrip_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql import functions as F, types as T
+
+    _load(spark, sf_dir, "documents")
+    files = spark.sql(_SITEMAP_WRITE_SQL)
+
+    schema = T.StructType(
+        [
+            T.StructField("sitemap_url", T.StringType()),
+            T.StructField("url", T.StringType()),
+            T.StructField("priority", T.StringType()),
+            T.StructField("last_modified", T.StringType()),
+            T.StructField("change_frequency", T.StringType()),
+        ]
+    )
+
+    def kernel(batches):
+        from frontier.parse import parse_sitemap_text
+
+        for batch in batches:
+            out = {k: [] for k in
+                   ("sitemap_url", "url", "priority", "last_modified",
+                    "change_frequency")}
+            for su, xml in zip(batch["sitemap_url"], batch["xml"]):
+                doc = parse_sitemap_text(su, xml)
+                for p in doc.pages:
+                    out["sitemap_url"].append(su)
+                    out["url"].append(p["url"])
+                    out["priority"].append(str(p["priority"]))
+                    out["last_modified"].append(
+                        p["last_modified"].strftime("%Y-%m-%d %H:%M:%S")
+                        if p["last_modified"] else None
+                    )
+                    out["change_frequency"].append(p["change_frequency"])
+            yield pd.DataFrame(out)
+
+    return files.mapInPandas(kernel, schema).orderBy("url")
+
+
+# expected parsed records reconstructed straight from the source table —
+# writer ∘ parser must be the identity on every field
+_SITEMAP_ROUNDTRIP_ORACLE = """
+WITH recs AS (
+    SELECT source AS host, doc_id,
+           row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+    FROM documents
+)
+SELECT 'http://' || host || '.example.com/sitemap_'
+         || CAST((rn - 1) // 10 AS VARCHAR) || '.xml' AS sitemap_url,
+       'http://' || host || '.example.com/p' || CAST(doc_id AS VARCHAR)
+         AS url,
+       '0.' || CAST(doc_id % 10 AS VARCHAR) AS priority,
+       printf('2025-%02d-%02d 00:00:00',
+              CAST(1 + doc_id % 12 AS INT),
+              CAST(1 + doc_id % 28 AS INT)) AS last_modified,
+       (['always','hourly','daily','weekly','monthly','yearly','never'])
+         [CAST(doc_id % 7 AS INT) + 1] AS change_frequency
+FROM recs
+ORDER BY url
+"""
+
+_register(
+    "sitemap_write_roundtrip",
+    QueryDef(
+        build=_sitemap_roundtrip_build,
+        oracle=_SITEMAP_ROUNDTRIP_ORACLE,
+        doc=(
+            "sitemap WRITER + round-trip: URL table -> paginated urlset "
+            "XML -> parsed back by the engine's own expat kernel; oracle "
+            "reconstructs expected records from the source table, proving "
+            "writer and parser are exact inverses on every field"
+        ),
+    ),
+)

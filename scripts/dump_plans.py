@@ -95,6 +95,7 @@ AUDITED = {
     "politeness_compliance_audit": "one host-window lag pass + partial agg; integer milliseconds, no interval types",
     "adaptive_delay_from_latency": "one host exchange + in-partition sort (nearest-rank p95); clamp/budget pure codegen",
     "url_normalize_savings": "mining aggs + one rebuild groupBy per URL + host rollup; short strings only",
+    "sitemap_write_roundtrip": "host-window pagination + ordered-agg per file + shuffle-free mapInPandas parse; bodies never re-exchange",
 }
 
 
