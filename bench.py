@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "adaptive_delay_from_latency",
     "url_normalize_savings",
     "sitemap_write_roundtrip",
+    "crawl_novelty_kmv",
 ]
 
 

@@ -8240,3 +8240,133 @@ _register(
         ),
     ),
 )
+
+
+# KMV (k-minimum-values) distinct sketches with SET ALGEBRA — the
+# Bar-Yossef et al. 2002 bottom-k sketch. Where HLL answers "how many
+# distinct URLs", KMV sketches of two crawls additionally UNION (merge
+# the bottom-k sets, re-take the bottom k) and estimate Jaccard overlap
+# (fraction of the union sketch's members present in both input
+# sketches), which makes it the sketch for CRAWL-OVER-CRAWL NOVELTY:
+# "how many URLs did today's crawl add" without an exact distinct over
+# either crawl. est = (k-1) * 2^56 / h_k (k-th smallest 56-bit hash),
+# computed in DECIMAL(38)/HUGEINT exact division. The bottom-k selection
+# is TWO-LEVEL — per (crawl, hash%64) bucket bottom-k first, then global
+# bottom-k over the <=64k survivors — so no exchange ever carries more
+# than bucket_count*k rows per crawl; this is the distributed top-k shape
+# (partial TakeOrdered) written out relationally so both engines execute
+# the identical reduction. Estimator quality pinned by test against the
+# closed-form truth (|A|=10k, |B|=10k, overlap 5k).
+_KMV_K = 256
+_KMV_SQL = """
+WITH urls AS (
+    SELECT 'a' AS crawl,
+           'u' || CAST(doc_id * 20 + i AS {STR}) AS url
+    FROM documents{EXPLODE20}
+    UNION ALL
+    SELECT 'b', 'u' || CAST(doc_id * 20 + i + 5000 AS {STR})
+    FROM documents{EXPLODE20B}
+),
+hashes AS (
+    SELECT DISTINCT crawl, CAST({H14} AS BIGINT) AS h FROM urls
+),
+bucketed AS (
+    SELECT crawl, h,
+           row_number() OVER (PARTITION BY crawl, h % 64 ORDER BY h) AS brn
+    FROM hashes
+),
+kmv AS (
+    SELECT crawl, h, rn FROM (
+        SELECT crawl, h,
+               row_number() OVER (PARTITION BY crawl ORDER BY h) AS rn
+        FROM bucketed WHERE brn <= {K}
+    ) t WHERE rn <= {K}
+),
+kth AS (
+    SELECT crawl, MAX(h) AS h_k FROM kmv GROUP BY crawl
+),
+union_kmv AS (
+    SELECT h, rn FROM (
+        SELECT h, row_number() OVER (ORDER BY h) AS rn
+        FROM (SELECT DISTINCT h FROM kmv) u
+    ) t WHERE rn <= {K}
+),
+union_kth AS (
+    SELECT MAX(h) AS h_k, COUNT(*) AS k_eff FROM union_kmv
+),
+jacc AS (
+    SELECT COUNT(*) AS n_both
+    FROM union_kmv u
+    WHERE EXISTS (SELECT 1 FROM kmv a
+                  WHERE a.crawl = 'a' AND a.h = u.h)
+      AND EXISTS (SELECT 1 FROM kmv b
+                  WHERE b.crawl = 'b' AND b.h = u.h)
+),
+ests AS (
+    SELECT
+        CAST({EST_A} AS BIGINT) AS est_a,
+        CAST({EST_B} AS BIGINT) AS est_b,
+        CAST({EST_U} AS BIGINT) AS est_union,
+        (SELECT n_both FROM jacc) AS n_both,
+        (SELECT k_eff FROM union_kth) AS k_eff
+)
+SELECT est_a, est_b, est_union,
+       est_union - est_a AS novelty_est,
+       CAST((1000 * n_both) {DIV} k_eff AS BIGINT) AS jaccard_permille
+FROM ests
+"""
+
+
+def _kmv_fill(sql: str, spark: bool) -> str:
+    two56 = 1 << 56
+    if spark:
+        est = (f"(CAST({_KMV_K - 1} AS DECIMAL(38,0)) * {two56}) div "
+               "(SELECT h_k FROM {T} {W})")
+        out = (
+            sql
+            .replace("{STR}", "STRING")
+            .replace("{EXPLODE20}",
+                     " LATERAL VIEW explode(sequence(0, 19)) t AS i")
+            .replace("{EXPLODE20B}",
+                     " LATERAL VIEW explode(sequence(0, 19)) t AS i")
+            .replace("{H14}", "conv(substr(md5(url), 1, 14), 16, 10)")
+            .replace("{EST_A}",
+                     est.replace("{T}", "kth").replace("{W}", "WHERE crawl = 'a'"))
+            .replace("{EST_B}",
+                     est.replace("{T}", "kth").replace("{W}", "WHERE crawl = 'b'"))
+            .replace("{EST_U}",
+                     est.replace("{T}", "union_kth").replace("{W}", ""))
+            .replace("{DIV}", "DIV")
+        )
+    else:
+        est = (f"({_KMV_K - 1}::HUGEINT * {two56}::HUGEINT) // "
+               "(SELECT h_k FROM {T} {W})::HUGEINT")
+        out = (
+            sql
+            .replace("{STR}", "VARCHAR")
+            .replace("{EXPLODE20}", ", unnest(range(0, 20)) AS t(i)")
+            .replace("{EXPLODE20B}", ", unnest(range(0, 20)) AS t(i)")
+            .replace("{H14}", "('0x' || substr(md5(url), 1, 14))")
+            .replace("{EST_A}",
+                     est.replace("{T}", "kth").replace("{W}", "WHERE crawl = 'a'"))
+            .replace("{EST_B}",
+                     est.replace("{T}", "kth").replace("{W}", "WHERE crawl = 'b'"))
+            .replace("{EST_U}",
+                     est.replace("{T}", "union_kth").replace("{W}", ""))
+            .replace("{DIV}", "//")
+        )
+    return out.replace("{K}", str(_KMV_K))
+
+
+_register(
+    "crawl_novelty_kmv",
+    _sql_query(
+        _kmv_fill(_KMV_SQL, spark=True),
+        ("documents",),
+        "KMV bottom-k distinct sketches with set algebra: union + Jaccard "
+        "across two crawls -> crawl-over-crawl novelty estimate without "
+        "exact distincts; two-level bottom-k so no exchange carries more "
+        "than buckets*k rows",
+        oracle=_kmv_fill(_KMV_SQL, spark=False),
+    ),
+)

@@ -96,6 +96,7 @@ AUDITED = {
     "adaptive_delay_from_latency": "one host exchange + in-partition sort (nearest-rank p95); clamp/budget pure codegen",
     "url_normalize_savings": "mining aggs + one rebuild groupBy per URL + host rollup; short strings only",
     "sitemap_write_roundtrip": "host-window pagination + ordered-agg per file + shuffle-free mapInPandas parse; bodies never re-exchange",
+    "crawl_novelty_kmv": "two-level bottom-k (bucket k-mins then global); exchanges bounded by buckets*k rows per crawl",
 }
 
 

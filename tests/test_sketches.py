@@ -138,3 +138,16 @@ def test_latency_quantiles_match_numpy_nearest_rank(spark):
             expect = int(lat[int(np.ceil(p * n)) - 1])
             assert r[col] == expect, (r["host"], col, r[col], expect)
         assert r["max_c"] == int(lat[-1])
+
+
+def test_kmv_novelty_estimates_within_error_band(spark):
+    """KMV set algebra vs the closed-form truth of the synthesized crawls
+    (|A| = |B| = 10000, overlap 5000): per-sketch error ~1/sqrt(256) =
+    6.25%, so generous 3-4 sigma bands; novelty is a difference of
+    estimates and gets a wider band."""
+    row = REGISTRY["crawl_novelty_kmv"].build(spark, SF_DIR).collect()[0]
+    assert abs(row.est_a - 10000) / 10000 < 0.20
+    assert abs(row.est_b - 10000) / 10000 < 0.20
+    assert abs(row.est_union - 15000) / 15000 < 0.20
+    assert abs(row.novelty_est - 5000) / 5000 < 0.40
+    assert abs(row.jaccard_permille - 333) < 120
