@@ -65,3 +65,27 @@ def test_registry_query_matches_oracle(spark, duck, name):
     assert list(got.columns) == list(want.columns)
     assert len(got) == len(want)
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_sitemap_write_roundtrip_pagination(spark):
+    """Writer pagination: 25 URLs/host at 10 URLs/file -> 3 files per host
+    (10+10+5), every source row survives the XML round-trip exactly once,
+    and records point at the file that carried them."""
+    from frontier.datapipe import REGISTRY
+
+    rows = REGISTRY["sitemap_write_roundtrip"].build(
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert len(rows) == 500  # one parsed record per source row
+    by_file: dict[str, int] = {}
+    for r in rows:
+        by_file[r["sitemap_url"]] = by_file.get(r["sitemap_url"], 0) + 1
+    assert len(by_file) == 60  # 20 hosts x 3 files
+    sizes = sorted(by_file.values())
+    assert sizes.count(5) == 20 and sizes.count(10) == 40
+    # spot field fidelity on one known row (doc_id=0: priority 0.0,
+    # lastmod 2025-01-01, changefreq always)
+    r0 = next(r for r in rows if r["url"].endswith("/p0"))
+    assert (r0["priority"], r0["last_modified"], r0["change_frequency"]) == (
+        "0.0", "2025-01-01 00:00:00", "always"
+    )
