@@ -655,3 +655,59 @@ def stream_hll_cardinality(
             F.expr(est).cast("long").alias("distinct_urls_est"),
         )
     )
+
+
+def stream_url_cms(
+    fetches: DataFrame,
+    window: str = "1 minute",
+    watermark: str = "5 minutes",
+    url_col: str = "url",
+    d: int = 2,
+    w: int = 16,
+) -> DataFrame:
+    """Windowed count-min sketch CELLS over the fetch stream's URLs — the
+    streaming twin of the batch ``token_cms_topk`` build: "which URLs
+    dominate this window's fetch volume" for a key space too large to
+    count exactly. The stream emits the d×w cell table per window (32
+    rows here); consumers probe suspects offline with the standard
+    MIN-over-d rule (est ≥ true, pinned by test) and the cells of
+    adjacent windows merge by plain SUM — the sketch is a monoid, so
+    late-data updates and window rollups both come free from the state
+    store's own aggregation.
+
+    Stateless-windowed: explode-to-d-rows is stateless, the single window
+    aggregation holds ≤ d·w counters per window. Everything (md5 prefix
+    hashes via ``conv``, the Kirsch-Mitzenmacher row hash) is JVM codegen.
+    Applied to a static DataFrame the same function yields bit-identical
+    cells (pinned by test)."""
+    hashed = (
+        fetches.withColumn(
+            "h1",
+            F.expr(f"CAST(conv(substr(md5({url_col}), 1, 14), 16, 10) AS BIGINT)"),
+        )
+        .withColumn(
+            "h2",
+            F.expr(
+                f"CAST(conv(substr(md5({url_col}), 15, 14), 16, 10) AS BIGINT)"
+                " | CAST(1 AS BIGINT)"
+            ),
+        )
+        .withColumn("i", F.explode(F.expr(f"sequence(0, {d - 1})")))
+        .withColumn("col", F.expr(f"(h1 + i * h2) % {w}"))
+    )
+    return (
+        hashed.withWatermark("fetch_ts", watermark)
+        .groupBy(
+            F.window("fetch_ts", window).alias("win"),
+            F.col("i").alias("row"),
+            "col",
+        )
+        .agg(F.count("*").alias("cell_count"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "row",
+            "col",
+            "cell_count",
+        )
+    )

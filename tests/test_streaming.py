@@ -630,3 +630,42 @@ def test_stream_hll_cardinality_matches_batch_and_estimates(spark, tmp_path):
     assert h2a.n_urls == 400 and h2b.n_urls == 400
     assert abs(h2a.distinct_urls_est - 400) / 400 < 0.40
     assert abs(h2b.distinct_urls_est - 400) / 400 < 0.40
+
+
+def test_stream_url_cms_matches_batch_and_never_undercounts(spark, tmp_path):
+    """Windowed CMS cells on the stream == the same function in batch, and
+    probing a known URL with the MIN-over-d rule never undercounts its
+    true window frequency."""
+    from frontier.streaming import stream_url_cms
+
+    landing = str(tmp_path / "landing_cms")
+    t0 = dt.datetime(2025, 6, 1, 12, 0, 0)
+    rows = []
+    # hot URL fetched 50x, 40 background URLs fetched 2x each, one window
+    for i in range(50):
+        rows.append(("http://h/hot", None, 200, None, None,
+                     t0 + dt.timedelta(seconds=i)))
+    for u in range(40):
+        for rep in range(2):
+            rows.append((f"http://h/cold{u}", None, 200, None, None,
+                         t0 + dt.timedelta(seconds=u + rep)))
+    _land(spark, landing, rows)
+
+    cells = stream_url_cms(read_fetch_stream(spark, landing))
+    run_available_now(
+        cells, str(tmp_path / "ck_cms"), "cms_sink", output_mode="complete"
+    )
+    got = {(r.row, r.col): r.cell_count
+           for r in spark.sql("SELECT * FROM cms_sink").collect()}
+    batch = {(r.row, r.col): r.cell_count
+             for r in stream_url_cms(spark.read.parquet(landing)).collect()}
+    assert got == batch
+    assert sum(got.values()) == 2 * len(rows)  # d=2 increments per fetch
+
+    # probe the hot URL: MIN over its d cells >= true count (50)
+    h = spark.sql(
+        "SELECT CAST(conv(substr(md5('http://h/hot'), 1, 14), 16, 10) AS BIGINT) h1,"
+        " CAST(conv(substr(md5('http://h/hot'), 15, 14), 16, 10) AS BIGINT) | 1 h2"
+    ).collect()[0]
+    est = min(got[(i, (h.h1 + i * h.h2) % 16)] for i in range(2))
+    assert est >= 50
