@@ -390,10 +390,17 @@ def fetch_plan_budgeted(
     )
 
 
+#: Synthetic body standing in for an UNREACHABLE robots.txt under the
+#: assume-disallow policy: parsed by the same kernel as real bodies, so
+#: the disallow-all snapshot takes the ordinary code path end to end.
+_DISALLOW_ALL_BODY = b"User-agent: *\nDisallow: /\n"
+
+
 def robots_rules_from_store(
     seeds: DataFrame,
     fetches: DataFrame,
     user_agent: str = DEFAULT_USER_AGENT,
+    assume_disallow_on_unreachable: bool = True,
 ) -> DataFrame:
     """Per-host rules snapshot straight from a fetch store.
 
@@ -405,8 +412,17 @@ def robots_rules_from_store(
     decoded (gzip-sniffed, utf-8-sig) and parsed in one Arrow kernel over
     one row per host.
 
-    Hosts whose robots.txt is missing or non-200 get no snapshot row —
-    allowed-by-absence downstream (RFC 9309 §2.3.1).
+    Status semantics (RFC 9309 §2.3.1):
+
+    - 2xx → parse the body;
+    - 4xx ("unavailable") and hosts with no robots row at all → no
+      snapshot row, allowed-by-absence downstream;
+    - 5xx / null-status errors ("unreachable", §2.3.1.4) → with
+      ``assume_disallow_on_unreachable`` (default, the crawler-safe MAY
+      branch major crawlers document) the host gets a synthetic
+      disallow-all snapshot — a failing server is never hammered with
+      page fetches just because its robots.txt timed out. Pass ``False``
+      for the allow-all reading of the same MAY.
     """
     from frontier.textnorm import decode_sitemap_body
     from frontier.urlnorm import host_expr
@@ -416,12 +432,40 @@ def robots_rules_from_store(
         F.concat(F.col(col), F.lit("robots.txt")).alias("url"),
         host_expr(F.col(col)).alias("host"),
     )
-    rows = (
-        fetches.join(F.broadcast(robots_urls), "url")
-        .filter(F.col("status") == 200)
-        .select("host", "url", "content_type", "body")
-        .dropDuplicates(["host"])
-    )
+    matched = fetches.join(F.broadcast(robots_urls), "url")
+    ok = matched.filter(
+        (F.col("status") >= 200) & (F.col("status") < 300)
+    ).select("host", "url", "content_type", "body")
+    if assume_disallow_on_unreachable:
+        unreachable = (
+            matched.filter(
+                F.col("status").isNull() | (F.col("status") >= 500)
+            )
+            .select(
+                "host",
+                "url",
+                F.lit(None).cast("string").alias("content_type"),
+                F.lit(_DISALLOW_ALL_BODY).alias("body"),
+            )
+            # a host that ALSO has a 2xx row (e.g. retry succeeded) keeps
+            # the real body: the union puts 2xx first and the per-host
+            # dedup below is ordered by the marker column
+            .withColumn("_unreachable", F.lit(1))
+        )
+        rows = (
+            ok.withColumn("_unreachable", F.lit(0))
+            .unionByName(unreachable)
+            .withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy("host").orderBy("_unreachable", "url")
+                ),
+            )
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "_unreachable")
+        )
+    else:
+        rows = ok.dropDuplicates(["host"])
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:

@@ -376,3 +376,71 @@ def test_empty_user_agent_value_matches_nothing():
     )
     _, rules = parse_robots_body(body, "frontierbot/1.0")
     assert [(p, a) for (p, _, _, a) in rules] == [("/private/", False)]
+
+
+# --- RFC 9309 §2.3.1 status semantics ----------------------------------------
+
+
+def _store(spark, rows):
+    return spark.createDataFrame(
+        rows, "url string, status int, content_type string, body binary"
+    )
+
+
+def _seeds(spark, hosts):
+    return spark.createDataFrame(
+        [(f"http://{h}/",) for h in hosts], "seed string"
+    )
+
+
+def test_unreachable_robots_assumes_full_disallow(spark):
+    """5xx / null-status robots.txt -> synthetic disallow-all snapshot
+    (the crawler-safe MAY branch of §2.3.1.4); 4xx and absent hosts stay
+    allowed-by-absence; a 2xx row beats a 5xx row for the same host."""
+    from frontier.robots import robots_filter, robots_rules_from_store
+
+    body = b"User-agent: *\nDisallow: /private/\n"
+    store = _store(spark, [
+        ("http://ok.com/robots.txt", 200, "text/plain", bytearray(body)),
+        ("http://down.com/robots.txt", 503, None, None),
+        ("http://err.com/robots.txt", None, None, None),
+        ("http://gone.com/robots.txt", 404, None, None),
+        # retried host: one failed attempt row AND a success row
+        ("http://flaky.com/robots.txt", 500, None, None),
+        ("http://flaky.com/robots.txt", 200, "text/plain", bytearray(body)),
+    ])
+    seeds = _seeds(spark, ["ok.com", "down.com", "err.com", "gone.com",
+                           "flaky.com", "norow.com"])
+    rules = robots_rules_from_store(seeds, store)
+    urls = spark.createDataFrame(
+        [(f"http://{h}/{p}",)
+         for h in ("ok.com", "down.com", "err.com", "gone.com",
+                   "flaky.com", "norow.com")
+         for p in ("page.html", "private/x.html")],
+        "url string",
+    )
+    kept = {r["url"] for r in robots_filter(urls, rules).collect()}
+    # 2xx-parsed hosts: only /private/ blocked
+    for h in ("ok.com", "flaky.com"):
+        assert f"http://{h}/page.html" in kept
+        assert f"http://{h}/private/x.html" not in kept
+    # unreachable hosts: everything blocked
+    for h in ("down.com", "err.com"):
+        assert f"http://{h}/page.html" not in kept
+        assert f"http://{h}/private/x.html" not in kept
+    # unavailable (404) and absent hosts: everything allowed
+    for h in ("gone.com", "norow.com"):
+        assert f"http://{h}/page.html" in kept
+        assert f"http://{h}/private/x.html" in kept
+
+
+def test_unreachable_policy_opt_out(spark):
+    from frontier.robots import robots_filter, robots_rules_from_store
+
+    store = _store(spark, [("http://down.com/robots.txt", 503, None, None)])
+    seeds = _seeds(spark, ["down.com"])
+    rules = robots_rules_from_store(
+        seeds, store, assume_disallow_on_unreachable=False
+    )
+    urls = spark.createDataFrame([("http://down.com/p.html",)], "url string")
+    assert robots_filter(urls, rules).count() == 1
