@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     "url_normalize_savings",
     "sitemap_write_roundtrip",
     "crawl_novelty_kmv",
+    "robots_unreachable_policy",
 ]
 
 

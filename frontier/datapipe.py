@@ -8370,3 +8370,74 @@ _register(
         oracle=_kmv_fill(_KMV_SQL, spark=False),
     ),
 )
+
+
+# RFC 9309 §2.3.1 robots status semantics as a gated operator: hosts are
+# synthesized into the four status classes (2xx-with-rules / 5xx /
+# 4xx / null-status network error) and page URLs flow through
+# robots_rules_from_store + robots_filter. The oracle states the RFC
+# outcome in closed form: 2xx hosts keep everything outside /private/,
+# 4xx hosts keep everything (allowed-by-absence), 5xx and error hosts
+# keep NOTHING (unreachable -> assume-disallow, the crawler-safe MAY
+# branch of §2.3.1.4). Same scale shape as robots_rules_filter: rules
+# snapshot is one row per host, URL side filtered in place.
+def _robots_unreachable_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from frontier.robots import robots_filter, robots_rules_from_store
+
+    _load(spark, sf_dir, "documents")
+    store = spark.sql(
+        """
+        SELECT DISTINCT
+            'http://' || source || '.example.com/robots.txt' AS url,
+            CASE CAST(substr(source, 4) AS INT) % 4
+              WHEN 0 THEN 200 WHEN 1 THEN 503 WHEN 2 THEN 404 END AS status,
+            'text/plain' AS content_type,
+            CASE WHEN CAST(substr(source, 4) AS INT) % 4 = 0
+                 THEN encode('User-agent: *' || chr(10)
+                             || 'Disallow: /private/' || chr(10), 'utf-8')
+            END AS body
+        FROM documents
+        """
+    )
+    seeds = spark.sql(
+        "SELECT DISTINCT 'http://' || source || '.example.com/' AS seed "
+        "FROM documents"
+    )
+    urls = spark.sql(
+        """
+        SELECT 'http://' || source || '.example.com'
+               || CASE WHEN doc_id % 2 = 0 THEN '/page' ELSE '/private/p' END
+               || CAST(doc_id AS STRING) AS url
+        FROM documents
+        """
+    )
+    rules = robots_rules_from_store(seeds, store)
+    return robots_filter(urls, rules).select("url").orderBy("url")
+
+
+_ROBOTS_UNREACHABLE_ORACLE = """
+WITH urls AS (
+    SELECT 'http://' || source || '.example.com'
+             || CASE WHEN doc_id % 2 = 0 THEN '/page' ELSE '/private/p' END
+             || CAST(doc_id AS VARCHAR) AS url,
+           CAST(substr(source, 4) AS INT) % 4 AS cls,
+           doc_id % 2 = 0 AS is_page
+    FROM documents
+)
+SELECT url FROM urls
+WHERE cls = 2 OR (cls = 0 AND is_page)
+ORDER BY url
+"""
+
+_register(
+    "robots_unreachable_policy",
+    QueryDef(
+        build=_robots_unreachable_build,
+        oracle=_ROBOTS_UNREACHABLE_ORACLE,
+        doc="RFC 9309 robots status semantics: 2xx parses rules, 4xx is "
+            "allowed-by-absence, 5xx/network-error is unreachable -> "
+            "assume-disallow; oracle states the RFC outcome in closed form",
+    ),
+)
