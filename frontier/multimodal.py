@@ -1204,6 +1204,15 @@ def _lzw_encode_gif(indices: bytes, min_code_size: int) -> bytes:
         w = bytes([byte])
     if w:
         emit(table[w])
+    # The decoder appends a table entry for EVERY data code after the
+    # first, including this final one (it cannot know no new sequence was
+    # assigned), so its table can hit exactly 2^width here and widen
+    # before reading End. Mirror that: if the slot the decoder just
+    # filled crossed the boundary, End must be written at the new width
+    # (found by hypothesis: a 56-zero frame put the final append exactly
+    # at table size 16 and desynced the End code).
+    if next_code == (1 << width) and width < 12:
+        width += 1
     emit(end)
     if bits:
         out.append(acc & 0xFF)
