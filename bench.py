@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "sitemap_write_roundtrip",
     "crawl_novelty_kmv",
     "robots_unreachable_policy",
+    "sitemap_index_write_roundtrip",
 ]
 
 

@@ -8441,3 +8441,104 @@ _register(
             "assume-disallow; oracle states the RFC outcome in closed form",
     ),
 )
+
+
+# Sitemapindex WRITING + round-trip — the index half of the protocol
+# (sitemap_write_roundtrip covers the urlset half): the per-host leaf
+# files the writer paginated into become <sitemapindex> documents, and
+# parsing them back through the engine's expat kernel must recover the
+# exact child list in declaration order (the same child ordering the wave
+# engine's `seq` column preserves during crawls). Same shapes as the
+# urlset writer: one ordered-agg groupBy per host, shuffle-free parse.
+def _sitemap_index_roundtrip_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    _load(spark, sf_dir, "documents")
+    idx = spark.sql(
+        """
+        WITH recs AS (
+            SELECT source AS host,
+                   row_number() OVER (PARTITION BY source ORDER BY doc_id)
+                     AS rn
+            FROM documents
+        ),
+        files AS (
+            SELECT DISTINCT host, CAST((rn - 1) DIV 10 AS INT) AS file_no
+            FROM recs
+        )
+        SELECT 'http://' || host || '.example.com/sitemap_index.xml'
+                 AS index_url,
+               '<?xml version="1.0" encoding="UTF-8"?>'
+                 || '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+                 || array_join(transform(sort_array(collect_list(struct(
+                        file_no,
+                        '<sitemap><loc>http://' || host
+                          || '.example.com/sitemap_'
+                          || CAST(file_no AS STRING) || '.xml</loc>'
+                          || '<lastmod>2025-06-0' || CAST(file_no + 1 AS STRING)
+                          || '</lastmod></sitemap>'))),
+                      e -> e.col2), '')
+                 || '</sitemapindex>' AS xml
+        FROM files
+        GROUP BY host
+        """
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("index_url", T.StringType()),
+            T.StructField("seq", T.IntegerType()),
+            T.StructField("child_url", T.StringType()),
+            T.StructField("kind", T.StringType()),
+        ]
+    )
+
+    def kernel(batches):
+        from frontier.parse import parse_sitemap_text
+
+        for batch in batches:
+            out = {k: [] for k in ("index_url", "seq", "child_url", "kind")}
+            for iu, xml in zip(batch["index_url"], batch["xml"]):
+                doc = parse_sitemap_text(iu, xml)
+                for seq, child in enumerate(doc.children):
+                    out["index_url"].append(iu)
+                    out["seq"].append(seq)
+                    out["child_url"].append(child)
+                    out["kind"].append(doc.kind)
+            yield pd.DataFrame(out)
+
+    return idx.mapInPandas(kernel, schema).orderBy("index_url", "seq")
+
+
+_SITEMAP_INDEX_ROUNDTRIP_ORACLE = """
+WITH recs AS (
+    SELECT source AS host,
+           row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+    FROM documents
+),
+files AS (
+    SELECT DISTINCT host, CAST((rn - 1) // 10 AS INT) AS file_no FROM recs
+)
+SELECT 'http://' || host || '.example.com/sitemap_index.xml' AS index_url,
+       file_no AS seq,
+       'http://' || host || '.example.com/sitemap_'
+         || CAST(file_no AS VARCHAR) || '.xml' AS child_url,
+       'xml_index' AS kind
+FROM files
+ORDER BY index_url, seq
+"""
+
+_register(
+    "sitemap_index_write_roundtrip",
+    QueryDef(
+        build=_sitemap_index_roundtrip_build,
+        oracle=_SITEMAP_INDEX_ROUNDTRIP_ORACLE,
+        doc=(
+            "sitemapindex WRITER + round-trip (the index half of the "
+            "protocol): per-host index documents parsed back by the "
+            "engine's expat kernel recover the exact child list in "
+            "declaration order"
+        ),
+    ),
+)
