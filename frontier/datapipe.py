@@ -8476,7 +8476,8 @@ def _sitemap_index_roundtrip_build(spark: SparkSession, sf_dir: str) -> DataFram
                         '<sitemap><loc>http://' || host
                           || '.example.com/sitemap_'
                           || CAST(file_no AS STRING) || '.xml</loc>'
-                          || '<lastmod>2025-06-0' || CAST(file_no + 1 AS STRING)
+                          || '<lastmod>'
+                          || format_string('2025-06-%02d', 1 + file_no % 28)
                           || '</lastmod></sitemap>'))),
                       e -> e.col2), '')
                  || '</sitemapindex>' AS xml
@@ -8490,21 +8491,36 @@ def _sitemap_index_roundtrip_build(spark: SparkSession, sf_dir: str) -> DataFram
             T.StructField("index_url", T.StringType()),
             T.StructField("seq", T.IntegerType()),
             T.StructField("child_url", T.StringType()),
+            T.StructField("child_lastmod", T.StringType()),
             T.StructField("kind", T.StringType()),
         ]
     )
 
     def kernel(batches):
+        import re
+
         from frontier.parse import parse_sitemap_text
 
+        lastmod_re = re.compile(r"<lastmod>([^<]*)</lastmod>")
+        w3c_re = re.compile(r"^\d{4}-\d{2}-\d{2}$")
+        cols = ("index_url", "seq", "child_url", "child_lastmod", "kind")
         for batch in batches:
-            out = {k: [] for k in ("index_url", "seq", "child_url", "kind")}
+            out = {k: [] for k in cols}
             for iu, xml in zip(batch["index_url"], batch["xml"]):
                 doc = parse_sitemap_text(iu, xml)
+                # The expat kernel keeps only child URLs (matching the
+                # reference's index walk); the written <lastmod> is pulled
+                # back positionally and W3C-validated so a malformed date
+                # ('2025-06-010') can never round-trip silently.
+                lastmods = lastmod_re.findall(xml)
                 for seq, child in enumerate(doc.children):
+                    lm = lastmods[seq] if seq < len(lastmods) else None
                     out["index_url"].append(iu)
                     out["seq"].append(seq)
                     out["child_url"].append(child)
+                    out["child_lastmod"].append(
+                        lm if lm is not None and w3c_re.match(lm) else None
+                    )
                     out["kind"].append(doc.kind)
             yield pd.DataFrame(out)
 
@@ -8524,6 +8540,7 @@ SELECT 'http://' || host || '.example.com/sitemap_index.xml' AS index_url,
        file_no AS seq,
        'http://' || host || '.example.com/sitemap_'
          || CAST(file_no AS VARCHAR) || '.xml' AS child_url,
+       printf('2025-06-%02d', 1 + file_no % 28) AS child_lastmod,
        'xml_index' AS kind
 FROM files
 ORDER BY index_url, seq

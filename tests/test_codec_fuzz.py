@@ -117,6 +117,23 @@ def test_gif_lzw_actually_compresses_and_survives_table_reset():
     assert _lzw_decode_gif(_lzw_encode_gif(long, 8), 8) == long
 
 
+def test_gif_lzw_width_boundary_runs_roundtrip():
+    """Regression pin for the End-code width desync (commit 1075cdd): when
+    the decoder's final dictionary append lands exactly on a 2^width
+    boundary, the code width must NOT grow before reading the End code.
+    Constant runs walk the append counter across every boundary; sweep run
+    lengths 0..300 at min_code_size 2/4/8 (the 56-zero frame was the
+    original failing input at min_code_size 2)."""
+    from frontier.multimodal import _lzw_decode_gif, _lzw_encode_gif
+
+    for min_code in (2, 4, 8):
+        for n in range(0, 301):
+            data = b"\x00" * n
+            assert _lzw_decode_gif(_lzw_encode_gif(data, min_code), min_code) == data, (
+                f"min_code_size={min_code} run={n}"
+            )
+
+
 @settings(max_examples=60, deadline=None)
 @given(st.binary(max_size=300))
 def test_gif_decoder_never_raises(blob):
