@@ -8559,3 +8559,304 @@ _register(
         ),
     ),
 )
+
+
+# =============================================================================
+# H. Round-4 capstone: the continuous-crawl lifecycle as ONE oracled operator.
+# =============================================================================
+
+# continuous_crawl_e2e — the north-rule sentence run across ROUNDS: the
+# composition a real operator runs weekly, with every stage being the real
+# engine machinery (never a restatement):
+#
+#   round-1 snapshot + persisted UrlSeenSet (record_seen + crash-safe
+#   compact, frontier/dedup.py:350)
+#     -> snapshot_diff change signal (frontier/pages.py:826 — map-side md5,
+#        bodies never cross an exchange)
+#     -> recrawl channel: changed ∪ changefreq-due unchanged
+#        (recrawl_plan, frontier/schedule.py:90, column-only passthrough)
+#     -> RFC 9110 conditional headers from round-1 validator state
+#        (ETag-over-Last-Modified precedence, as conditional_fetch_plan)
+#     -> discovery channel: the REAL bloom+anti-join seen-set filter (X1)
+#        admitting exactly the URLs round 1 never crawled
+#     -> fetch_plan_budgeted admission (frontier/robots.py:320 — salted
+#        two-level per-host top-k under Crawl-delay-style budgets)
+#     -> simulated fetch outcome (predicted 304s + bytes saved)
+#     -> record_seen(admitted) + compact() -> round-2 seen table, re-read
+#        from disk and joined back as `in_seen_after`.
+#
+# The oracle derives the ENTIRE round-2 admission — including the post-round
+# seen-table membership — from round-1 state in closed form (doc_id
+# arithmetic), so a defect in ANY stage (diff classes, due logic, validator
+# choice, seen-set exactness, salted-rank/budget equivalence, the persisted
+# table's post-compaction content) breaks the hash. Scale shape: text is
+# collapsed to md5/octet_length in the scan projection and never carried;
+# every exchange moves (url, fingerprint, metadata) rows only; admission is
+# the salted bounded top-k; the seen table round-trips through parquet the
+# way the 10^10-row dedup table would through Iceberg.
+_CCRAWL_AS_OF = "2025-06-01 12:00:00"
+_CCRAWL_DEFAULT_BUDGET = 6
+
+
+def _continuous_crawl_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from .dedup import UrlSeenSet
+    from .pages import snapshot_diff
+    from .robots import fetch_plan_budgeted
+    from .schedule import recrawl_plan, with_canonical_host
+
+    _load(spark, sf_dir, "documents")
+
+    # Round-1 state: crawled snapshot + persisted seen table.
+    old = spark.sql(
+        """
+        SELECT 'http://h' || CAST(doc_id % 23 AS STRING) || '.example.com/p'
+                 || CAST(doc_id AS STRING) AS url,
+               text
+        FROM documents WHERE doc_id % 7 <> 0
+        """
+    )
+    base = tempfile.mkdtemp(prefix="continuous-crawl-")
+    seen = UrlSeenSet(spark, base + "/seen", expected_urls=1 << 17)
+    seen.record_seen(old.select("url"))
+    seen.compact()
+
+    # Round-2 observed state: sitemap listing (metadata only — text is
+    # collapsed to octet_length in the projection) and the new corpus the
+    # diff fingerprints map-side.
+    listing = spark.sql(
+        """
+        SELECT 'http://h' || CAST(doc_id % 23 AS STRING) || '.example.com/p'
+                 || CAST(doc_id AS STRING) AS url,
+               timestampadd(HOUR, - CAST(doc_id % 2000 AS INT),
+                   TIMESTAMP '2025-06-01 00:00:00') AS lastmod,
+               element_at(array('always','hourly','daily','weekly','monthly',
+                   'yearly','never','purple'), CAST(doc_id % 8 AS INT) + 1)
+                   AS changefreq,
+               CAST(doc_id % 11 AS DOUBLE) / 10.0 AS priority,
+               (doc_id % 2 = 0) AS has_etag,
+               timestampadd(SECOND, CAST(doc_id AS INT),
+                   TIMESTAMP '2025-01-01 00:00:00') AS last_fetch_ts,
+               CAST(octet_length(text) + 26 AS BIGINT) AS n_bytes
+        FROM documents WHERE doc_id % 5 <> 0
+        """
+    )
+    new_corpus = spark.sql(
+        """
+        SELECT 'http://h' || CAST(doc_id % 23 AS STRING) || '.example.com/p'
+                 || CAST(doc_id AS STRING) AS url,
+               CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END
+                 AS text
+        FROM documents WHERE doc_id % 5 <> 0
+        """
+    )
+
+    # Change signal between rounds (fingerprints only).
+    diff = snapshot_diff(old, new_corpus)
+
+    # Recrawl channel: changed ∪ changefreq-due unchanged, with the RFC 9110
+    # validator rendered from round-1 state (old_fp IS the stored ETag).
+    meta = listing.join(diff.filter(F.col("change") != "added"), "url")
+    scored = recrawl_plan(
+        meta,
+        _CCRAWL_AS_OF,
+        extra_cols=(
+            "lastmod", "change", "old_fp", "has_etag", "last_fetch_ts",
+            "n_bytes",
+        ),
+    )
+    recrawl_cand = scored.filter(
+        (F.col("change") == "changed")
+        | ((F.col("change") == "unchanged") & F.col("due"))
+    ).select(
+        "url",
+        F.col("lastmod").alias("last_modified"),
+        "priority",
+        "change",
+        F.when(F.col("has_etag"), F.lit("if-none-match"))
+        .otherwise(F.lit("if-modified-since"))
+        .alias("strategy"),
+        F.when(
+            F.col("has_etag"),
+            F.concat(F.lit('If-None-Match: "'), F.col("old_fp"), F.lit('"')),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("If-Modified-Since: "),
+                F.date_format("last_fetch_ts", "EEE, dd MMM yyyy HH:mm:ss"),
+                F.lit(" GMT"),
+            )
+        )
+        .alias("cond_header"),
+        "n_bytes",
+    )
+
+    # Discovery channel: the REAL persisted seen-set (bloom prefilter +
+    # exact anti-join) — must admit exactly the URLs round 1 never crawled.
+    discovered = seen.filter_unseen(listing).select(
+        "url",
+        F.col("lastmod").alias("last_modified"),
+        "priority",
+        F.lit("added").alias("change"),
+        F.lit("unconditional").alias("strategy"),
+        F.lit(None).cast("string").alias("cond_header"),
+        "n_bytes",
+    )
+
+    # Pin the candidate set BEFORE the round mutates the seen table: the
+    # discovery anti-join's lineage reads the round-1 parquet files, which
+    # the post-round compact() replaces. Same discipline as the wave
+    # engine's per-wave snapshots (state mutation invalidates lineage).
+    candidates = with_canonical_host(
+        recrawl_cand.unionByName(discovered), "url"
+    ).localCheckpoint(eager=True)
+
+    budgets = spark.sql(
+        """
+        SELECT DISTINCT
+            'h' || CAST(doc_id % 23 AS STRING) || '.example.com' AS host,
+            CAST(2 + CAST(doc_id % 23 AS INT) % 5 AS INT) AS fetch_budget
+        FROM documents
+        """
+    )
+    admitted = fetch_plan_budgeted(
+        candidates,
+        budgets,
+        default_budget=_CCRAWL_DEFAULT_BUDGET,
+        url_col="url",
+        salt_buckets=4,
+    ).select(
+        "url",
+        F.col("fetch_rank").cast("bigint").alias("fetch_rank"),
+        F.col("fetch_budget").cast("bigint").alias("fetch_budget"),
+    )
+
+    # Round-2 crawl happens; the admitted URLs enter the seen table, which
+    # is compacted and re-read from disk — in_seen_after is the NEXT
+    # round's actual state, not a restatement of this round's plan.
+    seen.record_seen(admitted.select("url"))
+    seen.compact()
+    post = spark.read.parquet(seen.path).select(
+        "url", F.lit(True).alias("_in_seen")
+    )
+
+    return (
+        candidates.join(admitted, "url", "left")
+        .join(post, "url", "left")
+        .select(
+            "url",
+            "canonical_host",
+            "change",
+            "strategy",
+            "cond_header",
+            "priority",
+            "fetch_rank",
+            "fetch_budget",
+            F.col("fetch_rank").isNotNull().alias("admitted"),
+            F.when(
+                F.col("fetch_rank").isNotNull(),
+                F.col("change") == "unchanged",
+            ).alias("predicted_304"),
+            F.when(
+                F.col("fetch_rank").isNotNull(),
+                F.when(F.col("change") == "unchanged", F.col("n_bytes"))
+                .otherwise(F.lit(0)),
+            )
+            .cast("bigint")
+            .alias("bytes_saved"),
+            F.col("_in_seen").isNotNull().alias("in_seen_after"),
+        )
+        .orderBy("url")
+    )
+
+
+_CONTINUOUS_CRAWL_ORACLE = f"""
+WITH listing AS (
+    SELECT doc_id, text,
+           'http://h' || CAST(doc_id % 23 AS VARCHAR) || '.example.com/p'
+             || CAST(doc_id AS VARCHAR) AS url,
+           'h' || CAST(doc_id % 23 AS VARCHAR) || '.example.com'
+             AS canonical_host,
+           TIMESTAMP '2025-06-01 00:00:00'
+             - INTERVAL 1 HOUR * (doc_id % 2000) AS lastmod,
+           (['always','hourly','daily','weekly','monthly','yearly','never',
+             'purple'])[CAST(doc_id % 8 AS INT) + 1] AS changefreq,
+           CAST(doc_id % 11 AS DOUBLE) / 10.0 AS priority,
+           doc_id % 7 = 0 AS is_new,
+           doc_id % 3 = 0 AS is_changed,
+           doc_id % 2 = 0 AS has_etag,
+           TIMESTAMP '2025-01-01 00:00:00'
+             + INTERVAL 1 SECOND * doc_id AS last_fetch_ts
+    FROM documents WHERE doc_id % 5 <> 0
+),
+scored AS (
+    SELECT *,
+           CASE WHEN is_new THEN 'added'
+                WHEN is_changed THEN 'changed'
+                ELSE 'unchanged' END AS change,
+           CASE lower(trim(changefreq))
+               WHEN 'never' THEN NULL
+               WHEN 'always' THEN 300
+               WHEN 'hourly' THEN 3600
+               WHEN 'daily' THEN 86400
+               WHEN 'weekly' THEN 604800
+               WHEN 'monthly' THEN 2592000
+               WHEN 'yearly' THEN 31536000
+               ELSE 86400 END AS interval_s,
+           date_diff('second', lastmod,
+               TIMESTAMP '{_CCRAWL_AS_OF}') AS age_s
+    FROM listing
+),
+cand AS (
+    SELECT *,
+           CASE WHEN is_new THEN 'unconditional'
+                WHEN has_etag THEN 'if-none-match'
+                ELSE 'if-modified-since' END AS strategy,
+           CASE WHEN is_new THEN NULL
+                WHEN has_etag THEN 'If-None-Match: "' || md5(text) || '"'
+                ELSE 'If-Modified-Since: '
+                  || strftime(last_fetch_ts, '%a, %d %b %Y %H:%M:%S GMT')
+           END AS cond_header
+    FROM scored
+    WHERE is_new OR is_changed
+          OR (interval_s IS NOT NULL AND age_s - interval_s >= 0)
+),
+ranked AS (
+    SELECT *,
+           ROW_NUMBER() OVER (PARTITION BY canonical_host
+               ORDER BY priority DESC, lastmod DESC, url) AS rk,
+           2 + CAST(doc_id % 23 AS INT) % 5 AS budget
+    FROM cand
+)
+SELECT url, canonical_host, change, strategy, cond_header, priority,
+       CAST(CASE WHEN rk <= budget THEN rk END AS BIGINT) AS fetch_rank,
+       CAST(CASE WHEN rk <= budget THEN budget END AS BIGINT)
+         AS fetch_budget,
+       rk <= budget AS admitted,
+       CASE WHEN rk <= budget THEN change = 'unchanged' END AS predicted_304,
+       CAST(CASE WHEN rk <= budget
+                 THEN CASE WHEN change = 'unchanged'
+                           THEN strlen(text) + 26 ELSE 0 END END AS BIGINT)
+         AS bytes_saved,
+       (NOT is_new) OR rk <= budget AS in_seen_after
+FROM ranked
+ORDER BY url
+"""
+
+_register(
+    "continuous_crawl_e2e",
+    QueryDef(
+        build=_continuous_crawl_build,
+        oracle=_CONTINUOUS_CRAWL_ORACLE,
+        doc=(
+            "continuous-crawl capstone: snapshot diff -> recrawl/discovery "
+            "channels -> conditional headers -> REAL persisted seen-set -> "
+            "budgeted salted admission -> post-round seen table, with the "
+            "whole round-2 admission derived from round-1 state in closed "
+            "form"
+        ),
+    ),
+)

@@ -94,6 +94,7 @@ def recrawl_plan(
     lastmod_col: str = "lastmod",
     changefreq_col: str = "changefreq",
     priority_col: str = "priority",
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Changefreq-driven recrawl plan: which frontier URLs are due at
     ``as_of`` and by how much.
@@ -107,6 +108,11 @@ def recrawl_plan(
     to end.  Due rows feed :func:`fetch_plan` for the per-host politeness
     top-k, so the global "sort by urgency" never happens: urgency ordering
     is only ever materialized within a host partition.
+
+    ``extra_cols`` names input columns carried through unchanged (e.g. the
+    raw lastmod, change class, or validator state a downstream admission
+    stage needs) — a projection, never a join, so composing stages stays
+    shuffle-free.
     """
     freq = F.lower(F.trim(F.col(changefreq_col)))
     interval = F.when(freq == "never", F.lit(None).cast("bigint"))
@@ -125,6 +131,7 @@ def recrawl_plan(
         overdue.alias("overdue_s"),
         due.alias("due"),
         F.col(priority_col),
+        *[F.col(c) for c in extra_cols],
     )
 
 
