@@ -762,6 +762,68 @@ def _media_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_pixel_stats(synth_jpeg_block_payloads(docs)).orderBy("doc_id")
 
 
+def _media_jpeg_color_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline COLOR JPEG decode — interleaved-MCU entropy decode
+    across 3 components (Y 2x2 + Cb/Cr 1x1), per-component quant/Huffman
+    table selection, 4:2:0 chroma upsampling, and the JFIF YCbCr→RGB
+    floor(x+0.5) transform — over DCT-exact constant-block color JPEGs;
+    the oracle recomputes the per-block RGB in closed form, so a wrong MCU
+    order, predictor mix-up, table swap, or off-by-one in the upsample
+    grid all break the hash."""
+    from frontier.multimodal import image_pixel_stats
+    from frontier.synth import synth_jpeg_color_payloads
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return image_pixel_stats(synth_jpeg_color_payloads(docs)).orderBy("doc_id")
+
+
+# synth_jpeg_color_payloads: mbx = 1 + doc%2, mby = 1 + doc%3; per 8x8
+# Y block (xb,yb): yv = 2*((doc*31 + yb*7 + xb*3) % 128); per MCU chroma
+# (mx,my) = (xb//2, yb//2): cbv/crv by their own formulas. Each 8x8 pixel
+# region is constant RGB = clip(floor(JFIF transform + 0.5)) — the exact
+# arithmetic the decoder applies to integer planes, deterministic across
+# engines (floor-plus-half on identical IEEE doubles).
+_MEDIA_JPEG_COLOR_PIXEL_ORACLE = """
+WITH dims AS (
+    SELECT doc_id, 1 + doc_id % 2 AS mbx, 1 + doc_id % 3 AS mby
+    FROM documents
+),
+blk AS (
+    SELECT d.doc_id, d.mbx, d.mby, xs.xb, ys.yb,
+           2 * ((d.doc_id * 31 + ys.yb * 7 + xs.xb * 3) % 128) AS yv,
+           2 * ((d.doc_id * 17 + (ys.yb // 2) * 5 + (xs.xb // 2) * 11)
+                % 128) AS cbv,
+           2 * ((d.doc_id * 23 + (ys.yb // 2) * 3 + (xs.xb // 2) * 13)
+                % 128) AS crv
+    FROM dims d
+    JOIN range(0, 4) xs(xb) ON xs.xb < 2 * d.mbx
+    JOIN range(0, 6) ys(yb) ON ys.yb < 2 * d.mby
+),
+px AS (
+    SELECT doc_id, mbx, mby, xb, yb,
+           LEAST(255, GREATEST(0,
+               FLOOR(yv + 1.402 * (crv - 128) + 0.5))) AS r,
+           LEAST(255, GREATEST(0,
+               FLOOR(yv - 0.344136 * (cbv - 128)
+                        - 0.714136 * (crv - 128) + 0.5))) AS g,
+           LEAST(255, GREATEST(0,
+               FLOOR(yv + 1.772 * (cbv - 128) + 0.5))) AS b
+    FROM blk
+)
+SELECT doc_id,
+       CAST(16 * mbx AS INT) AS width,
+       CAST(16 * mby AS INT) AS height,
+       CAST(SUM(64 * r) AS BIGINT) AS sum_r,
+       CAST(SUM(64 * g) AS BIGINT) AS sum_g,
+       CAST(SUM(64 * b) AS BIGINT) AS sum_b,
+       CAST(SUM(8 * (r + g + b) * (64 * xb + 28)) AS BIGINT) AS moment_x,
+       CAST(SUM(8 * (r + g + b) * (64 * yb + 28)) AS BIGINT) AS moment_y
+FROM px
+GROUP BY doc_id, mbx, mby
+ORDER BY doc_id
+"""
+
+
 # synth_jpeg_block_payloads: bx = 1 + doc%3, by = 1 + doc%2, level(xb,yb)
 # = 2*((doc*31 + yb*7 + xb*3) % 128), gray replicated to rgb. Per constant
 # block: channel sum contribution 64*v; moment_x = 3v * (sum of x over the
@@ -992,6 +1054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["media_png_pixel_stats"] = _media_png_pixel_stats
     out["media_gif_pixel_stats"] = _media_gif_pixel_stats
     out["media_jpeg_pixel_stats"] = _media_jpeg_pixel_stats
+    out["media_jpeg_color_pixel_stats"] = _media_jpeg_color_pixel_stats
     out["media_wav_pcm_stats"] = _media_wav_pcm_stats
     out["media_image_dhash"] = _media_image_dhash
     out["dedup_image_dhash"] = _dedup_image_dhash
@@ -1018,6 +1081,7 @@ def oracle_sql() -> dict[str, str]:
     out["media_png_pixel_stats"] = _MEDIA_BMP_PIXEL_ORACLE
     out["media_gif_pixel_stats"] = _MEDIA_GIF_PIXEL_ORACLE
     out["media_jpeg_pixel_stats"] = _MEDIA_JPEG_PIXEL_ORACLE
+    out["media_jpeg_color_pixel_stats"] = _MEDIA_JPEG_COLOR_PIXEL_ORACLE
     out["media_wav_pcm_stats"] = _MEDIA_WAV_PCM_ORACLE
     out["media_image_dhash"] = _MEDIA_DHASH_ORACLE
     out["dedup_image_dhash"] = _DEDUP_DHASH_ORACLE

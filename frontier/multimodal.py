@@ -11,13 +11,17 @@ to REAL pixel arrays (``decode_bmp_pixels``: bottom-up row order, 4-byte
 row padding, BGR→RGB — numpy only), re-encodes (``encode_bmp``), and
 resizes for real (``resize_nearest`` index-map nearest neighbor), and PCM
 WAV decodes to REAL sample arrays (``decode_wav_samples``: chunk walk to
-the data chunk, int16/uint8 interpretation), and 8-bit truecolor PNG
-decodes with stdlib zlib + inversion of all five scanline filters
-(``decode_png_pixels``/``encode_png``), GIF decodes via a hand-rolled
-variable-width LZW (``decode_gif_pixels``/``encode_gif``), and baseline
-grayscale JPEG decodes via real Huffman + IDCT (``decode_jpeg_pixels``),
-proven on DCT-exact constant-block payloads. Only MP3/OGG audio, video
-frame extraction, and general lossy JPEG remain STUBBED behind deterministic fakes
+the data chunk, int16/uint8 interpretation), and 8-bit truecolor AND
+palette PNG decodes with stdlib zlib + inversion of all five scanline
+filters at the right bpp (``decode_png_pixels``/``encode_png``/
+``encode_png_palette``), GIF — interlaced or not — decodes via a
+hand-rolled variable-width LZW plus the four-pass row re-order
+(``decode_gif_pixels``/``encode_gif``), and baseline JPEG — grayscale
+AND YCbCr color with 4:2:0/4:2:2/4:4:4 subsampling — decodes via real
+Huffman + IDCT + chroma upsample + the JFIF color transform
+(``decode_jpeg_pixels``), proven on DCT-exact constant-block payloads.
+Only MP3/OGG audio decode, video frame extraction, and progressive/
+restart-interval JPEG remain STUBBED behind deterministic fakes
 whose outputs are pure functions of ``sha256(payload)``, so those
 pipelines stay testable end to end and oracle-checkable from SQL. Swap
 the stub callables for real Pillow/pyav/CLIP calls in a deployment;
@@ -27,6 +31,7 @@ nothing else changes.
 from __future__ import annotations
 
 import hashlib
+import math
 import struct
 import zlib
 from typing import Callable, Iterator
@@ -985,10 +990,12 @@ def _paeth(a: int, b: int, c: int) -> int:
 
 
 def decode_png_pixels(payload: bytes):
-    """REAL PNG pixel decode: chunk walk (IHDR dims/type, concatenated IDAT
-    streams), zlib inflate, and per-row reversal of all five scanline
-    filters. Returns an (h, w, 3) uint8 RGB array or None for anything but
-    8-bit non-interlaced truecolor (callers fall back to the stub).
+    """REAL PNG pixel decode: chunk walk (IHDR dims/type, PLTE,
+    concatenated IDAT streams), zlib inflate, per-row reversal of all five
+    scanline filters (bpp-aware), and palette indirection for color type
+    3. Returns an (h, w, 3) uint8 RGB array or None for anything but
+    8-bit non-interlaced truecolor or palette images (callers fall back
+    to the stub).
 
     The per-pixel unfilter loops are clarity-first (synth/test payloads are
     small); a production decoder vectorizes Sub/Average/Paeth with the same
@@ -998,6 +1005,8 @@ def decode_png_pixels(payload: bytes):
             return None
         pos, n = 8, len(payload)
         w = h = None
+        ctype = None
+        plte = None
         idat = b""
         while pos + 8 <= n:
             (length,) = struct.unpack(">I", payload[pos : pos + 4])
@@ -1007,8 +1016,13 @@ def decode_png_pixels(payload: bytes):
                 w, h, depth, ctype, comp, filt, inter = struct.unpack(
                     ">IIBBBBB", data[:13]
                 )
-                if depth != 8 or ctype != 2 or comp != 0 or filt != 0 or inter != 0:
+                if depth != 8 or ctype not in (2, 3) or comp != 0 \
+                        or filt != 0 or inter != 0:
                     return None
+            elif tag == b"PLTE":
+                if length % 3 != 0 or length == 0:
+                    return None
+                plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
             elif tag == b"IDAT":
                 idat += data
             elif tag == b"IEND":
@@ -1016,8 +1030,11 @@ def decode_png_pixels(payload: bytes):
             pos += 12 + length  # length + tag + data + crc
         if not w or not h or not idat:
             return None
+        bpp = 3 if ctype == 2 else 1
+        if ctype == 3 and plte is None:
+            return None
         raw = zlib.decompress(idat)
-        stride = w * 3
+        stride = w * bpp
         if len(raw) != h * (1 + stride):
             return None
         out = np.zeros((h, stride), dtype=np.uint8)
@@ -1028,25 +1045,30 @@ def decode_png_pixels(payload: bytes):
             if ftype == 0:
                 pass
             elif ftype == 1:  # Sub
-                for i in range(3, stride):
-                    scan[i] = (scan[i] + scan[i - 3]) & 0xFF
+                for i in range(bpp, stride):
+                    scan[i] = (scan[i] + scan[i - bpp]) & 0xFF
             elif ftype == 2:  # Up
                 for i in range(stride):
                     scan[i] = (scan[i] + prev[i]) & 0xFF
             elif ftype == 3:  # Average
                 for i in range(stride):
-                    left = scan[i - 3] if i >= 3 else 0
+                    left = scan[i - bpp] if i >= bpp else 0
                     scan[i] = (scan[i] + ((left + int(prev[i])) >> 1)) & 0xFF
             elif ftype == 4:  # Paeth
                 for i in range(stride):
-                    left = scan[i - 3] if i >= 3 else 0
+                    left = scan[i - bpp] if i >= bpp else 0
                     above = int(prev[i])
-                    upleft = int(prev[i - 3]) if i >= 3 else 0
+                    upleft = int(prev[i - bpp]) if i >= bpp else 0
                     scan[i] = (scan[i] + _paeth(left, above, upleft)) & 0xFF
             else:
                 return None
             out[y] = np.frombuffer(bytes(scan), dtype=np.uint8)
-        return out.reshape(h, w, 3).copy()
+        if ctype == 2:
+            return out.reshape(h, w, 3).copy()
+        idx = out.reshape(h, w)
+        if idx.max(initial=0) >= len(plte):
+            return None
+        return plte[idx].copy()
     except (struct.error, ValueError, zlib.error):
         return None
 
@@ -1105,11 +1127,73 @@ def encode_png(pixels, filter_for_row: Callable[[int], int] = lambda y: 0) -> by
     )
 
 
+def encode_png_palette(
+    indices,
+    palette,
+    filter_for_row: Callable[[int], int] = lambda y: 0,
+) -> bytes:
+    """REAL palette PNG encode (8-bit color type 3, non-interlaced):
+    ``indices`` is an (h, w) uint8 index array, ``palette`` an (n, 3)
+    uint8 PLTE table. Scanlines are forward-filtered at bpp=1 (the left
+    neighbor is ONE byte back, not three — the exact asymmetry that
+    catches a decoder hardcoding truecolor bpp), deflated, and wrapped in
+    CRC-correct IHDR/PLTE/IDAT/IEND chunks.
+    ``decode_png_pixels(encode_png_palette(i, p, f)) == p[i]`` for any
+    filter choice (round-trip pinned in tests)."""
+    indices = np.asarray(indices, dtype=np.uint8)
+    palette = np.asarray(palette, dtype=np.uint8).reshape(-1, 3)
+    if indices.max(initial=0) >= len(palette) or len(palette) > 256:
+        raise ValueError("indices out of palette range")
+    h, w = indices.shape
+    lines = bytearray()
+    for y in range(h):
+        ftype = filter_for_row(y)
+        cur = indices[y].astype(np.int64)
+        prev = indices[y - 1].astype(np.int64) if y > 0 else np.zeros(w, np.int64)
+        enc = bytearray(w)
+        for i in range(w):
+            left = int(cur[i - 1]) if i >= 1 else 0
+            above = int(prev[i])
+            upleft = int(prev[i - 1]) if i >= 1 else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = left
+            elif ftype == 2:
+                pred = above
+            elif ftype == 3:
+                pred = (left + above) >> 1
+            elif ftype == 4:
+                pred = _paeth(left, above, upleft)
+            else:
+                raise ValueError(f"bad filter {ftype}")
+            enc[i] = (int(cur[i]) - pred) & 0xFF
+        lines.append(ftype)
+        lines += enc
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", palette.tobytes())
+        + chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + chunk(b"IEND", b"")
+    )
+
+
 # --- REAL GIF decode (hand-rolled LZW, no image library) ----------------------
 # GIF's pixel stream is LZW with variable-width codes (min+1 up to 12 bits),
 # dictionary growth, and Clear/End control codes — all implementable in
-# plain Python. Non-interlaced, single-frame, global-or-local color table;
-# interlaced images return an honest None.
+# plain Python. Single-frame, global-or-local color table, interlaced or
+# not (the four-pass row re-order is applied on decode).
 
 
 def _lzw_decode_gif(data: bytes, min_code_size: int):
@@ -1219,12 +1303,27 @@ def _lzw_encode_gif(indices: bytes, min_code_size: int) -> bytes:
     return bytes(out)
 
 
+def _gif_interlace_rows(h: int) -> np.ndarray:
+    """GIF89a interlace row sequence: the screen row each transmitted row
+    lands on (pass 1: 0,8,16…; pass 2: 4,12…; pass 3: 2,6…; pass 4:
+    1,3,5…)."""
+    return np.concatenate(
+        [
+            np.arange(0, h, 8),
+            np.arange(4, h, 8),
+            np.arange(2, h, 4),
+            np.arange(1, h, 2),
+        ]
+    )
+
+
 def decode_gif_pixels(payload: bytes):
     """REAL GIF pixel decode: logical-screen / image-descriptor walk,
     global or local color table, sub-block reassembly, hand-rolled LZW
-    (variable-width codes, dictionary growth, Clear/End), palette mapping.
-    Returns (h, w, 3) uint8 RGB for the FIRST frame of a non-interlaced
-    GIF, None otherwise (callers fall back to the stub)."""
+    (variable-width codes, dictionary growth, Clear/End), palette mapping,
+    and the four-pass interlace row re-order when flagged. Returns
+    (h, w, 3) uint8 RGB for the FIRST frame, None otherwise (callers fall
+    back to the stub)."""
     try:
         if payload[:6] not in (b"GIF87a", b"GIF89a") or len(payload) < 13:
             return None
@@ -1249,8 +1348,6 @@ def decode_gif_pixels(payload: bytes):
                 iw, ih = struct.unpack("<HH", payload[pos + 5 : pos + 9])
                 iflags = payload[pos + 9]
                 pos += 10
-                if iflags & 0x40:  # interlaced: out of scope, honest None
-                    return None
                 table = gct
                 if iflags & 0x80:
                     n = 2 << (iflags & 0x07)
@@ -1273,7 +1370,10 @@ def decode_gif_pixels(payload: bytes):
                 arr = np.frombuffer(idx[: iw * ih], dtype=np.uint8)
                 if arr.max(initial=0) >= len(table):
                     return None
-                return table[arr].reshape(ih, iw, 3).copy()
+                grid = arr.reshape(ih, iw)
+                if iflags & 0x40:  # interlaced: rows arrive in pass order
+                    grid = grid[np.argsort(_gif_interlace_rows(ih))]
+                return table[grid].copy()
             elif block == 0x3B:  # trailer
                 return None
             else:
@@ -1283,15 +1383,20 @@ def decode_gif_pixels(payload: bytes):
         return None
 
 
-def encode_gif(indices, palette) -> bytes:
-    """REAL GIF89a encode for a single non-interlaced frame: ``indices`` is
-    an (h, w) uint8 index array, ``palette`` an (n, 3) uint8 color table
-    (n padded up to the next power of two >= 2). LZW-compressed with the
-    real compressor above; decode_gif_pixels(encode_gif(i, p)) ==
-    p[i] (round-trip pinned in tests)."""
+def encode_gif(indices, palette, interlace: bool = False) -> bytes:
+    """REAL GIF89a encode for a single frame: ``indices`` is an (h, w)
+    uint8 index array, ``palette`` an (n, 3) uint8 color table (n padded
+    up to the next power of two >= 2). LZW-compressed with the real
+    compressor above; with ``interlace`` the rows are transmitted in the
+    four-pass GIF order and the descriptor flag set, so the decoder must
+    run the row re-order to recover them.
+    decode_gif_pixels(encode_gif(i, p)) == p[i] either way (round-trip
+    pinned in tests)."""
     indices = np.asarray(indices, dtype=np.uint8)
     palette = np.asarray(palette, dtype=np.uint8).reshape(-1, 3)
     h, w = indices.shape
+    if interlace:
+        indices = indices[_gif_interlace_rows(h)]
     size_pow = 1
     while (2 << size_pow - 1) < max(len(palette), 2):
         size_pow += 1
@@ -1311,7 +1416,8 @@ def encode_gif(indices, palette) -> bytes:
         + struct.pack("<HH", w, h)
         + bytes([0x80 | (size_pow - 1), 0, 0])
         + pal.tobytes()
-        + b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        + b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+        + bytes([0x40 if interlace else 0x00])
         + bytes([min_code])
         + bytes(blocks)
         + b"\x3b"
@@ -1395,12 +1501,44 @@ def _extend(v: int, t: int) -> int:
     return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
+def _decode_jpeg_block(reader: "_BitReader", tdc: dict, tac: dict, pred: int):
+    """One 8x8 block's entropy decode: DC category + sign extension, AC
+    run/size symbols with EOB/ZRL. Returns (zigzag-placed coef array, new
+    DC predictor) or raises ValueError on a malformed stream."""
+    coef = np.zeros(64, dtype=np.int64)
+    t = reader.huff(tdc)
+    pred += _extend(reader.read(t), t)
+    coef[0] = pred
+    k = 1
+    while k < 64:
+        sym = reader.huff(tac)
+        if sym == 0x00:  # EOB
+            break
+        run, size = sym >> 4, sym & 0x0F
+        if size == 0:
+            if run != 15:
+                raise ValueError("bad AC symbol")
+            k += 16  # ZRL
+            continue
+        k += run
+        if k > 63:
+            raise ValueError("AC index overrun")
+        coef[_ZIGZAG[k]] = _extend(reader.read(size), size)
+        k += 1
+    return coef, pred
+
+
 def decode_jpeg_pixels(payload: bytes):
-    """REAL baseline JPEG decode (grayscale SOF0): marker walk, DQT/DHT
-    table parsing, entropy decode with byte unstuffing, dequantization,
-    orthonormal 2D IDCT, level shift, crop. Returns (h, w, 3) uint8 RGB
-    (gray replicated) or None for anything out of scope — color/
-    progressive/restart-interval files fall back to the stub path."""
+    """REAL baseline JPEG decode — grayscale AND YCbCr color SOF0: marker
+    walk, DQT/DHT table parsing, interleaved-MCU entropy decode with byte
+    unstuffing, per-component dequantization + orthonormal 2D IDCT,
+    chroma upsampling by pixel replication (4:4:4 / 4:2:2 / 4:2:0, any
+    h,v factors in {1,2}), and the JFIF YCbCr→RGB transform applied to
+    INTEGER plane values with floor(x+0.5) rounding (deterministic across
+    engines, so color output stays closed-form checkable). Returns
+    (h, w, 3) uint8 RGB or None for anything out of scope — progressive
+    scans, restart intervals, 16-bit quant tables, >2x sampling factors
+    fall back to the stub path."""
     try:
         if not payload.startswith(b"\xff\xd8"):
             return None
@@ -1409,7 +1547,8 @@ def decode_jpeg_pixels(payload: bytes):
         hdc: dict[int, dict] = {}
         hac: dict[int, dict] = {}
         w = h = None
-        comp_q = comp_dc = comp_ac = 0
+        comps: list[tuple[int, int, int, int]] | None = None
+        scan_sel: dict[int, tuple[int, int]] = {}
         data = None
         while pos + 4 <= n:
             if payload[pos] != 0xFF:
@@ -1441,17 +1580,30 @@ def decode_jpeg_pixels(payload: bytes):
                     (hdc if tc == 0 else hac)[th] = _huff_decode_map(bits, vals)
                     s += 17 + cnt
             elif marker == 0xC0:  # SOF0 baseline
-                if seg[0] != 8 or seg[5] != 1:
-                    return None  # 8-bit single-component only
+                if seg[0] != 8 or seg[5] not in (1, 3):
+                    return None  # 8-bit gray or YCbCr only
                 h, w = struct.unpack(">HH", seg[1:5])
-                if seg[7] != 0x11:
-                    return None  # no subsampling
-                comp_q = seg[8]
+                comps = []
+                for c in range(seg[5]):
+                    cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                    hi, vi = hv >> 4, hv & 0x0F
+                    if not (1 <= hi <= 2 and 1 <= vi <= 2):
+                        return None  # >2x sampling out of scope
+                    comps.append((cid, hi, vi, tq))
             elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF, 0xDD):
                 return None  # other SOFs / restart interval: out of scope
             elif marker == 0xDA:  # SOS: entropy data follows
-                comp_dc, comp_ac = seg[3] >> 4, seg[3] & 0x0F
+                if comps is None:
+                    return None
+                ns = seg[0]
+                order = []
+                for c in range(ns):
+                    cid, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+                    scan_sel[cid] = (tt >> 4, tt & 0x0F)
+                    order.append(cid)
+                if [c[0] for c in comps] != order:
+                    return None  # single interleaved scan only
                 body = payload[pos + 2 + seglen :]
                 out = bytearray()
                 i = 0
@@ -1469,43 +1621,63 @@ def decode_jpeg_pixels(payload: bytes):
                 data = bytes(out)
                 break
             pos += 2 + seglen
-        if data is None or w is None or not w or not h:
+        if data is None or comps is None or not w or not h:
             return None
-        if comp_q not in qt or comp_dc not in hdc or comp_ac not in hac:
-            return None
-        q, tdc, tac = qt[comp_q], hdc[comp_dc], hac[comp_ac]
-        bx, by = (w + 7) // 8, (h + 7) // 8
+        for cid, _hi, _vi, tq in comps:
+            if tq not in qt or cid not in scan_sel:
+                return None
+            dcid, acid = scan_sel[cid]
+            if dcid not in hdc or acid not in hac:
+                return None
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        mcux = (w + 8 * hmax - 1) // (8 * hmax)
+        mcuy = (h + 8 * vmax - 1) // (8 * vmax)
         basis = _dct_basis()
-        img = np.zeros((by * 8, bx * 8), dtype=np.float64)
+        planes = [
+            np.zeros((mcuy * vi * 8, mcux * hi * 8), dtype=np.float64)
+            for _cid, hi, vi, _tq in comps
+        ]
         reader = _BitReader(data)
-        pred = 0
-        for yb in range(by):
-            for xb in range(bx):
-                coef = np.zeros(64, dtype=np.int64)
-                t = reader.huff(tdc)
-                pred += _extend(reader.read(t), t)
-                coef[0] = pred
-                k = 1
-                while k < 64:
-                    sym = reader.huff(tac)
-                    if sym == 0x00:  # EOB
-                        break
-                    run, size = sym >> 4, sym & 0x0F
-                    if size == 0:
-                        if run != 15:
-                            return None
-                        k += 16  # ZRL
-                        continue
-                    k += run
-                    if k > 63:
-                        return None
-                    coef[_ZIGZAG[k]] = _extend(reader.read(size), size)
-                    k += 1
-                block = coef.reshape(8, 8) * q
-                spatial = basis.T @ block @ basis + 128.0
-                img[yb * 8 : yb * 8 + 8, xb * 8 : xb * 8 + 8] = spatial
-        gray = np.clip(np.rint(img[:h, :w]), 0, 255).astype(np.uint8)
-        return np.repeat(gray[:, :, None], 3, axis=2)
+        preds = [0] * len(comps)
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, (cid, hi, vi, tq) in enumerate(comps):
+                    tdc = hdc[scan_sel[cid][0]]
+                    tac = hac[scan_sel[cid][1]]
+                    for by_ in range(vi):
+                        for bx_ in range(hi):
+                            coef, preds[ci] = _decode_jpeg_block(
+                                reader, tdc, tac, preds[ci]
+                            )
+                            block = coef.reshape(8, 8) * qt[tq]
+                            spatial = basis.T @ block @ basis + 128.0
+                            y0 = (my * vi + by_) * 8
+                            x0 = (mx * hi + bx_) * 8
+                            planes[ci][y0 : y0 + 8, x0 : x0 + 8] = spatial
+        # Round each plane to integers FIRST (exact for DCT-exact payloads),
+        # so the color transform runs on the same integers the closed-form
+        # oracle uses — no IDCT epsilon can leak through a rounding boundary.
+        iplanes = [
+            np.clip(np.rint(p), 0, 255).astype(np.int64) for p in planes
+        ]
+        if len(comps) == 1:
+            gray = iplanes[0][:h, :w].astype(np.uint8)
+            return np.repeat(gray[:, :, None], 3, axis=2)
+        full = []
+        for (cid, hi, vi, _tq), p in zip(comps, iplanes):
+            rep = np.repeat(
+                np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1
+            )
+            full.append(rep[:h, :w].astype(np.float64))
+        yy, cb, cr = full
+        r = np.floor(yy + 1.402 * (cr - 128.0) + 0.5)
+        g = np.floor(
+            yy - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0) + 0.5
+        )
+        b = np.floor(yy + 1.772 * (cb - 128.0) + 0.5)
+        rgb = np.stack([r, g, b], axis=2)
+        return np.clip(rgb, 0, 255).astype(np.uint8)
     except (struct.error, ValueError, IndexError):
         return None
 
@@ -1588,3 +1760,120 @@ def encode_jpeg_gray_blocks(blocks) -> bytes:
     )
     sos = b"\xff\xda" + struct.pack(">H", 8) + b"\x01" + bytes([1, 0x00, 0, 63, 0])
     return b"\xff\xd8" + dqt + sof + dht + sos + bytes(body) + b"\xff\xd9"
+
+
+def encode_jpeg_color_blocks(y_blocks, cb_blocks, cr_blocks) -> bytes:
+    """REAL-container baseline COLOR JPEG encoder (YCbCr 4:2:0) for
+    constant 8x8 blocks — the synth harness for the color decode path:
+    ``y_blocks`` is a (2*mby, 2*mbx) array of EVEN luma levels,
+    ``cb_blocks``/``cr_blocks`` are (mby, mbx) chroma levels (even, in
+    [0, 254]). Every block is a DC-only MCU member (constant blocks have
+    zero AC energy; even levels divide the uniform q=16 tables without
+    remainder — DCT-exact), so the REAL decoder must reproduce the exact
+    YCbCr planes, and the RGB output is the closed-form floor(x+0.5)
+    transform of the input levels. Emits spec-correct two-table DQT,
+    3-component SOF0 (Y 2x2 + Cb/Cr 1x1, separate quant tables),
+    four-table DHT (luma + chroma DC/AC classes), and an interleaved SOS
+    (per-MCU order: 4 Y raster blocks, Cb, Cr) with per-component DC
+    predictors — exercising every table-selection path the grayscale
+    harness cannot."""
+    yb = np.asarray(y_blocks, dtype=np.int64)
+    cb = np.asarray(cb_blocks, dtype=np.int64)
+    cr = np.asarray(cr_blocks, dtype=np.int64)
+    mby, mbx = cb.shape
+    if cr.shape != (mby, mbx) or yb.shape != (2 * mby, 2 * mbx):
+        raise ValueError("4:2:0 shapes: y (2*mby, 2*mbx), cb/cr (mby, mbx)")
+    for arr in (yb, cb, cr):
+        if ((arr & 1) != 0).any() or arr.min() < 0 or arr.max() > 254:
+            raise ValueError("levels must be even in [0, 254]")
+    h, w = mby * 16, mbx * 16
+    dc_bits = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+    dc_vals = list(range(12))
+    ac_bits = [1] + [0] * 15
+    ac_vals = [0x00]
+
+    def enc_map(bits, values):
+        out = {}
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                out[values[k]] = (length, code)
+                k += 1
+                code += 1
+            code <<= 1
+        return out
+
+    edc, eac = enc_map(dc_bits, dc_vals), enc_map(ac_bits, ac_vals)
+    acc = 0
+    nbits = 0
+    body = bytearray()
+
+    def emit(val, n):
+        nonlocal acc, nbits
+        acc = (acc << n) | val
+        nbits += n
+        while nbits >= 8:
+            nbits -= 8
+            byte = (acc >> nbits) & 0xFF
+            body.append(byte)
+            if byte == 0xFF:
+                body.append(0x00)  # byte stuffing
+
+    def emit_block(level: int, pred: int) -> int:
+        dc = 8 * (level - 128) // 16  # exact: level even
+        diff = dc - pred
+        t = abs(diff).bit_length()
+        length, code = edc[t]
+        emit(code, length)
+        if t:
+            emit(diff if diff > 0 else diff + (1 << t) - 1, t)
+        length, code = eac[0x00]
+        emit(code, length)  # EOB
+        return dc
+
+    py = pcb = pcr = 0
+    for my in range(mby):
+        for mx in range(mbx):
+            for vy in range(2):
+                for hx in range(2):
+                    py = emit_block(int(yb[2 * my + vy, 2 * mx + hx]), py)
+            pcb = emit_block(int(cb[my, mx]), pcb)
+            pcr = emit_block(int(cr[my, mx]), pcr)
+    if nbits:
+        emit((1 << (8 - nbits)) - 1, 8 - nbits)  # pad with 1s
+
+    qtab = bytes([16] * 64)
+    dqt = (
+        b"\xff\xdb" + struct.pack(">H", 2 + 65 * 2)
+        + b"\x00" + qtab + b"\x01" + qtab
+    )
+    sof = (
+        b"\xff\xc0" + struct.pack(">H", 8 + 3 * 3) + b"\x08"
+        + struct.pack(">HH", h, w) + b"\x03"
+        + bytes([1, 0x22, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1])
+    )
+    huff_payload = (
+        b"\x00" + bytes(dc_bits) + bytes(dc_vals)
+        + b"\x10" + bytes(ac_bits) + bytes(ac_vals)
+        + b"\x01" + bytes(dc_bits) + bytes(dc_vals)
+        + b"\x11" + bytes(ac_bits) + bytes(ac_vals)
+    )
+    dht = b"\xff\xc4" + struct.pack(">H", 2 + len(huff_payload)) + huff_payload
+    sos = (
+        b"\xff\xda" + struct.pack(">H", 6 + 2 * 3) + b"\x03"
+        + bytes([1, 0x00, 2, 0x11, 3, 0x11]) + bytes([0, 63, 0])
+    )
+    return b"\xff\xd8" + dqt + sof + dht + sos + bytes(body) + b"\xff\xd9"
+
+
+def jpeg_color_rgb_from_levels(yv: int, cbv: int, crv: int):
+    """Closed-form RGB for one constant 4:2:0 cell — the same floor(x+0.5)
+    JFIF transform the decoder applies, shared with tests/oracles."""
+    r = math.floor(yv + 1.402 * (crv - 128.0) + 0.5)
+    g = math.floor(
+        yv - 0.344136 * (cbv - 128.0) - 0.714136 * (crv - 128.0) + 0.5
+    )
+    b = math.floor(yv + 1.772 * (cbv - 128.0) + 0.5)
+    clip = lambda v: max(0, min(255, v))  # noqa: E731
+    return clip(r), clip(g), clip(b)

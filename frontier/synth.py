@@ -835,7 +835,7 @@ def synth_png_pixel_payloads(docs: DataFrame) -> DataFrame:
     every row exercises a different one of the five PNG filters
     (None/Sub/Up/Average/Paeth), so the decoder must invert all of them to
     recover the formula values."""
-    from .multimodal import encode_png
+    from .multimodal import encode_png, encode_png_palette
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
@@ -847,7 +847,25 @@ def synth_png_pixel_payloads(docs: DataFrame) -> DataFrame:
                     np.arange(h), np.arange(w), np.arange(3), indexing="ij"
                 )
                 px = ((i * 31 + y * 7 + x * 3 + c * 5) % 256).astype(np.uint8)
-                payloads.append(encode_png(px, filter_for_row=lambda r: r % 5))
+                if i % 4 == 0:
+                    # every fourth image rides the PALETTE path (color type
+                    # 3 + PLTE indirection + bpp=1 filters): identical RGB
+                    # pixels, so the oracle is unchanged but the palette
+                    # decode must work to stay green
+                    colors, inv = np.unique(
+                        px.reshape(-1, 3), axis=0, return_inverse=True
+                    )
+                    payloads.append(
+                        encode_png_palette(
+                            inv.reshape(h, w).astype(np.uint8),
+                            colors,
+                            filter_for_row=lambda r: r % 5,
+                        )
+                    )
+                else:
+                    payloads.append(
+                        encode_png(px, filter_for_row=lambda r: r % 5)
+                    )
             yield pd.DataFrame(
                 {"doc_id": batch["doc_id"].astype("int64"), "payload": payloads}
             )
@@ -885,7 +903,10 @@ def synth_gif_pixel_payloads(docs: DataFrame) -> DataFrame:
                 w, h = 4 + i % 5, 3 + i % 4
                 y, x = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
                 idx = ((i * 31 + y * 7 + x * 3) % 256).astype(np.uint8)
-                payloads.append(encode_gif(idx, pal))
+                # every third frame is INTERLACED: identical pixels (the
+                # oracle is unchanged) but the decoder must run the
+                # four-pass row re-order to stay green
+                payloads.append(encode_gif(idx, pal, interlace=(i % 3 == 0)))
             yield pd.DataFrame(
                 {"doc_id": batch["doc_id"].astype("int64"), "payload": payloads}
             )
@@ -915,6 +936,45 @@ def synth_jpeg_block_payloads(docs: DataFrame) -> DataFrame:
                 yb, xb = np.meshgrid(np.arange(by), np.arange(bx), indexing="ij")
                 blocks = 2 * ((i * 31 + yb * 7 + xb * 3) % 128)
                 payloads.append(encode_jpeg_gray_blocks(blocks))
+            yield pd.DataFrame(
+                {"doc_id": batch["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    return docs.select("doc_id").mapInPandas(build, "doc_id long, payload binary")
+
+
+def synth_jpeg_color_payloads(docs: DataFrame) -> DataFrame:
+    """``documents`` → ``(doc_id, payload binary)`` of REAL baseline COLOR
+    JPEGs (YCbCr 4:2:0, two quant tables, four Huffman tables, interleaved
+    MCUs) made of constant blocks with closed-form levels:
+
+        mbx = 1 + doc_id % 2, mby = 1 + doc_id % 3   (MCU grid)
+        y(xb, yb)  = 2 * ((doc_id*31 + yb*7 + xb*3) % 128)   per 8x8 block
+        cb(mx, my) = 2 * ((doc_id*17 + my*5 + mx*11) % 128)  per MCU
+        cr(mx, my) = 2 * ((doc_id*23 + my*3 + mx*13) % 128)  per MCU
+
+    Constant blocks are DCT-exact, so the decoder must recover the exact
+    YCbCr planes; each 8x8 pixel region is then the closed-form
+    floor(x+0.5) JFIF transform of (y, cb, cr) — checkable in SQL despite
+    chroma subsampling and the color transform."""
+    from .multimodal import encode_jpeg_color_blocks
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            payloads = []
+            for doc_id in batch["doc_id"]:
+                i = int(doc_id)
+                mbx, mby = 1 + i % 2, 1 + i % 3
+                yb, xb = np.meshgrid(
+                    np.arange(2 * mby), np.arange(2 * mbx), indexing="ij"
+                )
+                y = 2 * ((i * 31 + yb * 7 + xb * 3) % 128)
+                my, mx = np.meshgrid(
+                    np.arange(mby), np.arange(mbx), indexing="ij"
+                )
+                cb = 2 * ((i * 17 + my * 5 + mx * 11) % 128)
+                cr = 2 * ((i * 23 + my * 3 + mx * 13) % 128)
+                payloads.append(encode_jpeg_color_blocks(y, cb, cr))
             yield pd.DataFrame(
                 {"doc_id": batch["doc_id"].astype("int64"), "payload": payloads}
             )

@@ -178,3 +178,74 @@ def test_jpeg_decoder_never_raises(blob):
     decode_jpeg_pixels(blob)
     decode_jpeg_pixels(b"\xff\xd8" + blob)
     decode_jpeg_pixels(b"\xff\xd8\xff\xdb\x00\x43\x00" + bytes(64) + blob)
+
+
+def test_jpeg_color_420_roundtrip_closed_form():
+    """Color baseline JPEG: interleaved 4:2:0 MCUs, two quant tables, four
+    Huffman tables, per-component DC predictors. Constant blocks are
+    DCT-exact, so every 8x8 region must equal the closed-form
+    floor(x+0.5) JFIF transform of its (Y, Cb, Cr) levels."""
+    from frontier.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg_color_blocks,
+        jpeg_color_rgb_from_levels,
+    )
+
+    rng = np.random.default_rng(21)
+    for _ in range(20):
+        mby, mbx = int(rng.integers(1, 4)), int(rng.integers(1, 4))
+        y = 2 * rng.integers(0, 128, (2 * mby, 2 * mbx))
+        cb = 2 * rng.integers(0, 128, (mby, mbx))
+        cr = 2 * rng.integers(0, 128, (mby, mbx))
+        px = decode_jpeg_pixels(encode_jpeg_color_blocks(y, cb, cr))
+        assert px is not None and px.shape == (16 * mby, 16 * mbx, 3)
+        for by_ in range(2 * mby):
+            for bx_ in range(2 * mbx):
+                want = jpeg_color_rgb_from_levels(
+                    int(y[by_, bx_]),
+                    int(cb[by_ // 2, bx_ // 2]),
+                    int(cr[by_ // 2, bx_ // 2]),
+                )
+                block = px[by_ * 8 : by_ * 8 + 8, bx_ * 8 : bx_ * 8 + 8]
+                assert (block == np.array(want, dtype=np.uint8)).all()
+
+
+def test_gif_interlace_roundtrip_all_heights():
+    """Interlaced GIF decode: the four-pass row re-order must invert the
+    encoder's pass-order transmission for every height (each height class
+    hits a different pass-boundary split)."""
+    from frontier.multimodal import decode_gif_pixels, encode_gif
+
+    rng = np.random.default_rng(22)
+    pal = rng.integers(0, 256, (64, 3)).astype(np.uint8)
+    for h in list(range(1, 18)) + [32, 53]:
+        w = int(rng.integers(1, 10))
+        idx = rng.integers(0, 64, (h, w)).astype(np.uint8)
+        px = decode_gif_pixels(encode_gif(idx, pal, interlace=True))
+        assert px is not None and (px == pal[idx]).all(), h
+
+
+def test_png_palette_roundtrip_all_filters():
+    """Palette PNG (color type 3): PLTE indirection over bpp=1 scanline
+    filters — a decoder hardcoding truecolor bpp=3 cannot pass Sub/
+    Average/Paeth rows."""
+    from frontier.multimodal import decode_png_pixels, encode_png_palette
+
+    rng = np.random.default_rng(23)
+    for _ in range(20):
+        h, w = int(rng.integers(2, 10)), int(rng.integers(2, 10))
+        npal = int(rng.integers(2, 257))
+        idx = rng.integers(0, npal, (h, w)).astype(np.uint8)
+        pal = rng.integers(0, 256, (npal, 3)).astype(np.uint8)
+        px = decode_png_pixels(
+            encode_png_palette(idx, pal, filter_for_row=lambda y: y % 5)
+        )
+        assert px is not None and (px == pal[idx]).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.binary(max_size=400))
+def test_jpeg_color_decoder_never_raises(blob):
+    from frontier.multimodal import decode_jpeg_pixels
+
+    decode_jpeg_pixels(b"\xff\xd8" + blob)
