@@ -364,6 +364,60 @@ ORDER BY doc_id, frame_idx
 """
 
 
+def _media_avi_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame extraction: AVI/MJPEG RIFF container walk (LIST
+    recursion, even padding, '##dc' chunks in stream order) + every-2nd
+    sampling + the REAL baseline JPEG decode of each sampled frame, over
+    containers whose frames are DCT-exact closed-form grids — mis-framed
+    chunks, wrong stride, or a dropped frame all land on different
+    levels. Replaces the former frame-sampling stub for the AVI path
+    (codec formats keep the deterministic stub with that honest scope
+    stated)."""
+    from frontier.multimodal import video_frame_stats
+    from frontier.synth import synth_avi_mjpeg_payloads
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return video_frame_stats(
+        synth_avi_mjpeg_payloads(docs), every_n=2
+    ).orderBy("doc_id", "frame_no")
+
+
+# synth_avi_mjpeg_payloads: nf = 1 + doc%5, bx = 1 + doc%2, by = 1 + doc%3,
+# level(xb,yb,f) = 2*((doc*31 + f*19 + yb*7 + xb*3) % 128); sampling keeps
+# stream frames 0,2,4. Per constant block: sum contribution 64*v, moments
+# as in the image-stats oracles.
+_MEDIA_AVI_FRAMES_ORACLE = """
+WITH dims AS (
+    SELECT doc_id, 1 + doc_id % 5 AS nf,
+           1 + doc_id % 2 AS bx, 1 + doc_id % 3 AS by
+    FROM documents
+),
+frames AS (
+    SELECT d.doc_id, d.bx, d.by, fs.f
+    FROM dims d
+    JOIN range(0, 5) fs(f) ON fs.f < d.nf AND fs.f % 2 = 0
+),
+blk AS (
+    SELECT fr.doc_id, fr.bx, fr.by, fr.f, xs.xb, ys.yb,
+           2 * ((fr.doc_id * 31 + fr.f * 19 + ys.yb * 7 + xs.xb * 3) % 128)
+             AS v
+    FROM frames fr
+    JOIN range(0, 2) xs(xb) ON xs.xb < fr.bx
+    JOIN range(0, 3) ys(yb) ON ys.yb < fr.by
+)
+SELECT doc_id,
+       CAST(f AS INT) AS frame_no,
+       CAST(8 * bx AS INT) AS width,
+       CAST(8 * by AS INT) AS height,
+       CAST(SUM(64 * v) AS BIGINT) AS sum_gray,
+       CAST(SUM(8 * v * (64 * xb + 28)) AS BIGINT) AS moment_x,
+       CAST(SUM(8 * v * (64 * yb + 28)) AS BIGINT) AS moment_y
+FROM blk
+GROUP BY doc_id, f, bx, by
+ORDER BY doc_id, frame_no
+"""
+
+
 def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media feature extraction into the ANN embedding contract (stub
     embedder: component i = hash byte i / 256, an exact dyadic rational —
@@ -1048,6 +1102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["media_mp3_metadata"] = _media_mp3_metadata
     out["media_resize"] = _media_resize
     out["media_frames"] = _media_frames
+    out["media_avi_frame_stats"] = _media_avi_frame_stats
     out["media_features"] = _media_features
     out["media_bmp_pixel_stats"] = _media_bmp_pixel_stats
     out["media_bmp_resize_real"] = _media_bmp_resize_real
@@ -1074,6 +1129,7 @@ def oracle_sql() -> dict[str, str]:
     out["media_mp3_metadata"] = _MEDIA_MP3_ORACLE
     out["media_resize"] = _MEDIA_RESIZE_ORACLE
     out["media_frames"] = _MEDIA_FRAMES_ORACLE
+    out["media_avi_frame_stats"] = _MEDIA_AVI_FRAMES_ORACLE
     out["media_features"] = _MEDIA_FEATURES_ORACLE
     out["media_bmp_pixel_stats"] = _MEDIA_BMP_PIXEL_ORACLE
     out["media_bmp_resize_real"] = _MEDIA_BMP_RESIZE_ORACLE

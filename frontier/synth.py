@@ -980,3 +980,39 @@ def synth_jpeg_color_payloads(docs: DataFrame) -> DataFrame:
             )
 
     return docs.select("doc_id").mapInPandas(build, "doc_id long, payload binary")
+
+
+def synth_avi_mjpeg_payloads(docs: DataFrame) -> DataFrame:
+    """``documents`` → ``(doc_id, payload binary)`` of REAL AVI/MJPEG
+    containers whose frames are DCT-exact grayscale JPEGs with closed-form
+    levels:
+
+        n_frames = 1 + doc_id % 5, bx = 1 + doc_id % 2, by = 1 + doc_id % 3
+        level(xb, yb, f) = 2 * ((doc_id*31 + f*19 + yb*7 + xb*3) % 128)
+
+    so the frame walk + per-frame JPEG decode must recover every sampled
+    frame's exact pixel grid — container mis-framing, chunk padding
+    errors, or a wrong sampling stride all land on different levels."""
+    from .multimodal import encode_avi_mjpeg, encode_jpeg_gray_blocks
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            payloads = []
+            for doc_id in batch["doc_id"]:
+                i = int(doc_id)
+                nf, bx, by = 1 + i % 5, 1 + i % 2, 1 + i % 3
+                yb, xb = np.meshgrid(
+                    np.arange(by), np.arange(bx), indexing="ij"
+                )
+                frames = [
+                    encode_jpeg_gray_blocks(
+                        2 * ((i * 31 + f * 19 + yb * 7 + xb * 3) % 128)
+                    )
+                    for f in range(nf)
+                ]
+                payloads.append(encode_avi_mjpeg(frames, 8 * bx, 8 * by))
+            yield pd.DataFrame(
+                {"doc_id": batch["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    return docs.select("doc_id").mapInPandas(build, "doc_id long, payload binary")

@@ -249,3 +249,40 @@ def test_jpeg_color_decoder_never_raises(blob):
     from frontier.multimodal import decode_jpeg_pixels
 
     decode_jpeg_pixels(b"\xff\xd8" + blob)
+
+
+def test_avi_mjpeg_container_roundtrip():
+    """AVI writer -> frame walk recovers every frame payload byte-exactly
+    in stream order (odd-sized JPEG payloads exercise RIFF even-padding),
+    and the real sampler strides the stream, not the sampled list."""
+    from frontier.multimodal import (
+        encode_avi_mjpeg,
+        encode_jpeg_gray_blocks,
+        parse_avi_frames,
+        sample_frames_real,
+    )
+
+    rng = np.random.default_rng(41)
+    for nf in (1, 2, 5, 9):
+        frames = [
+            encode_jpeg_gray_blocks(2 * rng.integers(0, 128, (1, 2)))
+            for _ in range(nf)
+        ]
+        avi = encode_avi_mjpeg(frames, 16, 8)
+        assert parse_avi_frames(avi) == frames
+        for step in (1, 2, 3):
+            assert sample_frames_real(avi, step) == frames[::step]
+    # non-AVI payloads keep the deterministic stub
+    assert parse_avi_frames(b"RIFFxxxxWAVE") is None
+    stub = sample_frames_real(b"plain text", 2)
+    assert stub and all(b":frame:" in f for f in stub)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(max_size=400))
+def test_avi_walk_never_raises(blob):
+    from frontier.multimodal import parse_avi_frames
+
+    parse_avi_frames(blob)
+    parse_avi_frames(b"RIFF\xff\xff\xff\xffAVI " + blob)
+    parse_avi_frames(b"RIFF\x30\x00\x00\x00AVI LIST\x20\x00\x00\x00movi" + blob)
