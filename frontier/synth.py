@@ -1016,3 +1016,71 @@ def synth_avi_mjpeg_payloads(docs: DataFrame) -> DataFrame:
             )
 
     return docs.select("doc_id").mapInPandas(build, "doc_id long, payload binary")
+
+
+def synth_deep_corpus(
+    spark: SparkSession,
+    n_hosts: int,
+    chain_depth: int = 9,
+    pages_per_leaf: int = 100,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Depth-stress fetch store: per host a robots.txt and a CHAIN of
+    nested sitemap indexes ``idx_0 → idx_1 → … → idx_{chain-1}``, each
+    level also carrying one leaf urlset of ``pages_per_leaf`` pages — so a
+    crawl runs ~``chain_depth + 3`` waves instead of the bench corpus's 3,
+    exercising the reference's recursion ceiling
+    (fetch_parse.py:69 MAX_RECURSION_LEVEL=11) and measuring the per-wave
+    fixed cost at realistic depth. Generated distributed, one task per
+    host slice, like :func:`synth_crawl_corpus`."""
+    n_parts = partitions or spark.sparkContext.defaultParallelism
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for host_id in batch["id"]:
+                hid = int(host_id)
+                base = f"http://deep{hid}.example.com"
+                rows.append(
+                    _row(
+                        f"{base}/robots.txt",
+                        f"User-agent: *\nSitemap: {base}/idx_0.xml\n",
+                        content_type="text/plain",
+                    )
+                )
+                for d in range(chain_depth):
+                    entries = f"<sitemap><loc>{base}/leaf_{d}.xml</loc></sitemap>"
+                    if d + 1 < chain_depth:
+                        entries += (
+                            f"<sitemap><loc>{base}/idx_{d + 1}.xml</loc></sitemap>"
+                        )
+                    rows.append(
+                        _row(
+                            f"{base}/idx_{d}.xml",
+                            '<?xml version="1.0" encoding="UTF-8"?>'
+                            "<sitemapindex xmlns="
+                            '"http://www.sitemaps.org/schemas/sitemap/0.9">'
+                            f"{entries}</sitemapindex>",
+                            content_type="application/xml",
+                        )
+                    )
+                    urls = "".join(
+                        f"<url><loc>{base}/p{d}_{i}.html</loc>"
+                        f"<priority>0.{(hid + d + i) % 10}</priority></url>"
+                        for i in range(pages_per_leaf)
+                    )
+                    rows.append(
+                        _row(
+                            f"{base}/leaf_{d}.xml",
+                            '<?xml version="1.0" encoding="UTF-8"?>'
+                            "<urlset xmlns="
+                            '"http://www.sitemaps.org/schemas/sitemap/0.9">'
+                            f"{urls}</urlset>",
+                            content_type="application/xml",
+                        )
+                    )
+                yield_rows = rows
+            yield pd.DataFrame(yield_rows, columns=list(FETCHES_SCHEMA.names))
+
+    ids = spark.range(0, n_hosts, numPartitions=n_parts)
+    return ids.mapInPandas(build, FETCHES_SCHEMA)

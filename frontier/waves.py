@@ -529,6 +529,14 @@ def _resolve_redirects(fetches: DataFrame, max_hops: int = 10) -> DataFrame:
     return terminal.unionByName(relabeled)
 
 
+#: Per-wave timing telemetry of the most recent crawl on this driver:
+#: one ``{"phase", "wave", "seconds"}`` dict per completed wave, cleared
+#: by :func:`sitemap_tree_for_homepages` at crawl start. Feeds the
+#: depth-stress bench's per-wave fixed-cost measurement; last crawl wins
+#: (benches never run crawls concurrently on one driver).
+LAST_WAVE_TIMINGS: list[dict] = []
+
+
 class _WaveRunner:
     """Runs the bounded wave loop for one phase, accumulating parse output."""
 
@@ -698,6 +706,13 @@ class _WaveRunner:
                     f"{time.perf_counter() - t0:.2f}s total",
                     file=sys.stderr,
                 )
+            LAST_WAVE_TIMINGS.append(
+                {
+                    "phase": self.phase,
+                    "wave": wave,
+                    "seconds": round(time.perf_counter() - t0, 3),
+                }
+            )
             if pending.isEmpty():
                 break
             wave += 1
@@ -927,6 +942,7 @@ def sitemap_tree_for_homepages(
     (all non-root nodes, 404/invalid included) to the seen table afterwards
     — call ``seen_set.compact()`` periodically between rounds.
     """
+    LAST_WAVE_TIMINGS.clear()
     if store_urls_unique is None:
         store_urls_unique = getattr(fetches, "_frontier_urls_unique", False)
     if not fetches_prepared:

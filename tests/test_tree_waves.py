@@ -287,3 +287,35 @@ def test_recurse_callback_composes_with_list_filter(spark):
     urls = sorted(n.url for n in forest.all_sitemaps().collect())
     assert urls == [f"{BASE}/", f"{BASE}/a.xml", f"{BASE}/robots.txt"]
     forest.unpersist()
+
+
+def test_deep_chain_crawls_to_recursion_ceiling(spark):
+    """Depth-stress corpus (synth_deep_corpus): a chain_depth=11 index
+    chain is the first shape the recursion ceiling bites — its deepest
+    leaf is blocked with the reference's exact message
+    (fetch_parse.py:69), while chain_depth=10 crawls fully through 12
+    waves. Pins the corpus the depth bench (scripts/bench_depth.py)
+    relies on."""
+    from frontier.synth import synth_deep_corpus
+    from frontier.waves import LAST_WAVE_TIMINGS, sitemap_tree_for_homepages
+
+    corpus = synth_deep_corpus(spark, 2, chain_depth=10, pages_per_leaf=3)
+    forest = sitemap_tree_for_homepages(
+        spark, [f"http://deep{i}.example.com/" for i in range(2)], corpus,
+        use_known_paths=False,
+    )
+    assert forest.all_pages().count() == 2 * 10 * 3  # nothing blocked
+    assert len(LAST_WAVE_TIMINGS) == 12
+    assert all(t["seconds"] > 0 for t in LAST_WAVE_TIMINGS)
+
+    corpus11 = synth_deep_corpus(spark, 2, chain_depth=11, pages_per_leaf=3)
+    forest11 = sitemap_tree_for_homepages(
+        spark, [f"http://deep{i}.example.com/" for i in range(2)], corpus11,
+        use_known_paths=False,
+    )
+    assert forest11.all_pages().count() == 2 * 10 * 3  # last leaf blocked
+    invalid = [
+        n for n in forest11.all_sitemaps().collect() if n.kind == "invalid"
+    ]
+    assert len(invalid) == 2
+    assert all("Recursion level exceeded" in n.reason for n in invalid)
