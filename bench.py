@@ -110,6 +110,9 @@ BENCH_QUERIES = [
     "crawl_novelty_kmv",
     "robots_unreachable_policy",
     "sitemap_index_write_roundtrip",
+    "continuous_crawl_e2e",
+    "media_jpeg_color_pixel_stats",
+    "media_avi_frame_stats",
 ]
 
 
