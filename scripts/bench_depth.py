@@ -132,7 +132,9 @@ def main() -> None:
     }
     print(json.dumps(result))
     os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/depth11.json", "w") as fh:
+    total_urls = best[8]["urls"]
+    tag = f"{round(total_urls / 1_000_000)}M"
+    with open(f"BENCH/depth11_{tag}.json", "w") as fh:
         json.dump(result, fh, indent=1)
 
 
