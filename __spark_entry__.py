@@ -878,6 +878,26 @@ ORDER BY doc_id
 """
 
 
+def _media_jpeg_progressive_pixel_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL PROGRESSIVE JPEG decode (SOF2): eight successive-approximation
+    scans — interleaved DC first (Al=1), per-component AC first scans with
+    EOBn band runs, per-component AC refinements, and the DC refinement
+    bit scan — accumulated into coefficient arrays and only then
+    dequantized/IDCT'd. Same closed-form levels (and hence the SAME
+    oracle) as media_jpeg_color_pixel_stats: only the container differs,
+    so any defect in spectral selection, band runs, refinement bits, or
+    scan ordering breaks the hash."""
+    from frontier.multimodal import image_pixel_stats
+    from frontier.synth import synth_jpeg_progressive_payloads
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return image_pixel_stats(
+        synth_jpeg_progressive_payloads(docs)
+    ).orderBy("doc_id")
+
+
 # synth_jpeg_block_payloads: bx = 1 + doc%3, by = 1 + doc%2, level(xb,yb)
 # = 2*((doc*31 + yb*7 + xb*3) % 128), gray replicated to rgb. Per constant
 # block: channel sum contribution 64*v; moment_x = 3v * (sum of x over the
@@ -1110,6 +1130,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["media_gif_pixel_stats"] = _media_gif_pixel_stats
     out["media_jpeg_pixel_stats"] = _media_jpeg_pixel_stats
     out["media_jpeg_color_pixel_stats"] = _media_jpeg_color_pixel_stats
+    out["media_jpeg_progressive_pixel_stats"] = (
+        _media_jpeg_progressive_pixel_stats
+    )
     out["media_wav_pcm_stats"] = _media_wav_pcm_stats
     out["media_image_dhash"] = _media_image_dhash
     out["dedup_image_dhash"] = _dedup_image_dhash
@@ -1138,6 +1161,8 @@ def oracle_sql() -> dict[str, str]:
     out["media_gif_pixel_stats"] = _MEDIA_GIF_PIXEL_ORACLE
     out["media_jpeg_pixel_stats"] = _MEDIA_JPEG_PIXEL_ORACLE
     out["media_jpeg_color_pixel_stats"] = _MEDIA_JPEG_COLOR_PIXEL_ORACLE
+    # same levels, same closed form — only the container differs
+    out["media_jpeg_progressive_pixel_stats"] = _MEDIA_JPEG_COLOR_PIXEL_ORACLE
     out["media_wav_pcm_stats"] = _MEDIA_WAV_PCM_ORACLE
     out["media_image_dhash"] = _MEDIA_DHASH_ORACLE
     out["dedup_image_dhash"] = _DEDUP_DHASH_ORACLE

@@ -16,12 +16,14 @@ palette PNG decodes with stdlib zlib + inversion of all five scanline
 filters at the right bpp (``decode_png_pixels``/``encode_png``/
 ``encode_png_palette``), GIF — interlaced or not — decodes via a
 hand-rolled variable-width LZW plus the four-pass row re-order
-(``decode_gif_pixels``/``encode_gif``), and baseline JPEG — grayscale
-AND YCbCr color with 4:2:0/4:2:2/4:4:4 subsampling — decodes via real
-Huffman + IDCT + chroma upsample + the JFIF color transform
-(``decode_jpeg_pixels``), proven on DCT-exact constant-block payloads.
-Only MP3/OGG audio decode, video frame extraction, and progressive/
-restart-interval JPEG remain STUBBED behind deterministic fakes
+(``decode_gif_pixels``/``encode_gif``), and JPEG — baseline AND
+progressive (SOF2, successive approximation), grayscale AND YCbCr color
+with 4:2:0/4:2:2/4:4:4 subsampling — decodes via real Huffman + IDCT +
+chroma upsample + the JFIF color transform (``decode_jpeg_pixels``),
+proven on DCT-exact constant-block payloads. Video frames come from a
+real AVI/MJPEG RIFF walk (``parse_avi_frames``). Only MP3/OGG audio
+decode, non-AVI video codecs, and restart-interval/arithmetic JPEG
+remain STUBBED behind deterministic fakes
 whose outputs are pure functions of ``sha256(payload)``, so those
 pipelines stay testable end to end and oracle-checkable from SQL. Swap
 the stub callables for real Pillow/pyav/CLIP calls in a deployment;
@@ -996,13 +998,58 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
+#: Adam7 pass layout: (x_start, y_start, x_step, y_step) per pass.
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(raw: bytes, off: int, h_p: int, stride: int, bpp: int):
+    """Reverse PNG scanline filtering for one (sub-)image of ``h_p`` rows
+    of ``stride`` bytes starting at ``raw[off]``. Returns the (h_p,
+    stride) array, or None on an unknown filter type. Shared by the
+    sequential path and each Adam7 pass (a pass filters against its OWN
+    previous scanline, never the full image's)."""
+    out = np.zeros((h_p, stride), dtype=np.uint8)
+    for y in range(h_p):
+        row = raw[off + y * (1 + stride) : off + (y + 1) * (1 + stride)]
+        ftype, scan = row[0], bytearray(row[1:])
+        prev = out[y - 1] if y > 0 else np.zeros(stride, dtype=np.uint8)
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                scan[i] = (scan[i] + scan[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                scan[i] = (scan[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = scan[i - bpp] if i >= bpp else 0
+                scan[i] = (scan[i] + ((left + int(prev[i])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                left = scan[i - bpp] if i >= bpp else 0
+                above = int(prev[i])
+                upleft = int(prev[i - bpp]) if i >= bpp else 0
+                scan[i] = (scan[i] + _paeth(left, above, upleft)) & 0xFF
+        else:
+            return None
+        out[y] = np.frombuffer(bytes(scan), dtype=np.uint8)
+    return out
+
+
 def decode_png_pixels(payload: bytes):
     """REAL PNG pixel decode: chunk walk (IHDR dims/type, PLTE,
     concatenated IDAT streams), zlib inflate, per-row reversal of all five
-    scanline filters (bpp-aware), and palette indirection for color type
-    3. Returns an (h, w, 3) uint8 RGB array or None for anything but
-    8-bit non-interlaced truecolor or palette images (callers fall back
-    to the stub).
+    scanline filters (bpp-aware), Adam7 interlace reassembly (each pass
+    unfiltered as its own sub-image, then scattered onto the strided
+    grid), palette indirection for color type 3, and channel mapping for
+    grayscale (0), truecolor (2), gray+alpha (4) and RGBA (6) — alpha is
+    dropped after unfiltering (the stats oracles measure color channels).
+    Returns an (h, w, 3) uint8 RGB array or None for anything else —
+    16-bit depth falls back to the stub.
 
     The per-pixel unfilter loops are clarity-first (synth/test payloads are
     small); a production decoder vectorizes Sub/Average/Paeth with the same
@@ -1013,6 +1060,7 @@ def decode_png_pixels(payload: bytes):
         pos, n = 8, len(payload)
         w = h = None
         ctype = None
+        inter = 0
         plte = None
         idat = b""
         while pos + 8 <= n:
@@ -1023,8 +1071,8 @@ def decode_png_pixels(payload: bytes):
                 w, h, depth, ctype, comp, filt, inter = struct.unpack(
                     ">IIBBBBB", data[:13]
                 )
-                if depth != 8 or ctype not in (2, 3) or comp != 0 \
-                        or filt != 0 or inter != 0:
+                if depth != 8 or ctype not in (0, 2, 3, 4, 6) or comp != 0 \
+                        or filt != 0 or inter not in (0, 1):
                     return None
             elif tag == b"PLTE":
                 if length % 3 != 0 or length == 0:
@@ -1037,45 +1085,49 @@ def decode_png_pixels(payload: bytes):
             pos += 12 + length  # length + tag + data + crc
         if not w or not h or not idat:
             return None
-        bpp = 3 if ctype == 2 else 1
+        bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
         if ctype == 3 and plte is None:
             return None
         raw = zlib.decompress(idat)
         stride = w * bpp
-        if len(raw) != h * (1 + stride):
-            return None
-        out = np.zeros((h, stride), dtype=np.uint8)
-        for y in range(h):
-            row = raw[y * (1 + stride) : (y + 1) * (1 + stride)]
-            ftype, scan = row[0], bytearray(row[1:])
-            prev = out[y - 1] if y > 0 else np.zeros(stride, dtype=np.uint8)
-            if ftype == 0:
-                pass
-            elif ftype == 1:  # Sub
-                for i in range(bpp, stride):
-                    scan[i] = (scan[i] + scan[i - bpp]) & 0xFF
-            elif ftype == 2:  # Up
-                for i in range(stride):
-                    scan[i] = (scan[i] + prev[i]) & 0xFF
-            elif ftype == 3:  # Average
-                for i in range(stride):
-                    left = scan[i - bpp] if i >= bpp else 0
-                    scan[i] = (scan[i] + ((left + int(prev[i])) >> 1)) & 0xFF
-            elif ftype == 4:  # Paeth
-                for i in range(stride):
-                    left = scan[i - bpp] if i >= bpp else 0
-                    above = int(prev[i])
-                    upleft = int(prev[i - bpp]) if i >= bpp else 0
-                    scan[i] = (scan[i] + _paeth(left, above, upleft)) & 0xFF
-            else:
+        if inter == 0:
+            if len(raw) != h * (1 + stride):
                 return None
-            out[y] = np.frombuffer(bytes(scan), dtype=np.uint8)
+            out = _png_unfilter(raw, 0, h, stride, bpp)
+            if out is None:
+                return None
+        else:  # Adam7
+            out = np.zeros((h, stride), dtype=np.uint8)
+            grid = out.reshape(h, w, bpp)
+            off = 0
+            for x0, y0, dx, dy in _ADAM7:
+                w_p = (w - x0 + dx - 1) // dx if w > x0 else 0
+                h_p = (h - y0 + dy - 1) // dy if h > y0 else 0
+                if w_p == 0 or h_p == 0:
+                    continue
+                p_stride = w_p * bpp
+                if off + h_p * (1 + p_stride) > len(raw):
+                    return None
+                sub = _png_unfilter(raw, off, h_p, p_stride, bpp)
+                if sub is None:
+                    return None
+                off += h_p * (1 + p_stride)
+                grid[y0::dy, x0::dx] = sub.reshape(h_p, w_p, bpp)
+            if off != len(raw):
+                return None
         if ctype == 2:
             return out.reshape(h, w, 3).copy()
-        idx = out.reshape(h, w)
-        if idx.max(initial=0) >= len(plte):
-            return None
-        return plte[idx].copy()
+        if ctype == 3:
+            idx = out.reshape(h, w)
+            if idx.max(initial=0) >= len(plte):
+                return None
+            return plte[idx].copy()
+        px = out.reshape(h, w, bpp)
+        if ctype == 0:
+            return np.repeat(px, 3, axis=2).copy()
+        if ctype == 4:  # gray + alpha: replicate gray, drop alpha
+            return np.repeat(px[:, :, :1], 3, axis=2).copy()
+        return px[:, :, :3].copy()  # RGBA: drop alpha
     except (struct.error, ValueError, zlib.error):
         return None
 
@@ -1130,6 +1182,95 @@ def encode_png(pixels, filter_for_row: Callable[[int], int] = lambda y: 0) -> by
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
         + chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_forward_filter(flat: np.ndarray, bpp: int, filter_for_row) -> bytes:
+    """Forward-filter one (sub-)image's scanlines (flat: (h, stride))."""
+    h, stride = flat.shape
+    lines = bytearray()
+    for y in range(h):
+        ftype = filter_for_row(y)
+        cur = flat[y].astype(np.int64)
+        prev = flat[y - 1].astype(np.int64) if y > 0 else np.zeros(
+            stride, np.int64
+        )
+        enc = bytearray(stride)
+        for i in range(stride):
+            left = int(cur[i - bpp]) if i >= bpp else 0
+            above = int(prev[i])
+            upleft = int(prev[i - bpp]) if i >= bpp else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = left
+            elif ftype == 2:
+                pred = above
+            elif ftype == 3:
+                pred = (left + above) >> 1
+            elif ftype == 4:
+                pred = _paeth(left, above, upleft)
+            else:
+                raise ValueError(f"bad filter {ftype}")
+            enc[i] = (int(cur[i]) - pred) & 0xFF
+        lines.append(ftype)
+        lines += enc
+    return bytes(lines)
+
+
+def encode_png_any(
+    pixels,
+    color_type: int,
+    filter_for_row: Callable[[int], int] = lambda y: 0,
+    interlace: bool = False,
+) -> bytes:
+    """REAL 8-bit PNG encode for color types 0 (gray, (h,w)), 2 (RGB,
+    (h,w,3)), 4 (gray+alpha, (h,w,2)) and 6 (RGBA, (h,w,4)): forward
+    scanline filtering at the type's bpp, deflate, CRC-correct chunks.
+    With ``interlace`` the seven Adam7 passes are emitted as separately
+    filtered sub-images (the spec's layout), so the decoder must run the
+    full pass reassembly. Round-trips through ``decode_png_pixels``
+    (which drops alpha and replicates gray)."""
+    bpp = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if bpp == 1 and arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w = arr.shape[:2]
+    if arr.shape[2] != bpp:
+        raise ValueError(f"color type {color_type} needs {bpp} channels")
+    if interlace:
+        lines = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            sub = arr[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            lines += _png_forward_filter(
+                sub.reshape(sub.shape[0], sub.shape[1] * bpp),
+                bpp,
+                filter_for_row,
+            )
+        lines = bytes(lines)
+    else:
+        lines = _png_forward_filter(
+            arr.reshape(h, w * bpp), bpp, filter_for_row
+        )
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, 8, color_type, 0, 0, 1 if interlace else 0
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(lines))
         + chunk(b"IEND", b"")
     )
 
@@ -1535,37 +1676,149 @@ def _decode_jpeg_block(reader: "_BitReader", tdc: dict, tac: dict, pred: int):
     return coef, pred
 
 
+def _jpeg_segments(payload: bytes):
+    """Marker pre-pass: (marker, segment bytes, unstuffed entropy bytes)
+    triples. Entropy data follows each SOS until the next real marker
+    (FF00 byte-stuffing removed) — baseline reads one scan, progressive
+    accumulates over many. Returns None on a malformed marker stream."""
+    segs = []
+    pos, n = 2, len(payload)
+    while pos + 2 <= n:
+        if payload[pos] != 0xFF:
+            return None
+        marker = payload[pos + 1]
+        if marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xD9:
+            break
+        if pos + 4 > n:
+            return None
+        (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        seg = payload[pos + 4 : pos + 2 + seglen]
+        pos += 2 + seglen
+        entropy = None
+        if marker == 0xDA:
+            out = bytearray()
+            while pos < n:
+                b = payload[pos]
+                if b == 0xFF:
+                    nxt = payload[pos + 1] if pos + 1 < n else 0xD9
+                    if nxt == 0x00:
+                        out.append(0xFF)
+                        pos += 2
+                        continue
+                    break
+                out.append(b)
+                pos += 1
+            entropy = bytes(out)
+        segs.append((marker, seg, entropy))
+    return segs
+
+
+def _prog_ac_first(reader, tac, coef, ss, se, al, eobrun):
+    """Progressive AC first scan for one block (T.81 G.2.2 / libjpeg
+    decode_mcu_AC_first): EOBn band runs, ZRL, values shifted by Al."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        sym = reader.huff(tac)
+        r, s = sym >> 4, sym & 0x0F
+        if s == 0:
+            if r < 15:
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += reader.read(r)
+                return eobrun
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("AC overrun")
+        coef[_ZIGZAG[k]] = _extend(reader.read(s), s) << al
+        k += 1
+    return 0
+
+
+def _prog_ac_refine(reader, tac, coef, ss, se, al, eobrun):
+    """Progressive AC refinement for one block (T.81 G.2.3 / libjpeg
+    decode_mcu_AC_refine): correction bits for already-nonzero
+    coefficients, newly-nonzero insertions of ±(1<<Al), EOBn runs."""
+    p1 = 1 << al
+    m1 = -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            sym = reader.huff(tac)
+            r, s = sym >> 4, sym & 0x0F
+            s_val = 0
+            if s == 0:
+                if r < 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.read(r)
+                    break  # current block's tail corrected below
+                # ZRL: advance over 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("bad refine size")
+                s_val = p1 if reader.read(1) else m1
+            while k <= se:
+                z = _ZIGZAG[k]
+                if coef[z] != 0:
+                    if reader.read(1) and (coef[z] & p1) == 0:
+                        coef[z] += p1 if coef[z] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s_val and k <= se:
+                coef[_ZIGZAG[k]] = s_val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            z = _ZIGZAG[k]
+            if coef[z] != 0:
+                if reader.read(1) and (coef[z] & p1) == 0:
+                    coef[z] += p1 if coef[z] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
 def decode_jpeg_pixels(payload: bytes):
-    """REAL baseline JPEG decode — grayscale AND YCbCr color SOF0: marker
-    walk, DQT/DHT table parsing, interleaved-MCU entropy decode with byte
-    unstuffing, per-component dequantization + orthonormal 2D IDCT,
-    chroma upsampling by pixel replication (4:4:4 / 4:2:2 / 4:2:0, any
-    h,v factors in {1,2}), and the JFIF YCbCr→RGB transform applied to
-    INTEGER plane values with floor(x+0.5) rounding (deterministic across
-    engines, so color output stays closed-form checkable). Returns
-    (h, w, 3) uint8 RGB or None for anything out of scope — progressive
-    scans, restart intervals, 16-bit quant tables, >2x sampling factors
-    fall back to the stub path."""
+    """REAL JPEG decode — baseline (SOF0) AND progressive (SOF2),
+    grayscale or YCbCr color: marker segment walk, DQT/DHT parsing,
+    entropy decode with byte unstuffing into per-component COEFFICIENT
+    arrays (baseline = one interleaved sequential scan; progressive =
+    DC first/refine with successive approximation plus per-component AC
+    first/refine scans with EOBn band runs), then per-component
+    dequantization + orthonormal 2D IDCT, chroma upsampling by pixel
+    replication (any h,v factors in {1,2}), and the JFIF YCbCr→RGB
+    transform applied to INTEGER plane values with floor(x+0.5) rounding
+    (deterministic across engines, so output stays closed-form
+    checkable). Returns (h, w, 3) uint8 RGB or None for anything out of
+    scope — restart intervals, 16-bit quant tables, arithmetic coding,
+    hierarchical/lossless SOFs, >2x sampling factors fall back to the
+    stub path."""
     try:
         if not payload.startswith(b"\xff\xd8"):
             return None
-        pos, n = 2, len(payload)
+        segs = _jpeg_segments(payload)
+        if segs is None:
+            return None
         qt: dict[int, np.ndarray] = {}
         hdc: dict[int, dict] = {}
         hac: dict[int, dict] = {}
         w = h = None
         comps: list[tuple[int, int, int, int]] | None = None
-        scan_sel: dict[int, tuple[int, int]] = {}
-        data = None
-        while pos + 4 <= n:
-            if payload[pos] != 0xFF:
-                return None
-            marker = payload[pos + 1]
-            if marker == 0xD8:
-                pos += 2
-                continue
-            (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
-            seg = payload[pos + 4 : pos + 2 + seglen]
+        progressive = False
+        coefs: list[np.ndarray] | None = None
+        geom = None  # (hmax, vmax, mcux, mcuy)
+        any_scan = False
+        for marker, seg, entropy in segs:
             if marker == 0xDB:  # DQT (possibly several tables)
                 s = 0
                 while s < len(seg):
@@ -1586,10 +1839,13 @@ def decode_jpeg_pixels(payload: bytes):
                     vals = list(seg[s + 17 : s + 17 + cnt])
                     (hdc if tc == 0 else hac)[th] = _huff_decode_map(bits, vals)
                     s += 17 + cnt
-            elif marker == 0xC0:  # SOF0 baseline
-                if seg[0] != 8 or seg[5] not in (1, 3):
-                    return None  # 8-bit gray or YCbCr only
+            elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+                if comps is not None or seg[0] != 8 or seg[5] not in (1, 3):
+                    return None
+                progressive = marker == 0xC2
                 h, w = struct.unpack(">HH", seg[1:5])
+                if not w or not h:
+                    return None
                 comps = []
                 for c in range(seg[5]):
                     cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
@@ -1597,71 +1853,126 @@ def decode_jpeg_pixels(payload: bytes):
                     if not (1 <= hi <= 2 and 1 <= vi <= 2):
                         return None  # >2x sampling out of scope
                     comps.append((cid, hi, vi, tq))
-            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                mcux = (w + 8 * hmax - 1) // (8 * hmax)
+                mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+                geom = (hmax, vmax, mcux, mcuy)
+                coefs = [
+                    np.zeros((mcuy * vi, mcux * hi, 64), dtype=np.int64)
+                    for _cid, hi, vi, _tq in comps
+                ]
+            elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF, 0xDD):
                 return None  # other SOFs / restart interval: out of scope
-            elif marker == 0xDA:  # SOS: entropy data follows
-                if comps is None:
+            elif marker == 0xDA:
+                if comps is None or entropy is None:
                     return None
+                hmax, vmax, mcux, mcuy = geom
                 ns = seg[0]
-                order = []
+                scan = []  # (comp index, dc table id, ac table id)
+                by_id = {c[0]: i for i, c in enumerate(comps)}
                 for c in range(ns):
                     cid, tt = seg[1 + 2 * c], seg[2 + 2 * c]
-                    scan_sel[cid] = (tt >> 4, tt & 0x0F)
-                    order.append(cid)
-                if [c[0] for c in comps] != order:
-                    return None  # single interleaved scan only
-                body = payload[pos + 2 + seglen :]
-                out = bytearray()
-                i = 0
-                while i < len(body):
-                    b = body[i]
-                    if b == 0xFF:
-                        nxt = body[i + 1] if i + 1 < len(body) else 0xD9
-                        if nxt == 0x00:
-                            out.append(0xFF)
-                            i += 2
-                            continue
-                        break  # EOI or a marker we don't handle
-                    out.append(b)
-                    i += 1
-                data = bytes(out)
-                break
-            pos += 2 + seglen
-        if data is None or comps is None or not w or not h:
-            return None
-        for cid, _hi, _vi, tq in comps:
-            if tq not in qt or cid not in scan_sel:
-                return None
-            dcid, acid = scan_sel[cid]
-            if dcid not in hdc or acid not in hac:
-                return None
-        hmax = max(c[1] for c in comps)
-        vmax = max(c[2] for c in comps)
-        mcux = (w + 8 * hmax - 1) // (8 * hmax)
-        mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-        basis = _dct_basis()
-        planes = [
-            np.zeros((mcuy * vi * 8, mcux * hi * 8), dtype=np.float64)
-            for _cid, hi, vi, _tq in comps
-        ]
-        reader = _BitReader(data)
-        preds = [0] * len(comps)
-        for my in range(mcuy):
-            for mx in range(mcux):
-                for ci, (cid, hi, vi, tq) in enumerate(comps):
-                    tdc = hdc[scan_sel[cid][0]]
-                    tac = hac[scan_sel[cid][1]]
-                    for by_ in range(vi):
-                        for bx_ in range(hi):
-                            coef, preds[ci] = _decode_jpeg_block(
-                                reader, tdc, tac, preds[ci]
+                    if cid not in by_id:
+                        return None
+                    scan.append((by_id[cid], tt >> 4, tt & 0x0F))
+                ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                aa = seg[3 + 2 * ns]
+                ah, al = aa >> 4, aa & 0x0F
+                reader = _BitReader(entropy)
+                if not progressive:
+                    # one interleaved sequential scan covering all comps
+                    if [i for i, _d, _a in scan] != list(range(len(comps))):
+                        return None
+                    preds = [0] * len(comps)
+                    for my in range(mcuy):
+                        for mx in range(mcux):
+                            for (ci, dci, aci) in scan:
+                                _cid, hi, vi, _tq = comps[ci]
+                                tdc, tac = hdc[dci], hac[aci]
+                                for by_ in range(vi):
+                                    for bx_ in range(hi):
+                                        blk, preds[ci] = _decode_jpeg_block(
+                                            reader, tdc, tac, preds[ci]
+                                        )
+                                        coefs[ci][
+                                            my * vi + by_, mx * hi + bx_
+                                        ] = blk
+                elif ss == 0:  # progressive DC scan (interleaved or not)
+                    if se != 0:
+                        return None
+                    preds = [0] * len(comps)
+                    if len(scan) > 1:
+                        mcus = [
+                            (my, mx)
+                            for my in range(mcuy)
+                            for mx in range(mcux)
+                        ]
+                        for my, mx in mcus:
+                            for (ci, dci, _aci) in scan:
+                                _cid, hi, vi, _tq = comps[ci]
+                                for by_ in range(vi):
+                                    for bx_ in range(hi):
+                                        c0 = coefs[ci][
+                                            my * vi + by_, mx * hi + bx_
+                                        ]
+                                        if ah == 0:
+                                            t = reader.huff(hdc[dci])
+                                            preds[ci] += _extend(
+                                                reader.read(t), t
+                                            )
+                                            c0[0] = preds[ci] << al
+                                        elif reader.read(1):
+                                            c0[0] |= 1 << al
+                    else:
+                        ci, dci, _aci = scan[0]
+                        _cid, hi, vi, _tq = comps[ci]
+                        bw = (w * hi + 8 * hmax - 1) // (8 * hmax)
+                        bh = (h * vi + 8 * vmax - 1) // (8 * vmax)
+                        for by_ in range(bh):
+                            for bx_ in range(bw):
+                                c0 = coefs[ci][by_, bx_]
+                                if ah == 0:
+                                    t = reader.huff(hdc[dci])
+                                    preds[ci] += _extend(reader.read(t), t)
+                                    c0[0] = preds[ci] << al
+                                elif reader.read(1):
+                                    c0[0] |= 1 << al
+                else:  # progressive AC scan: single component (T.81)
+                    if len(scan) != 1 or se > 63 or ss > se:
+                        return None
+                    ci, _dci, aci = scan[0]
+                    _cid, hi, vi, _tq = comps[ci]
+                    tac = hac[aci]
+                    bw = (w * hi + 8 * hmax - 1) // (8 * hmax)
+                    bh = (h * vi + 8 * vmax - 1) // (8 * vmax)
+                    eobrun = 0
+                    step = _prog_ac_refine if ah else _prog_ac_first
+                    for by_ in range(bh):
+                        for bx_ in range(bw):
+                            eobrun = step(
+                                reader, tac, coefs[ci][by_, bx_],
+                                ss, se, al, eobrun,
                             )
-                            block = coef.reshape(8, 8) * qt[tq]
-                            spatial = basis.T @ block @ basis + 128.0
-                            y0 = (my * vi + by_) * 8
-                            x0 = (mx * hi + bx_) * 8
-                            planes[ci][y0 : y0 + 8, x0 : x0 + 8] = spatial
+                any_scan = True
+        if comps is None or coefs is None or not any_scan:
+            return None
+        hmax, vmax, mcux, mcuy = geom
+        basis = _dct_basis()
+        planes = []
+        for (cid, hi, vi, tq), carr in zip(comps, coefs):
+            if tq not in qt:
+                return None
+            q = qt[tq]
+            plane = np.zeros((mcuy * vi * 8, mcux * hi * 8), dtype=np.float64)
+            for by_ in range(carr.shape[0]):
+                for bx_ in range(carr.shape[1]):
+                    block = carr[by_, bx_].reshape(8, 8) * q
+                    plane[
+                        by_ * 8 : by_ * 8 + 8, bx_ * 8 : bx_ * 8 + 8
+                    ] = basis.T @ block @ basis + 128.0
+            planes.append(plane)
         # Round each plane to integers FIRST (exact for DCT-exact payloads),
         # so the color transform runs on the same integers the closed-form
         # oracle uses — no IDCT epsilon can leak through a rounding boundary.
@@ -1685,7 +1996,7 @@ def decode_jpeg_pixels(payload: bytes):
         b = np.floor(yy + 1.772 * (cb - 128.0) + 0.5)
         rgb = np.stack([r, g, b], axis=2)
         return np.clip(rgb, 0, 255).astype(np.uint8)
-    except (struct.error, ValueError, IndexError):
+    except (struct.error, ValueError, IndexError, KeyError):
         return None
 
 
@@ -2046,3 +2357,153 @@ def video_frame_stats(media: DataFrame, every_n: int = 2) -> DataFrame:
     return media.select("doc_id", "payload").mapInPandas(
         run, VIDEO_FRAME_STATS_SCHEMA
     )
+
+
+class _BitWriter:
+    """MSB-first bit emitter with JPEG byte stuffing; one per scan (each
+    scan's entropy data is byte-aligned, padded with 1s)."""
+
+    __slots__ = ("acc", "nbits", "body")
+
+    def __init__(self) -> None:
+        self.acc, self.nbits, self.body = 0, 0, bytearray()
+
+    def emit(self, val: int, n: int) -> None:
+        self.acc = (self.acc << n) | (val & ((1 << n) - 1))
+        self.nbits += n
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.body.append(byte)
+            if byte == 0xFF:
+                self.body.append(0x00)
+
+    def done(self) -> bytes:
+        if self.nbits:
+            self.emit((1 << (8 - self.nbits)) - 1, 8 - self.nbits)
+        return bytes(self.body)
+
+
+def encode_jpeg_progressive_color_blocks(
+    y_blocks, cb_blocks, cr_blocks
+) -> bytes:
+    """REAL-container PROGRESSIVE color JPEG encoder (SOF2, YCbCr 4:2:0)
+    for constant 8x8 blocks — a libjpeg-style successive-approximation
+    scan script:
+
+      1. DC, all components interleaved, Ss=Se=0, Ah=0 Al=1
+         (first approximation: diffs of dc>>1)
+      2-4. AC 1..63 per component, Ah=0 Al=1 — all-zero bands, one EOB
+         per block
+      5-7. AC refinement per component, Ah=1 Al=0 — EOB-only with zero
+         history (exercises the refine code path)
+      8. DC refinement, interleaved, Ah=1 Al=0 — one raw low bit per
+         block
+
+    Same DCT-exact constant-block contract as
+    :func:`encode_jpeg_color_blocks`, so the progressive decoder must
+    accumulate all eight scans into the exact same YCbCr planes and RGB
+    output — a wrong spectral range, band run, refinement bit, or scan
+    order lands on different pixels."""
+    yb = np.asarray(y_blocks, dtype=np.int64)
+    cb = np.asarray(cb_blocks, dtype=np.int64)
+    cr = np.asarray(cr_blocks, dtype=np.int64)
+    mby, mbx = cb.shape
+    if cr.shape != (mby, mbx) or yb.shape != (2 * mby, 2 * mbx):
+        raise ValueError("4:2:0 shapes: y (2*mby, 2*mbx), cb/cr (mby, mbx)")
+    for arr in (yb, cb, cr):
+        if ((arr & 1) != 0).any() or arr.min() < 0 or arr.max() > 254:
+            raise ValueError("levels must be even in [0, 254]")
+    h, w = mby * 16, mbx * 16
+    dc_bits = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+    dc_vals = list(range(12))
+    ac_bits = [1] + [0] * 15
+    ac_vals = [0x00]
+
+    def enc_map(bits, values):
+        out = {}
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                out[values[k]] = (length, code)
+                k += 1
+                code += 1
+            code <<= 1
+        return out
+
+    edc, eac = enc_map(dc_bits, dc_vals), enc_map(ac_bits, ac_vals)
+
+    def dc_of(level: int) -> int:
+        return 8 * (level - 128) // 16  # exact: level even
+
+    def sos(comps_sel: list[tuple[int, int, int]], ss, se, ah, al,
+            body: bytes) -> bytes:
+        head = bytes([len(comps_sel)])
+        for cid, dci, aci in comps_sel:
+            head += bytes([cid, (dci << 4) | aci])
+        head += bytes([ss, se, (ah << 4) | al])
+        return (
+            b"\xff\xda" + struct.pack(">H", 2 + len(head)) + head + body
+        )
+
+    # MCU-ordered (component, level) walk shared by both DC scans
+    def mcu_levels():
+        for my in range(mby):
+            for mx in range(mbx):
+                for vy in range(2):
+                    for hx in range(2):
+                        yield 0, int(yb[2 * my + vy, 2 * mx + hx])
+                yield 1, int(cb[my, mx])
+                yield 2, int(cr[my, mx])
+
+    scans = []
+    # scan 1: DC first approximation (Al=1), interleaved
+    wtr = _BitWriter()
+    preds = [0, 0, 0]
+    for ci, level in mcu_levels():
+        v = dc_of(level) >> 1
+        diff = v - preds[ci]
+        preds[ci] = v
+        t = abs(diff).bit_length()
+        length, code = edc[t]
+        wtr.emit(code, length)
+        if t:
+            wtr.emit(diff if diff > 0 else diff + (1 << t) - 1, t)
+    scans.append(sos([(1, 0, 0), (2, 1, 0), (3, 1, 0)], 0, 0, 0, 1,
+                     wtr.done()))
+    # scans 2-4: AC first (Al=1) then 5-7: AC refine (Ah=1, Al=0),
+    # one EOB per block either way (all-zero bands, zero history)
+    n_blocks = {1: 4 * mby * mbx, 2: mby * mbx, 3: mby * mbx}
+    for ah, al in ((0, 1), (1, 0)):
+        for cid, aci in ((1, 0), (2, 1), (3, 1)):
+            wtr = _BitWriter()
+            length, code = eac[0x00]
+            for _ in range(n_blocks[cid]):
+                wtr.emit(code, length)
+            scans.append(sos([(cid, 0, aci)], 1, 63, ah, al, wtr.done()))
+    # scan 8: DC refinement (Ah=1, Al=0): one raw low bit per block
+    wtr = _BitWriter()
+    for _ci, level in mcu_levels():
+        wtr.emit(dc_of(level) & 1, 1)
+    scans.append(sos([(1, 0, 0), (2, 1, 0), (3, 1, 0)], 0, 0, 1, 0,
+                     wtr.done()))
+
+    qtab = bytes([16] * 64)
+    dqt = (
+        b"\xff\xdb" + struct.pack(">H", 2 + 65 * 2)
+        + b"\x00" + qtab + b"\x01" + qtab
+    )
+    sof = (
+        b"\xff\xc2" + struct.pack(">H", 8 + 3 * 3) + b"\x08"
+        + struct.pack(">HH", h, w) + b"\x03"
+        + bytes([1, 0x22, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1])
+    )
+    huff_payload = (
+        b"\x00" + bytes(dc_bits) + bytes(dc_vals)
+        + b"\x10" + bytes(ac_bits) + bytes(ac_vals)
+        + b"\x01" + bytes(dc_bits) + bytes(dc_vals)
+        + b"\x11" + bytes(ac_bits) + bytes(ac_vals)
+    )
+    dht = b"\xff\xc4" + struct.pack(">H", 2 + len(huff_payload)) + huff_payload
+    return b"\xff\xd8" + dqt + sof + dht + b"".join(scans) + b"\xff\xd9"

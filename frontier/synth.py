@@ -835,7 +835,7 @@ def synth_png_pixel_payloads(docs: DataFrame) -> DataFrame:
     every row exercises a different one of the five PNG filters
     (None/Sub/Up/Average/Paeth), so the decoder must invert all of them to
     recover the formula values."""
-    from .multimodal import encode_png, encode_png_palette
+    from .multimodal import encode_png, encode_png_any, encode_png_palette
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
@@ -847,11 +847,12 @@ def synth_png_pixel_payloads(docs: DataFrame) -> DataFrame:
                     np.arange(h), np.arange(w), np.arange(3), indexing="ij"
                 )
                 px = ((i * 31 + y * 7 + x * 3 + c * 5) % 256).astype(np.uint8)
-                if i % 4 == 0:
-                    # every fourth image rides the PALETTE path (color type
-                    # 3 + PLTE indirection + bpp=1 filters): identical RGB
-                    # pixels, so the oracle is unchanged but the palette
-                    # decode must work to stay green
+                # the SAME RGB pixels ride four different encode paths —
+                # the oracle is unchanged, but palette indirection (bpp=1
+                # filters), Adam7 interlace reassembly, and RGBA alpha
+                # dropping must all work to stay green
+                variant = i % 4
+                if variant == 0:
                     colors, inv = np.unique(
                         px.reshape(-1, 3), axis=0, return_inverse=True
                     )
@@ -859,6 +860,23 @@ def synth_png_pixel_payloads(docs: DataFrame) -> DataFrame:
                         encode_png_palette(
                             inv.reshape(h, w).astype(np.uint8),
                             colors,
+                            filter_for_row=lambda r: r % 5,
+                        )
+                    )
+                elif variant == 1:
+                    payloads.append(
+                        encode_png_any(
+                            px, 2, filter_for_row=lambda r: r % 5,
+                            interlace=True,
+                        )
+                    )
+                elif variant == 2:
+                    alpha = ((i * 7 + y[:, :, :1] + x[:, :, :1]) % 256).astype(
+                        np.uint8
+                    )
+                    payloads.append(
+                        encode_png_any(
+                            np.concatenate([px, alpha], axis=2), 6,
                             filter_for_row=lambda r: r % 5,
                         )
                     )
@@ -1084,3 +1102,35 @@ def synth_deep_corpus(
 
     ids = spark.range(0, n_hosts, numPartitions=n_parts)
     return ids.mapInPandas(build, FETCHES_SCHEMA)
+
+
+def synth_jpeg_progressive_payloads(docs: DataFrame) -> DataFrame:
+    """``documents`` → ``(doc_id, payload binary)`` of REAL PROGRESSIVE
+    color JPEGs (SOF2, eight successive-approximation scans) carrying the
+    SAME closed-form levels as :func:`synth_jpeg_color_payloads` — so the
+    same DuckDB oracle gates the progressive decode path: the decoder
+    must accumulate DC first/refine + per-component AC first/refine scans
+    into identical planes."""
+    from .multimodal import encode_jpeg_progressive_color_blocks
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            payloads = []
+            for doc_id in batch["doc_id"]:
+                i = int(doc_id)
+                mbx, mby = 1 + i % 2, 1 + i % 3
+                yb, xb = np.meshgrid(
+                    np.arange(2 * mby), np.arange(2 * mbx), indexing="ij"
+                )
+                y = 2 * ((i * 31 + yb * 7 + xb * 3) % 128)
+                my, mx = np.meshgrid(
+                    np.arange(mby), np.arange(mbx), indexing="ij"
+                )
+                cb = 2 * ((i * 17 + my * 5 + mx * 11) % 128)
+                cr = 2 * ((i * 23 + my * 3 + mx * 13) % 128)
+                payloads.append(encode_jpeg_progressive_color_blocks(y, cb, cr))
+            yield pd.DataFrame(
+                {"doc_id": batch["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    return docs.select("doc_id").mapInPandas(build, "doc_id long, payload binary")

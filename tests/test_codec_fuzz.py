@@ -286,3 +286,80 @@ def test_avi_walk_never_raises(blob):
     parse_avi_frames(blob)
     parse_avi_frames(b"RIFF\xff\xff\xff\xffAVI " + blob)
     parse_avi_frames(b"RIFF\x30\x00\x00\x00AVI LIST\x20\x00\x00\x00movi" + blob)
+
+
+def test_png_gray_alpha_rgba_roundtrip():
+    """PNG color types 0/4/6: grayscale replicates to RGB, alpha channels
+    are unfiltered at the right bpp then dropped — a decoder with a wrong
+    bpp cannot pass Sub/Average/Paeth rows on 2- or 4-channel scanlines."""
+    from frontier.multimodal import decode_png_pixels, encode_png_any
+
+    rng = np.random.default_rng(51)
+    for _ in range(10):
+        h, w = int(rng.integers(2, 9)), int(rng.integers(2, 9))
+        filt = lambda y: y % 5  # noqa: E731
+        gray = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        px = decode_png_pixels(encode_png_any(gray, 0, filt))
+        assert px is not None and (px == np.repeat(gray[:, :, None], 3, 2)).all()
+        ga = rng.integers(0, 256, (h, w, 2)).astype(np.uint8)
+        px = decode_png_pixels(encode_png_any(ga, 4, filt))
+        assert px is not None and (
+            px == np.repeat(ga[:, :, :1], 3, 2)
+        ).all()
+        rgba = rng.integers(0, 256, (h, w, 4)).astype(np.uint8)
+        px = decode_png_pixels(encode_png_any(rgba, 6, filt))
+        assert px is not None and (px == rgba[:, :, :3]).all()
+        rgb = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        px = decode_png_pixels(encode_png_any(rgb, 2, filt))
+        assert px is not None and (px == rgb).all()
+
+
+def test_jpeg_progressive_equals_baseline_decode():
+    """Progressive SOF2 (8 successive-approximation scans) must decode to
+    EXACTLY the same RGB as the baseline container of the same levels —
+    spectral selection, EOBn band runs, AC/DC refinement bits, and scan
+    accumulation all in play."""
+    from frontier.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg_color_blocks,
+        encode_jpeg_progressive_color_blocks,
+    )
+
+    rng = np.random.default_rng(71)
+    for _ in range(15):
+        mby, mbx = int(rng.integers(1, 4)), int(rng.integers(1, 4))
+        y = 2 * rng.integers(0, 128, (2 * mby, 2 * mbx))
+        cb = 2 * rng.integers(0, 128, (mby, mbx))
+        cr = 2 * rng.integers(0, 128, (mby, mbx))
+        base = decode_jpeg_pixels(encode_jpeg_color_blocks(y, cb, cr))
+        prog = decode_jpeg_pixels(
+            encode_jpeg_progressive_color_blocks(y, cb, cr)
+        )
+        assert prog is not None and (base == prog).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.binary(max_size=400))
+def test_jpeg_progressive_decoder_never_raises(blob):
+    from frontier.multimodal import decode_jpeg_pixels
+
+    # SOF2 header followed by garbage scans
+    decode_jpeg_pixels(
+        b"\xff\xd8\xff\xc2\x00\x0b\x08\x00\x10\x00\x10\x01\x11\x00" + blob
+    )
+
+
+def test_png_adam7_interlace_roundtrip():
+    """Adam7: seven separately-filtered pass sub-images scattered onto
+    strided grids — every (h, w) class splits the passes differently, and
+    tiny images leave some passes empty."""
+    from frontier.multimodal import decode_png_pixels, encode_png_any
+
+    rng = np.random.default_rng(91)
+    for h, w in [(1, 1), (1, 9), (9, 1), (2, 3), (5, 5), (8, 8), (13, 17)]:
+        px = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        enc = encode_png_any(
+            px, 2, filter_for_row=lambda y: y % 5, interlace=True
+        )
+        back = decode_png_pixels(enc)
+        assert back is not None and (back == px).all(), (h, w)
