@@ -272,21 +272,23 @@ def parse_wav_header(payload: bytes) -> dict | None:
         tag = payload[pos:pos + 4]
         (size,) = struct.unpack("<I", payload[pos + 4:pos + 8])
         if tag == b"fmt " and pos + 8 + 16 <= len(payload) and size >= 16:
+            (afmt,) = struct.unpack("<H", payload[pos + 8:pos + 10])
             channels, rate = struct.unpack("<HI", payload[pos + 10:pos + 16])
             (bits,) = struct.unpack("<H", payload[pos + 22:pos + 24])
-            fmt = (channels, rate, bits)
+            fmt = (afmt, channels, rate, bits)
         elif tag == b"data":
             data_size = size
         pos += 8 + size + (size & 1)
     if fmt is None or data_size is None:
         return None
-    channels, rate, bits = fmt
+    afmt, channels, rate, bits = fmt
     frame = channels * (bits // 8)
     if frame <= 0 or rate <= 0:
         return None
     n_samples = data_size // frame
     return {
         "media_type": "wav",
+        "audio_format": afmt,  # 1 = integer PCM, 3 = IEEE float
         "channels": channels,
         "sample_rate_hz": rate,
         "bits_per_sample": bits,
@@ -752,11 +754,17 @@ def resize_image_real(payload: bytes, width: int, height: int) -> bytes:
 
 def decode_wav_samples(payload: bytes):
     """REAL PCM sample decode: RIFF chunk walk to the ``data`` chunk, then
-    numpy interpretation (little-endian int16 for 16-bit, uint8 for 8-bit;
-    interleaved channels stay interleaved). Returns ``(samples, meta)`` or
-    None for non-PCM / malformed payloads."""
+    numpy interpretation — little-endian uint8 / int16 / packed int24
+    (manually sign-extended) for integer PCM (format 1) and float32 for
+    IEEE-float WAV (format 3); interleaved channels stay interleaved.
+    Returns ``(samples, meta)`` or None for other formats / malformed
+    payloads."""
     meta = parse_wav_header(payload)
-    if meta is None or meta.get("bits_per_sample") not in (8, 16):
+    if meta is None:
+        return None
+    afmt = meta.get("audio_format", 1)
+    bits = meta.get("bits_per_sample")
+    if (afmt, bits) not in ((1, 8), (1, 16), (1, 24), (3, 32)):
         return None
     pos, n = 12, len(payload)
     while pos + 8 <= n:
@@ -764,11 +772,20 @@ def decode_wav_samples(payload: bytes):
         (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
         if tag == b"data":
             raw = payload[pos + 8 : pos + 8 + size]
-            dtype = (
-                np.dtype("<i2")
-                if meta["bits_per_sample"] == 16
-                else np.dtype(np.uint8)
-            )
+            if afmt == 3:
+                usable = len(raw) - len(raw) % 4
+                return np.frombuffer(raw[:usable], dtype="<f4"), meta
+            if bits == 24:
+                usable = len(raw) - len(raw) % 3
+                b3 = (
+                    np.frombuffer(raw[:usable], dtype=np.uint8)
+                    .reshape(-1, 3)
+                    .astype(np.int64)
+                )
+                val = b3[:, 0] | (b3[:, 1] << 8) | (b3[:, 2] << 16)
+                val[val >= 1 << 23] -= 1 << 24  # sign-extend 24 -> 64
+                return val, meta
+            dtype = np.dtype("<i2") if bits == 16 else np.dtype(np.uint8)
             usable = len(raw) - len(raw) % dtype.itemsize
             return np.frombuffer(raw[:usable], dtype=dtype), meta
         pos += 8 + size + (size & 1)

@@ -131,7 +131,8 @@ def main() -> None:
 
     os.makedirs("BENCH", exist_ok=True)
     # per-pair artifact; BENCH/BASELINE.md is maintained by hand from these
-    with open(f"BENCH/scaling_{n_low}v{n_high}.json", "w") as fh:
+    tag = f"_{round(low['urls'] / 1_000_000)}M" if low["urls"] >= 10**6 else ""
+    with open(f"BENCH/scaling_{n_low}v{n_high}{tag}.json", "w") as fh:
         json.dump(result, fh, indent=1)
 
 

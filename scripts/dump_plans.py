@@ -97,6 +97,11 @@ AUDITED = {
     "url_normalize_savings": "mining aggs + one rebuild groupBy per URL + host rollup; short strings only",
     "sitemap_write_roundtrip": "host-window pagination + ordered-agg per file + shuffle-free mapInPandas parse; bodies never re-exchange",
     "crawl_novelty_kmv": "two-level bottom-k (bucket k-mins then global); exchanges bounded by buckets*k rows per crawl",
+    "continuous_crawl_e2e": "text collapses to md5/octet_length in the scan projection; diff joins move (url, fp) pairs; discovery is the bloom-prefiltered exact anti-join; admission the salted bounded top-k; candidates localCheckpointed before the seen-table compaction rewrites the anti-join's input files",
+    "sitemap_index_write_roundtrip": "one ordered-agg groupBy per host + shuffle-free mapInPandas parse-back; lastmod carried positionally, W3C-validated in the kernel",
+    "media_jpeg_color_pixel_stats": "shuffle-free mapInPandas REAL color JPEG decode (interleaved 4:2:0 MCUs, two quant + four Huffman tables, integer-plane JFIF transform); same single-stage shape",
+    "media_jpeg_progressive_pixel_stats": "shuffle-free mapInPandas REAL progressive decode (segment pre-pass + coefficient accumulation over 8 scans); same single-stage shape",
+    "media_avi_frame_stats": "shuffle-free mapInPandas RIFF walk + per-frame JPEG decode; 1->N cardinality inside the Arrow batch, video bytes never leave the executor",
 }
 
 

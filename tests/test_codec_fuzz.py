@@ -363,3 +363,37 @@ def test_png_adam7_interlace_roundtrip():
         )
         back = decode_png_pixels(enc)
         assert back is not None and (back == px).all(), (h, w)
+
+
+def test_wav_24bit_and_float32_decode():
+    """24-bit packed PCM (manual sign extension) and IEEE-float WAV
+    (format 3) decode to the exact written samples."""
+    import struct
+
+    from frontier.multimodal import decode_wav_samples
+
+    def wav(afmt, bits, data):
+        frame = bits // 8
+        fmt = struct.pack("<HHIIHH", afmt, 1, 8000, 8000 * frame, frame, bits)
+        body = (
+            b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+            + (b"\x00" if len(data) & 1 else b"")
+        )
+        return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    vals = [0, 1, -1, 8_388_607, -8_388_608, 123_456, -654_321]
+    data = b"".join(
+        (v & 0xFFFFFF).to_bytes(3, "little") for v in vals
+    )
+    out = decode_wav_samples(wav(1, 24, data))
+    assert out is not None and list(out[0]) == vals
+
+    fvals = np.array([0.0, 1.5, -2.25, 3e7, -1e-4], dtype="<f4")
+    out = decode_wav_samples(wav(3, 32, fvals.tobytes()))
+    assert out is not None and (out[0] == fvals).all()
+    assert out[1]["audio_format"] == 3
+
+    # unsupported combos stay honest None
+    assert decode_wav_samples(wav(3, 16, b"\x00\x00")) is None
+    assert decode_wav_samples(wav(1, 32, b"\x00" * 4)) is None

@@ -193,6 +193,7 @@ def test_parse_wav_header_roundtrip():
         meta = parse_wav_header(wav)
         assert meta == {
             "media_type": "wav",
+            "audio_format": 1,
             "channels": ch,
             "sample_rate_hz": rate,
             "bits_per_sample": bits,
