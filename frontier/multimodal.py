@@ -739,14 +739,20 @@ def resize_nearest(pixels, out_w: int, out_h: int):
 
 
 def resize_image_real(payload: bytes, width: int, height: int) -> bytes:
-    """Resize callable with a REAL path: 24-bit BMPs and 8-bit truecolor
-    PNGs decode → nearest resize → re-encode in the source format; other
-    codec formats (JPEG/...) fall back to the sha256 stub until a real
-    image library is present."""
+    """Resize callable with a REAL path: anything the decode cascade
+    covers (BMP; PNG all 8-bit color types incl. Adam7; GIF incl.
+    interlace; JPEG baseline + progressive, gray + color) decodes →
+    nearest resize → re-encode (source format for BMP/PNG, truecolor PNG
+    for palette-indexed and lossy sources — re-quantizing or re-running
+    DCT would change pixels, and the resize contract is pixel-exact).
+    Payloads no real decoder covers fall back to the sha256 stub."""
     pixels = decode_bmp_pixels(payload)
     if pixels is not None:
         return encode_bmp(resize_nearest(pixels, width, height))
     pixels = decode_png_pixels(payload)
+    if pixels is not None:
+        return encode_png(resize_nearest(pixels, width, height))
+    pixels = decode_image_pixels(payload)  # GIF / JPEG / anything real
     if pixels is not None:
         return encode_png(resize_nearest(pixels, width, height))
     return resize_image_stub(payload, width, height)

@@ -397,3 +397,33 @@ def test_wav_24bit_and_float32_decode():
     # unsupported combos stay honest None
     assert decode_wav_samples(wav(3, 16, b"\x00\x00")) is None
     assert decode_wav_samples(wav(1, 32, b"\x00" * 4)) is None
+
+
+def test_resize_real_covers_gif_and_jpeg():
+    """resize_image_real reaches every real decoder: GIF and JPEG sources
+    resize for real (re-encoded as truecolor PNG — pixel-exact, no
+    re-quantization), with the stub only for undecodable payloads."""
+    from frontier.multimodal import (
+        decode_png_pixels,
+        encode_gif,
+        encode_jpeg_gray_blocks,
+        resize_image_real,
+        resize_nearest,
+    )
+
+    rng = np.random.default_rng(101)
+    idx = rng.integers(0, 16, (6, 8)).astype(np.uint8)
+    pal = rng.integers(0, 256, (16, 3)).astype(np.uint8)
+    out = decode_png_pixels(resize_image_real(encode_gif(idx, pal), 4, 3))
+    assert out is not None and (out == resize_nearest(pal[idx], 4, 3)).all()
+
+    blocks = 2 * rng.integers(0, 128, (2, 2))
+    jpeg = encode_jpeg_gray_blocks(blocks)
+    want = resize_nearest(
+        np.repeat(np.repeat(blocks, 8, 0), 8, 1)[:, :, None].repeat(3, 2)
+        .astype(np.uint8), 5, 7,
+    )
+    out = decode_png_pixels(resize_image_real(jpeg, 5, 7))
+    assert out is not None and (out == want).all()
+
+    assert b":5x7" in resize_image_real(b"not an image", 5, 7)
