@@ -20,10 +20,11 @@ hand-rolled variable-width LZW plus the four-pass row re-order
 progressive (SOF2, successive approximation), grayscale AND YCbCr color
 with 4:2:0/4:2:2/4:4:4 subsampling — decodes via real Huffman + IDCT +
 chroma upsample + the JFIF color transform (``decode_jpeg_pixels``),
-proven on DCT-exact constant-block payloads. Video frames come from a
-real AVI/MJPEG RIFF walk (``parse_avi_frames``). Only MP3/OGG audio
-decode, non-AVI video codecs, and restart-interval/arithmetic JPEG
-remain STUBBED behind deterministic fakes
+proven on DCT-exact constant-block payloads (DRI restart intervals
+honored in every scan type). Video frames come from a real AVI/MJPEG
+RIFF walk (``parse_avi_frames``). Only MP3/OGG audio decode, non-AVI
+video codecs, and arithmetic-coded JPEG remain STUBBED behind
+deterministic fakes
 whose outputs are pure functions of ``sha256(payload)``, so those
 pipelines stay testable end to end and oracle-checkable from SQL. Swap
 the stub callables for real Pillow/pyav/CLIP calls in a deployment;
@@ -1700,10 +1701,13 @@ def _decode_jpeg_block(reader: "_BitReader", tdc: dict, tac: dict, pred: int):
 
 
 def _jpeg_segments(payload: bytes):
-    """Marker pre-pass: (marker, segment bytes, unstuffed entropy bytes)
-    triples. Entropy data follows each SOS until the next real marker
-    (FF00 byte-stuffing removed) — baseline reads one scan, progressive
-    accumulates over many. Returns None on a malformed marker stream."""
+    """Marker pre-pass: (marker, segment bytes, entropy intervals) triples.
+    Entropy data follows each SOS until the next real marker (FF00
+    byte-stuffing removed) and is returned as a LIST of byte chunks split
+    at RSTn restart markers — one chunk per restart interval (a single
+    chunk when the file has no restarts). Baseline reads one scan,
+    progressive accumulates over many. Returns None on a malformed marker
+    stream."""
     segs = []
     pos, n = 2, len(payload)
     while pos + 2 <= n:
@@ -1722,6 +1726,7 @@ def _jpeg_segments(payload: bytes):
         pos += 2 + seglen
         entropy = None
         if marker == 0xDA:
+            entropy = []
             out = bytearray()
             while pos < n:
                 b = payload[pos]
@@ -1731,10 +1736,15 @@ def _jpeg_segments(payload: bytes):
                         out.append(0xFF)
                         pos += 2
                         continue
+                    if 0xD0 <= nxt <= 0xD7:  # restart marker: new interval
+                        entropy.append(bytes(out))
+                        out = bytearray()
+                        pos += 2
+                        continue
                     break
                 out.append(b)
                 pos += 1
-            entropy = bytes(out)
+            entropy.append(bytes(out))
         segs.append((marker, seg, entropy))
     return segs
 
@@ -1822,10 +1832,12 @@ def decode_jpeg_pixels(payload: bytes):
     replication (any h,v factors in {1,2}), and the JFIF YCbCr→RGB
     transform applied to INTEGER plane values with floor(x+0.5) rounding
     (deterministic across engines, so output stays closed-form
-    checkable). Returns (h, w, 3) uint8 RGB or None for anything out of
-    scope — restart intervals, 16-bit quant tables, arithmetic coding,
-    hierarchical/lossless SOFs, >2x sampling factors fall back to the
-    stub path."""
+    checkable). DRI restart intervals are honored in every scan type:
+    each RSTn starts a fresh byte-aligned entropy segment with DC
+    predictors and the progressive EOB run reset. Returns (h, w, 3)
+    uint8 RGB or None for anything out of scope — 16-bit quant tables,
+    arithmetic coding, hierarchical/lossless SOFs, >2x sampling factors
+    fall back to the stub path."""
     try:
         if not payload.startswith(b"\xff\xd8"):
             return None
@@ -1840,6 +1852,7 @@ def decode_jpeg_pixels(payload: bytes):
         progressive = False
         coefs: list[np.ndarray] | None = None
         geom = None  # (hmax, vmax, mcux, mcuy)
+        restart_interval = 0
         any_scan = False
         for marker, seg, entropy in segs:
             if marker == 0xDB:  # DQT (possibly several tables)
@@ -1886,8 +1899,10 @@ def decode_jpeg_pixels(payload: bytes):
                     for _cid, hi, vi, _tq in comps
                 ]
             elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
-                            0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF, 0xDD):
-                return None  # other SOFs / restart interval: out of scope
+                            0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # other SOFs: out of scope
+            elif marker == 0xDD:  # DRI: restart interval in MCUs/blocks
+                (restart_interval,) = struct.unpack(">H", seg[:2])
             elif marker == 0xDA:
                 if comps is None or entropy is None:
                     return None
@@ -1903,14 +1918,38 @@ def decode_jpeg_pixels(payload: bytes):
                 ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
                 aa = seg[3 + 2 * ns]
                 ah, al = aa >> 4, aa & 0x0F
-                reader = _BitReader(entropy)
+                # restart machinery: one entropy chunk per interval; at
+                # each boundary the next chunk starts byte-aligned with
+                # DC predictors (and the progressive EOB run) reset
+                chunks = iter(entropy)
+
+                def next_interval():
+                    try:
+                        return _BitReader(next(chunks))
+                    except StopIteration:
+                        raise ValueError("missing restart interval") from None
+
+                reader = next_interval()
+                ri = restart_interval
+                unit = 0  # MCUs (interleaved) or blocks (single-comp scan)
+                preds = [0] * len(comps)
+                eobrun = 0
+
+                def maybe_restart():
+                    nonlocal reader, eobrun, unit
+                    if ri and unit and unit % ri == 0:
+                        reader = next_interval()
+                        preds[:] = [0] * len(comps)
+                        eobrun = 0
+                    unit += 1
+
                 if not progressive:
                     # one interleaved sequential scan covering all comps
                     if [i for i, _d, _a in scan] != list(range(len(comps))):
                         return None
-                    preds = [0] * len(comps)
                     for my in range(mcuy):
                         for mx in range(mcux):
+                            maybe_restart()
                             for (ci, dci, aci) in scan:
                                 _cid, hi, vi, _tq = comps[ci]
                                 tdc, tac = hdc[dci], hac[aci]
@@ -1925,7 +1964,6 @@ def decode_jpeg_pixels(payload: bytes):
                 elif ss == 0:  # progressive DC scan (interleaved or not)
                     if se != 0:
                         return None
-                    preds = [0] * len(comps)
                     if len(scan) > 1:
                         mcus = [
                             (my, mx)
@@ -1933,6 +1971,7 @@ def decode_jpeg_pixels(payload: bytes):
                             for mx in range(mcux)
                         ]
                         for my, mx in mcus:
+                            maybe_restart()
                             for (ci, dci, _aci) in scan:
                                 _cid, hi, vi, _tq = comps[ci]
                                 for by_ in range(vi):
@@ -1955,6 +1994,7 @@ def decode_jpeg_pixels(payload: bytes):
                         bh = (h * vi + 8 * vmax - 1) // (8 * vmax)
                         for by_ in range(bh):
                             for bx_ in range(bw):
+                                maybe_restart()
                                 c0 = coefs[ci][by_, bx_]
                                 if ah == 0:
                                     t = reader.huff(hdc[dci])
@@ -1970,10 +2010,10 @@ def decode_jpeg_pixels(payload: bytes):
                     tac = hac[aci]
                     bw = (w * hi + 8 * hmax - 1) // (8 * hmax)
                     bh = (h * vi + 8 * vmax - 1) // (8 * vmax)
-                    eobrun = 0
                     step = _prog_ac_refine if ah else _prog_ac_first
                     for by_ in range(bh):
                         for bx_ in range(bw):
+                            maybe_restart()
                             eobrun = step(
                                 reader, tac, coefs[ci][by_, bx_],
                                 ss, se, al, eobrun,
@@ -2103,7 +2143,9 @@ def encode_jpeg_gray_blocks(blocks) -> bytes:
     return b"\xff\xd8" + dqt + sof + dht + sos + bytes(body) + b"\xff\xd9"
 
 
-def encode_jpeg_color_blocks(y_blocks, cb_blocks, cr_blocks) -> bytes:
+def encode_jpeg_color_blocks(
+    y_blocks, cb_blocks, cr_blocks, restart_interval: int = 0
+) -> bytes:
     """REAL-container baseline COLOR JPEG encoder (YCbCr 4:2:0) for
     constant 8x8 blocks — the synth harness for the color decode path:
     ``y_blocks`` is a (2*mby, 2*mbx) array of EVEN luma levels,
@@ -2117,7 +2159,10 @@ def encode_jpeg_color_blocks(y_blocks, cb_blocks, cr_blocks) -> bytes:
     four-table DHT (luma + chroma DC/AC classes), and an interleaved SOS
     (per-MCU order: 4 Y raster blocks, Cb, Cr) with per-component DC
     predictors — exercising every table-selection path the grayscale
-    harness cannot."""
+    harness cannot. ``restart_interval > 0`` additionally emits a DRI
+    segment and cycling RSTn markers every that-many MCUs, each starting
+    a byte-aligned entropy segment with predictors reset — the
+    camera-JPEG resync structure the decoder must honor."""
     yb = np.asarray(y_blocks, dtype=np.int64)
     cb = np.asarray(cb_blocks, dtype=np.int64)
     cr = np.asarray(cr_blocks, dtype=np.int64)
@@ -2173,16 +2218,29 @@ def encode_jpeg_color_blocks(y_blocks, cb_blocks, cr_blocks) -> bytes:
         emit(code, length)  # EOB
         return dc
 
+    def flush():
+        nonlocal nbits
+        if nbits:
+            emit((1 << (8 - nbits)) - 1, 8 - nbits)  # pad with 1s
+
     py = pcb = pcr = 0
+    mcu_i = 0
+    rst_n = 0
     for my in range(mby):
         for mx in range(mbx):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                flush()
+                body.append(0xFF)
+                body.append(0xD0 + rst_n)
+                rst_n = (rst_n + 1) & 7
+                py = pcb = pcr = 0
             for vy in range(2):
                 for hx in range(2):
                     py = emit_block(int(yb[2 * my + vy, 2 * mx + hx]), py)
             pcb = emit_block(int(cb[my, mx]), pcb)
             pcr = emit_block(int(cr[my, mx]), pcr)
-    if nbits:
-        emit((1 << (8 - nbits)) - 1, 8 - nbits)  # pad with 1s
+            mcu_i += 1
+    flush()
 
     qtab = bytes([16] * 64)
     dqt = (
@@ -2201,11 +2259,16 @@ def encode_jpeg_color_blocks(y_blocks, cb_blocks, cr_blocks) -> bytes:
         + b"\x11" + bytes(ac_bits) + bytes(ac_vals)
     )
     dht = b"\xff\xc4" + struct.pack(">H", 2 + len(huff_payload)) + huff_payload
+    dri = (
+        b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+        if restart_interval
+        else b""
+    )
     sos = (
         b"\xff\xda" + struct.pack(">H", 6 + 2 * 3) + b"\x03"
         + bytes([1, 0x00, 2, 0x11, 3, 0x11]) + bytes([0, 63, 0])
     )
-    return b"\xff\xd8" + dqt + sof + dht + sos + bytes(body) + b"\xff\xd9"
+    return b"\xff\xd8" + dqt + sof + dht + dri + sos + bytes(body) + b"\xff\xd9"
 
 
 def jpeg_color_rgb_from_levels(yv: int, cbv: int, crv: int):

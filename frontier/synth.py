@@ -992,7 +992,14 @@ def synth_jpeg_color_payloads(docs: DataFrame) -> DataFrame:
                 )
                 cb = 2 * ((i * 17 + my * 5 + mx * 11) % 128)
                 cr = 2 * ((i * 23 + my * 3 + mx * 13) % 128)
-                payloads.append(encode_jpeg_color_blocks(y, cb, cr))
+                # every third file carries the DRI + RSTn resync structure
+                # (camera JPEGs): identical pixels, so the oracle is
+                # unchanged but the restart handling must work to stay green
+                payloads.append(
+                    encode_jpeg_color_blocks(
+                        y, cb, cr, restart_interval=2 if i % 3 == 0 else 0
+                    )
+                )
             yield pd.DataFrame(
                 {"doc_id": batch["doc_id"].astype("int64"), "payload": payloads}
             )

@@ -427,3 +427,24 @@ def test_resize_real_covers_gif_and_jpeg():
     assert out is not None and (out == want).all()
 
     assert b":5x7" in resize_image_real(b"not an image", 5, 7)
+
+
+def test_jpeg_restart_intervals_roundtrip():
+    """DRI + RSTn: each restart starts a byte-aligned entropy segment
+    with DC predictors reset; decode must match the no-restart container
+    for every interval (ri=1 maximizes segment count and the cycling
+    RST0..7 wraparound)."""
+    from frontier.multimodal import decode_jpeg_pixels, encode_jpeg_color_blocks
+
+    rng = np.random.default_rng(121)
+    for _ in range(10):
+        mby, mbx = int(rng.integers(1, 5)), int(rng.integers(1, 5))
+        y = 2 * rng.integers(0, 128, (2 * mby, 2 * mbx))
+        cb = 2 * rng.integers(0, 128, (mby, mbx))
+        cr = 2 * rng.integers(0, 128, (mby, mbx))
+        base = decode_jpeg_pixels(encode_jpeg_color_blocks(y, cb, cr))
+        for ri in (1, 2, 5):
+            got = decode_jpeg_pixels(
+                encode_jpeg_color_blocks(y, cb, cr, restart_interval=ri)
+            )
+            assert got is not None and (got == base).all(), ri
