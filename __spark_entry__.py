@@ -927,6 +927,61 @@ ORDER BY doc_id
 """
 
 
+def _media_mixed_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-format media column — the shape a real multimodal crawl
+    produces: ONE binary column whose payloads alternate BMP / PNG
+    (palette/interlaced/RGBA/truecolor) / GIF (interlaced and not) /
+    grayscale JPEG / color JPEG (with restart intervals) by doc_id, with
+    the decode CASCADE (magic-number dispatch) routing each payload to
+    the right real decoder inside one shuffle-free kernel. The oracle is
+    the per-format closed form selected by the same doc_id arithmetic —
+    a dispatch that misroutes or a decoder that breaks on any one format
+    fails the whole hash."""
+    from frontier.multimodal import image_pixel_stats
+    from frontier.synth import (
+        synth_bmp_pixel_payloads,
+        synth_gif_pixel_payloads,
+        synth_jpeg_block_payloads,
+        synth_jpeg_color_payloads,
+        synth_png_pixel_payloads,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = (
+        synth_bmp_pixel_payloads(docs.filter("doc_id % 5 = 0"))
+        .unionByName(synth_png_pixel_payloads(docs.filter("doc_id % 5 = 1")))
+        .unionByName(synth_gif_pixel_payloads(docs.filter("doc_id % 5 = 2")))
+        .unionByName(
+            synth_jpeg_block_payloads(docs.filter("doc_id % 5 = 3"))
+        )
+        .unionByName(
+            synth_jpeg_color_payloads(docs.filter("doc_id % 5 = 4"))
+        )
+    )
+    return image_pixel_stats(media).orderBy("doc_id")
+
+
+def _mixed_arm(oracle: str, k: int) -> str:
+    """One format's closed form, filtered to its doc_id slice (DuckDB
+    allows a WITH-bearing query as a parenthesized derived table)."""
+    body = oracle.rsplit("ORDER BY", 1)[0]
+    return f"SELECT * FROM ({body}) arm{k} WHERE doc_id % 5 = {k}"
+
+
+def _media_mixed_oracle() -> str:
+    arms = [
+        _MEDIA_BMP_PIXEL_ORACLE,  # 0: BMP
+        _MEDIA_BMP_PIXEL_ORACLE,  # 1: PNG carries the same pixel formula
+        _MEDIA_GIF_PIXEL_ORACLE,  # 2
+        _MEDIA_JPEG_PIXEL_ORACLE,  # 3: grayscale
+        _MEDIA_JPEG_COLOR_PIXEL_ORACLE,  # 4: color
+    ]
+    return (
+        " UNION ALL ".join(_mixed_arm(o, k) for k, o in enumerate(arms))
+        + " ORDER BY doc_id"
+    )
+
+
 def _media_wav_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PCM sample decode (chunk walk to the data chunk, int16 LE) over
     WAVs whose every sample is closed-form; the oracle recomputes amplitude
@@ -1133,6 +1188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["media_jpeg_progressive_pixel_stats"] = (
         _media_jpeg_progressive_pixel_stats
     )
+    out["media_mixed_pixel_stats"] = _media_mixed_pixel_stats
     out["media_wav_pcm_stats"] = _media_wav_pcm_stats
     out["media_image_dhash"] = _media_image_dhash
     out["dedup_image_dhash"] = _dedup_image_dhash
@@ -1163,6 +1219,7 @@ def oracle_sql() -> dict[str, str]:
     out["media_jpeg_color_pixel_stats"] = _MEDIA_JPEG_COLOR_PIXEL_ORACLE
     # same levels, same closed form — only the container differs
     out["media_jpeg_progressive_pixel_stats"] = _MEDIA_JPEG_COLOR_PIXEL_ORACLE
+    out["media_mixed_pixel_stats"] = _media_mixed_oracle()
     out["media_wav_pcm_stats"] = _MEDIA_WAV_PCM_ORACLE
     out["media_image_dhash"] = _MEDIA_DHASH_ORACLE
     out["dedup_image_dhash"] = _DEDUP_DHASH_ORACLE

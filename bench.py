@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "continuous_crawl_e2e",
     "media_jpeg_color_pixel_stats",
     "media_avi_frame_stats",
+    "media_mixed_pixel_stats",
 ]
 
 
