@@ -1072,8 +1072,9 @@ def decode_png_pixels(payload: bytes):
     grid), palette indirection for color type 3, and channel mapping for
     grayscale (0), truecolor (2), gray+alpha (4) and RGBA (6) — alpha is
     dropped after unfiltering (the stats oracles measure color channels).
-    Returns an (h, w, 3) uint8 RGB array or None for anything else —
-    16-bit depth falls back to the stub.
+    16-bit depth unfilters at the doubled byte pitch and presents the
+    high byte (the spec's recommended 16→8 reduction). Returns an
+    (h, w, 3) uint8 RGB array or None for anything else.
 
     The per-pixel unfilter loops are clarity-first (synth/test payloads are
     small); a production decoder vectorizes Sub/Average/Paeth with the same
@@ -1095,9 +1096,11 @@ def decode_png_pixels(payload: bytes):
                 w, h, depth, ctype, comp, filt, inter = struct.unpack(
                     ">IIBBBBB", data[:13]
                 )
-                if depth != 8 or ctype not in (0, 2, 3, 4, 6) or comp != 0 \
-                        or filt != 0 or inter not in (0, 1):
+                if depth not in (8, 16) or ctype not in (0, 2, 3, 4, 6) \
+                        or comp != 0 or filt != 0 or inter not in (0, 1):
                     return None
+                if depth == 16 and ctype == 3:
+                    return None  # the spec forbids 16-bit palette
             elif tag == b"PLTE":
                 if length % 3 != 0 or length == 0:
                     return None
@@ -1109,7 +1112,8 @@ def decode_png_pixels(payload: bytes):
             pos += 12 + length  # length + tag + data + crc
         if not w or not h or not idat:
             return None
-        bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+        nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+        bpp = nch * (depth // 8)  # filters operate on BYTES at this pitch
         if ctype == 3 and plte is None:
             return None
         raw = zlib.decompress(idat)
@@ -1139,6 +1143,11 @@ def decode_png_pixels(payload: bytes):
                 grid[y0::dy, x0::dx] = sub.reshape(h_p, w_p, bpp)
             if off != len(raw):
                 return None
+        if depth == 16:
+            # present 16-bit samples as 8-bit via the high byte (the
+            # spec's recommended 16->8 reduction) AFTER unfiltering —
+            # filters are defined on the raw byte stream
+            out = (out.reshape(h, -1).view(">u2") >> 8).astype(np.uint8)
         if ctype == 2:
             return out.reshape(h, w, 3).copy()
         if ctype == 3:
@@ -1146,7 +1155,7 @@ def decode_png_pixels(payload: bytes):
             if idx.max(initial=0) >= len(plte):
                 return None
             return plte[idx].copy()
-        px = out.reshape(h, w, bpp)
+        px = out.reshape(h, w, nch)
         if ctype == 0:
             return np.repeat(px, 3, axis=2).copy()
         if ctype == 4:  # gray + alpha: replicate gray, drop alpha

@@ -448,3 +448,60 @@ def test_jpeg_restart_intervals_roundtrip():
                 encode_jpeg_color_blocks(y, cb, cr, restart_interval=ri)
             )
             assert got is not None and (got == base).all(), ri
+
+
+def test_png_16bit_decode_high_byte():
+    """16-bit PNG: scanline filters run at the DOUBLED byte pitch (Sub's
+    left neighbor is 2*channels bytes back), then samples reduce to their
+    high byte. A decoder filtering at the 8-bit pitch corrupts every
+    Sub/Paeth row."""
+    import struct
+    import zlib
+
+    from frontier.multimodal import _paeth, decode_png_pixels
+
+    rng = np.random.default_rng(131)
+    for ctype, nch in ((0, 1), (2, 3), (6, 4)):
+        h, w = 5, 6
+        raw16 = rng.integers(0, 65536, (h, w * nch)).astype(">u2")
+        rows = raw16.view(np.uint8).reshape(h, w * nch * 2)
+        bpp = nch * 2
+        lines = bytearray()
+        for y in range(h):
+            ftype = (y % 5)
+            cur = rows[y].astype(np.int64)
+            prev = rows[y - 1].astype(np.int64) if y else np.zeros(
+                len(cur), np.int64
+            )
+            enc = bytearray(len(cur))
+            for i in range(len(cur)):
+                left = int(cur[i - bpp]) if i >= bpp else 0
+                above = int(prev[i])
+                upleft = int(prev[i - bpp]) if i >= bpp else 0
+                pred = [0, left, above, (left + above) >> 1,
+                        _paeth(left, above, upleft)][ftype]
+                enc[i] = (int(cur[i]) - pred) & 0xFF
+            lines.append(ftype)
+            lines += enc
+
+        def chunk(tag, data):
+            return (
+                struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+            )
+
+        payload = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 16, ctype, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(bytes(lines)))
+            + chunk(b"IEND", b"")
+        )
+        got = decode_png_pixels(payload)
+        hi = (raw16 >> 8).astype(np.uint8).reshape(h, w, nch)
+        if ctype == 0:
+            want = np.repeat(hi, 3, axis=2)
+        elif ctype == 2:
+            want = hi
+        else:
+            want = hi[:, :, :3]
+        assert got is not None and (got == want).all(), ctype
