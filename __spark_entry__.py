@@ -927,6 +927,52 @@ ORDER BY doc_id
 """
 
 
+def _media_gif_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL animated-GIF frame walk: multi-frame iteration with Graphic
+    Control Extension parsing, per-frame LZW decode, and canvas
+    compositing (full-frame opaque disposal-1 frames here; sub-rect /
+    transparency / disposal-2/3 semantics are pinned by hand-built
+    payloads in tests) over NETSCAPE-looped animations whose every frame
+    is closed-form; per-frame channel sums re-derived in SQL."""
+    from frontier.multimodal import gif_animation_stats
+    from frontier.synth import synth_gif_animation_payloads
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return gif_animation_stats(synth_gif_animation_payloads(docs)).orderBy(
+        "doc_id", "frame_no"
+    )
+
+
+# synth_gif_animation_payloads: nf = 1 + doc%4, w = 4 + doc%5,
+# h = 3 + doc%4, idx(x,y,f) = (doc*31 + f*19 + y*7 + x*3) % 256,
+# palette (i, 2i, 3i mod 256); full opaque frames -> canvas == frame.
+_MEDIA_GIF_FRAMES_ORACLE = """
+WITH dims AS (
+    SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
+           1 + doc_id % 4 AS nf
+    FROM documents
+),
+px AS (
+    SELECT d.doc_id, d.w, d.h, fs.f, xs.x, ys.y,
+           (d.doc_id * 31 + fs.f * 19 + ys.y * 7 + xs.x * 3) % 256 AS idx
+    FROM dims d
+    JOIN range(0, 4) fs(f) ON fs.f < d.nf
+    JOIN range(0, 8) xs(x) ON xs.x < d.w
+    JOIN range(0, 6) ys(y) ON ys.y < d.h
+)
+SELECT doc_id,
+       CAST(f AS INT) AS frame_no,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(SUM(idx) AS BIGINT) AS sum_r,
+       CAST(SUM((idx * 2) % 256) AS BIGINT) AS sum_g,
+       CAST(SUM((idx * 3) % 256) AS BIGINT) AS sum_b
+FROM px
+GROUP BY doc_id, f, w, h
+ORDER BY doc_id, frame_no
+"""
+
+
 def _media_mixed_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixed-format media column — the shape a real multimodal crawl
     produces: ONE binary column whose payloads alternate BMP / PNG
@@ -1188,6 +1234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["media_jpeg_progressive_pixel_stats"] = (
         _media_jpeg_progressive_pixel_stats
     )
+    out["media_gif_frame_stats"] = _media_gif_frame_stats
     out["media_mixed_pixel_stats"] = _media_mixed_pixel_stats
     out["media_wav_pcm_stats"] = _media_wav_pcm_stats
     out["media_image_dhash"] = _media_image_dhash
@@ -1219,6 +1266,7 @@ def oracle_sql() -> dict[str, str]:
     out["media_jpeg_color_pixel_stats"] = _MEDIA_JPEG_COLOR_PIXEL_ORACLE
     # same levels, same closed form — only the container differs
     out["media_jpeg_progressive_pixel_stats"] = _MEDIA_JPEG_COLOR_PIXEL_ORACLE
+    out["media_gif_frame_stats"] = _MEDIA_GIF_FRAMES_ORACLE
     out["media_mixed_pixel_stats"] = _media_mixed_oracle()
     out["media_wav_pcm_stats"] = _MEDIA_WAV_PCM_ORACLE
     out["media_image_dhash"] = _MEDIA_DHASH_ORACLE

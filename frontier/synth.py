@@ -1141,3 +1141,46 @@ def synth_jpeg_progressive_payloads(docs: DataFrame) -> DataFrame:
             )
 
     return docs.select("doc_id").mapInPandas(build, "doc_id long, payload binary")
+
+
+def synth_gif_animation_payloads(docs: DataFrame) -> DataFrame:
+    """``documents`` → ``(doc_id, payload binary)`` of REAL GIF89a
+    ANIMATIONS (NETSCAPE loop extension, per-frame Graphic Control
+    Extensions) with closed-form frames:
+
+        n_frames = 1 + doc_id % 4, w = 4 + doc_id % 5, h = 3 + doc_id % 4
+        idx(x, y, f) = (doc_id*31 + f*19 + y*7 + x*3) % 256
+        palette[i]   = (i, 2i % 256, 3i % 256)
+
+    Full-canvas opaque frames with disposal 1, so each composited canvas
+    equals its own frame — per-frame channel sums are closed-form. The
+    multi-frame walk, GCE parsing, and per-frame LZW decode must all work
+    to recover them."""
+    from .multimodal import encode_gif_animation
+
+    pal = np.stack(
+        [
+            np.arange(256, dtype=np.uint8),
+            (np.arange(256) * 2 % 256).astype(np.uint8),
+            (np.arange(256) * 3 % 256).astype(np.uint8),
+        ],
+        axis=1,
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            payloads = []
+            for doc_id in batch["doc_id"]:
+                i = int(doc_id)
+                nf, w, h = 1 + i % 4, 4 + i % 5, 3 + i % 4
+                y, x = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+                frames = [
+                    ((i * 31 + f * 19 + y * 7 + x * 3) % 256).astype(np.uint8)
+                    for f in range(nf)
+                ]
+                payloads.append(encode_gif_animation(frames, pal))
+            yield pd.DataFrame(
+                {"doc_id": batch["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    return docs.select("doc_id").mapInPandas(build, "doc_id long, payload binary")

@@ -505,3 +505,67 @@ def test_png_16bit_decode_high_byte():
         else:
             want = hi[:, :, :3]
         assert got is not None and (got == want).all(), ctype
+
+
+def test_gif_animation_subrect_transparency_disposal():
+    """Animated-GIF compositing semantics, hand-built: a full frame with
+    disposal 2 (restore background), then a sub-rect frame at (1,1) whose
+    transparent pixels leave the restored background showing through."""
+    import struct
+
+    from frontier.multimodal import _lzw_encode_gif, parse_gif_frames
+
+    pal = np.zeros((8, 3), dtype=np.uint8)
+    for i in range(8):
+        pal[i] = (10 * i, 20 * i, 30 * i)
+
+    def img(ix, iy, idx, min_code=3):
+        arr = np.asarray(idx, dtype=np.uint8)
+        h, w = arr.shape
+        lzw = _lzw_encode_gif(arr.tobytes(), min_code)
+        blocks = bytearray()
+        for i in range(0, len(lzw), 255):
+            c = lzw[i : i + 255]
+            blocks.append(len(c))
+            blocks += c
+        blocks.append(0)
+        return (
+            b"\x2c" + struct.pack("<HHHH", ix, iy, w, h) + b"\x00"
+            + bytes([min_code]) + bytes(blocks)
+        )
+
+    def gce(disposal, transparent=None):
+        flags = (disposal << 2) | (1 if transparent is not None else 0)
+        return b"\x21\xf9\x04" + bytes(
+            [flags, 0, 0, transparent if transparent is not None else 0]
+        ) + b"\x00"
+
+    header = (
+        b"GIF89a" + struct.pack("<HH", 4, 4)
+        + bytes([0x80 | 2, 0, 0])  # GCT of 8, bg index 0
+        + pal.tobytes()
+    )
+    full = np.full((4, 4), 1, dtype=np.uint8)
+    sub = np.array([[2, 5], [5, 3]], dtype=np.uint8)  # 5 = transparent
+    payload = (
+        header
+        + gce(2) + img(0, 0, full)
+        + gce(1, transparent=5) + img(1, 1, sub)
+        + b"\x3b"
+    )
+    frames = parse_gif_frames(payload)
+    assert frames is not None and len(frames) == 2
+    assert (frames[0] == pal[1]).all()
+    want = np.tile(pal[0], (4, 4, 1))
+    want[1, 1] = pal[2]
+    want[2, 2] = pal[3]
+    assert (frames[1] == want).all()
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.binary(max_size=300))
+def test_gif_animation_walk_never_raises(blob):
+    from frontier.multimodal import parse_gif_frames
+
+    parse_gif_frames(blob)
+    parse_gif_frames(b"GIF89a\x04\x00\x04\x00\x00\x00\x00" + blob)
