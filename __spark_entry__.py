@@ -927,6 +927,39 @@ ORDER BY doc_id
 """
 
 
+def _media_ogg_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Ogg/Vorbis container walk (RFC 3533): per-page capture
+    pattern AND CRC verification (the 0x04c11db7 non-reflected page CRC,
+    recomputed with the crc field zeroed), lacing-table packet
+    reassembly, Vorbis identification-header parse, EOS-granule sample
+    count — over CRC-correct synthesized containers with closed-form
+    stream parameters. Audio DECODE stays honestly stubbed (needs
+    libvorbis); the container layer is real, like the MP3 frame-header
+    and AVI/RIFF walks."""
+    from frontier.multimodal import extract_ogg_metadata
+    from frontier.synth import synth_ogg_payloads
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return extract_ogg_metadata(synth_ogg_payloads(docs)).orderBy("doc_id")
+
+
+# synth_ogg_payloads: channels = 1 + doc%2, rate = [8000,16000,22050,
+# 44100][doc%4], n_samples = 1000 + (doc*769)%50000, n_pages = 2 + doc%3.
+_MEDIA_OGG_ORACLE = """
+SELECT doc_id,
+       CAST(1 + doc_id % 2 AS INT) AS channels,
+       CAST(([8000, 16000, 22050, 44100])[CAST(doc_id % 4 AS INT) + 1]
+            AS INT) AS sample_rate_hz,
+       CAST(1000 + (doc_id * 769) % 50000 AS BIGINT) AS n_samples,
+       CAST((1000 + (doc_id * 769) % 50000) * 1000
+            // ([8000, 16000, 22050, 44100])[CAST(doc_id % 4 AS INT) + 1]
+            AS BIGINT) AS duration_ms,
+       CAST(2 + doc_id % 3 AS INT) AS n_pages
+FROM documents
+ORDER BY doc_id
+"""
+
+
 def _media_gif_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL animated-GIF frame walk: multi-frame iteration with Graphic
     Control Extension parsing, per-frame LZW decode, and canvas
@@ -1234,6 +1267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["media_jpeg_progressive_pixel_stats"] = (
         _media_jpeg_progressive_pixel_stats
     )
+    out["media_ogg_metadata"] = _media_ogg_metadata
     out["media_gif_frame_stats"] = _media_gif_frame_stats
     out["media_mixed_pixel_stats"] = _media_mixed_pixel_stats
     out["media_wav_pcm_stats"] = _media_wav_pcm_stats
@@ -1266,6 +1300,7 @@ def oracle_sql() -> dict[str, str]:
     out["media_jpeg_color_pixel_stats"] = _MEDIA_JPEG_COLOR_PIXEL_ORACLE
     # same levels, same closed form — only the container differs
     out["media_jpeg_progressive_pixel_stats"] = _MEDIA_JPEG_COLOR_PIXEL_ORACLE
+    out["media_ogg_metadata"] = _MEDIA_OGG_ORACLE
     out["media_gif_frame_stats"] = _MEDIA_GIF_FRAMES_ORACLE
     out["media_mixed_pixel_stats"] = _media_mixed_oracle()
     out["media_wav_pcm_stats"] = _MEDIA_WAV_PCM_ORACLE

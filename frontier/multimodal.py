@@ -2812,3 +2812,206 @@ def gif_animation_stats(media: DataFrame) -> DataFrame:
     return media.select("doc_id", "payload").mapInPandas(
         run, GIF_FRAME_STATS_SCHEMA
     )
+
+
+# --- REAL Ogg/Vorbis container walk (stdlib only) ----------------------------
+# Ogg is a paged container (RFC 3533): each page carries a 27-byte header,
+# a segment lacing table, and a CRC over the whole page computed with the
+# non-reflected 0x04c11db7 polynomial and a ZEROED crc field. The Vorbis
+# identification header (packet 1) carries channels/rate; the final EOS
+# page's granule position is the total sample count. All walkable without
+# an audio library — the decode of actual audio needs libvorbis and stays
+# out of scope.
+
+_OGG_CRC_TABLE = None
+
+
+def _ogg_crc(data: bytes) -> int:
+    """Ogg page CRC: polynomial 0x04c11db7, no reflection, init/xorout 0."""
+    global _OGG_CRC_TABLE
+    if _OGG_CRC_TABLE is None:
+        table = []
+        for i in range(256):
+            r = i << 24
+            for _ in range(8):
+                r = ((r << 1) ^ 0x04C11DB7) if r & 0x80000000 else (r << 1)
+                r &= 0xFFFFFFFF
+            table.append(r)
+        _OGG_CRC_TABLE = table
+    crc = 0
+    for b in data:
+        crc = ((crc << 8) & 0xFFFFFFFF) ^ _OGG_CRC_TABLE[((crc >> 24) ^ b) & 0xFF]
+    return crc
+
+
+def parse_ogg_metadata(payload: bytes) -> dict | None:
+    """REAL Ogg page walk + Vorbis identification-header parse: verify
+    each page's capture pattern AND CRC (recomputed with the crc field
+    zeroed — a bit flip anywhere in a page is caught), reassemble the
+    first logical packet from the lacing table, parse ``\\x01vorbis``
+    (channels, sample rate, nominal bitrate), and read the stream's
+    total samples from the EOS page's granule position. Returns
+    ``{media_type, channels, sample_rate_hz, bitrate_nominal, n_samples,
+    duration_ms, n_pages}`` or None for non-Ogg / corrupt payloads."""
+    try:
+        pos, n = 0, len(payload)
+        n_pages = 0
+        first_packet = bytearray()
+        first_done = False
+        last_granule = None
+        ident = None
+        while pos + 27 <= n:
+            if payload[pos : pos + 4] != b"OggS":
+                return None if n_pages == 0 else None
+            header_type = payload[pos + 5]
+            granule = int.from_bytes(
+                payload[pos + 6 : pos + 14], "little", signed=True
+            )
+            n_segs = payload[pos + 26]
+            lacing = payload[pos + 27 : pos + 27 + n_segs]
+            if len(lacing) < n_segs:
+                return None
+            body_len = sum(lacing)
+            page_end = pos + 27 + n_segs + body_len
+            if page_end > n:
+                return None
+            (stored_crc,) = struct.unpack(
+                "<I", payload[pos + 22 : pos + 26]
+            )
+            page = bytearray(payload[pos:page_end])
+            page[22:26] = b"\x00\x00\x00\x00"
+            if _ogg_crc(bytes(page)) != stored_crc:
+                return None  # corrupt page
+            if not first_done:
+                body = payload[pos + 27 + n_segs : page_end]
+                off = 0
+                for lace in lacing:
+                    first_packet += body[off : off + lace]
+                    off += lace
+                    if lace < 255:
+                        first_done = True
+                        break
+            n_pages += 1
+            if header_type & 0x04:  # EOS
+                last_granule = granule
+            pos = page_end
+        if n_pages == 0 or not first_done:
+            return None
+        if len(first_packet) < 30 or bytes(first_packet[:7]) != b"\x01vorbis":
+            return None
+        channels = first_packet[11]
+        rate = int.from_bytes(first_packet[12:16], "little")
+        bitrate_nominal = int.from_bytes(
+            first_packet[20:24], "little", signed=True
+        )
+        if not channels or not rate:
+            return None
+        n_samples = last_granule if last_granule is not None else 0
+        return {
+            "media_type": "ogg",
+            "channels": channels,
+            "sample_rate_hz": rate,
+            "bitrate_nominal": bitrate_nominal,
+            "n_samples": int(n_samples),
+            "duration_ms": (int(n_samples) * 1000) // rate,
+            "n_pages": n_pages,
+        }
+    except (struct.error, ValueError, IndexError):
+        return None
+
+
+def build_ogg_vorbis_payload(
+    channels: int,
+    rate: int,
+    n_samples: int,
+    n_pages: int = 2,
+    bitrate_nominal: int = 128_000,
+) -> bytes:
+    """REAL-container Ogg/Vorbis builder: a BOS page carrying the
+    identification header, filler audio pages, and an EOS page whose
+    granule position is ``n_samples`` — every page CRC-correct (the same
+    polynomial the parser verifies). The synth harness for
+    :func:`parse_ogg_metadata`."""
+    ident = (
+        b"\x01vorbis" + struct.pack("<IB", 0, channels)
+        + struct.pack("<i", rate)
+        + struct.pack("<iii", 0, bitrate_nominal, 0)
+        + bytes([0xB8, 0x01])
+    )
+
+    def page(seq: int, header_type: int, granule: int, body: bytes) -> bytes:
+        lacing = []
+        rem = len(body)
+        while rem >= 255:
+            lacing.append(255)
+            rem -= 255
+        lacing.append(rem)  # < 255 terminates the packet
+        head = (
+            b"OggS\x00" + bytes([header_type])
+            + granule.to_bytes(8, "little", signed=True)
+            + struct.pack("<II", 0x1234, seq)
+            + b"\x00\x00\x00\x00"
+            + bytes([len(lacing)]) + bytes(lacing)
+        )
+        raw = bytearray(head + body)
+        crc = _ogg_crc(bytes(raw))
+        raw[22:26] = struct.pack("<I", crc)
+        return bytes(raw)
+
+    if n_pages < 2:
+        n_pages = 2
+    out = [page(0, 0x02, 0, ident)]  # BOS
+    for s in range(1, n_pages - 1):
+        filler = bytes(((s * 37 + i) % 251 for i in range(40 + s)))
+        out.append(page(s, 0x00, (n_samples * s) // n_pages, filler))
+    out.append(page(n_pages - 1, 0x04, n_samples, b"\x00" * 16))  # EOS
+    return b"".join(out)
+
+
+OGG_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("sample_rate_hz", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("n_pages", T.IntegerType()),
+    ]
+)
+
+
+def extract_ogg_metadata(media: DataFrame) -> DataFrame:
+    """``(doc_id, payload)`` → REAL Ogg/Vorbis stream metadata (CRC-
+    verified page walk + identification header + EOS granule). Non-Ogg
+    or corrupt payloads yield no row. Shuffle-free ``mapInPandas``."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                blob = bytes(payload) if payload is not None else b""
+                meta = parse_ogg_metadata(blob)
+                if meta is None:
+                    continue
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "channels": meta["channels"],
+                        "sample_rate_hz": meta["sample_rate_hz"],
+                        "n_samples": meta["n_samples"],
+                        "duration_ms": meta["duration_ms"],
+                        "n_pages": meta["n_pages"],
+                    }
+                )
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "channels", "sample_rate_hz", "n_samples",
+                    "duration_ms", "n_pages",
+                ],
+            )
+            for c in ("channels", "sample_rate_hz", "n_pages"):
+                out[c] = out[c].astype("int32")
+            yield out
+
+    return media.select("doc_id", "payload").mapInPandas(run, OGG_META_SCHEMA)

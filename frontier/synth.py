@@ -1184,3 +1184,38 @@ def synth_gif_animation_payloads(docs: DataFrame) -> DataFrame:
             )
 
     return docs.select("doc_id").mapInPandas(build, "doc_id long, payload binary")
+
+
+def synth_ogg_payloads(docs: DataFrame) -> DataFrame:
+    """``documents`` → ``(doc_id, payload binary)`` of REAL CRC-correct
+    Ogg/Vorbis containers with closed-form stream parameters:
+
+        channels  = 1 + doc_id % 2
+        rate      = [8000, 16000, 22050, 44100][doc_id % 4]
+        n_samples = 1000 + (doc_id * 769) % 50000
+        n_pages   = 2 + doc_id % 3
+
+    so the page walk must verify every CRC, reassemble the identification
+    packet, and read the EOS granule to recover them."""
+    from .multimodal import build_ogg_vorbis_payload
+
+    rates = [8000, 16000, 22050, 44100]
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            payloads = []
+            for doc_id in batch["doc_id"]:
+                i = int(doc_id)
+                payloads.append(
+                    build_ogg_vorbis_payload(
+                        1 + i % 2,
+                        rates[i % 4],
+                        1000 + (i * 769) % 50000,
+                        2 + i % 3,
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": batch["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    return docs.select("doc_id").mapInPandas(build, "doc_id long, payload binary")

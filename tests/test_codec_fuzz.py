@@ -569,3 +569,30 @@ def test_gif_animation_walk_never_raises(blob):
 
     parse_gif_frames(blob)
     parse_gif_frames(b"GIF89a\x04\x00\x04\x00\x00\x00\x00" + blob)
+
+
+def test_ogg_vorbis_metadata_roundtrip_and_crc():
+    """Ogg page walk: CRC-correct containers round-trip their stream
+    parameters; a single flipped byte anywhere in a page fails the
+    0x04c11db7 page CRC and the whole payload is rejected."""
+    from frontier.multimodal import build_ogg_vorbis_payload, parse_ogg_metadata
+
+    for ch, rate, ns, npages in ((1, 8000, 1234, 2), (2, 44100, 49999, 4)):
+        payload = build_ogg_vorbis_payload(ch, rate, ns, npages)
+        meta = parse_ogg_metadata(payload)
+        assert meta is not None
+        assert (meta["channels"], meta["sample_rate_hz"]) == (ch, rate)
+        assert meta["n_samples"] == ns and meta["n_pages"] == npages
+        assert meta["duration_ms"] == ns * 1000 // rate
+        corrupted = bytearray(payload)
+        corrupted[35] ^= 0x01
+        assert parse_ogg_metadata(bytes(corrupted)) is None
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.binary(max_size=300))
+def test_ogg_walk_never_raises(blob):
+    from frontier.multimodal import parse_ogg_metadata
+
+    parse_ogg_metadata(blob)
+    parse_ogg_metadata(b"OggS\x00\x02" + blob)
