@@ -800,11 +800,14 @@ def decode_wav_samples(payload: bytes):
 
 
 def decode_image_pixels(blob: bytes):
-    """Decode cascade across every REAL library-free image decoder
-    (24-bit BMP → 8-bit truecolor PNG → GIF → baseline grayscale JPEG).
-    Returns an ``(h, w, 3)`` uint8 RGB array with y measured from the TOP,
-    or None when no real decoder covers the payload (callers skip the row
-    or fall back to the stub path)."""
+    """Decode cascade across every REAL library-free image decoder:
+    24-bit BMP → PNG (gray/truecolor/palette/alpha, 8/16-bit, Adam7
+    interlace) → GIF (incl. interlaced; first frame of animations) →
+    JPEG (baseline grayscale + 4:2:0 color, progressive SOF2, DRI restart
+    intervals). Returns an ``(h, w, 3)`` uint8 RGB array with y measured
+    from the TOP, or None when no real decoder covers the payload — e.g.
+    arithmetic-coded JPEG — in which case callers skip the row or fall
+    back to the stub path."""
     for decode in (
         decode_bmp_pixels,
         decode_png_pixels,
@@ -2859,10 +2862,13 @@ def parse_ogg_metadata(payload: bytes) -> dict | None:
         first_packet = bytearray()
         first_done = False
         last_granule = None
-        ident = None
-        while pos + 27 <= n:
-            if payload[pos : pos + 4] != b"OggS":
-                return None if n_pages == 0 else None
+        while pos < n:
+            # Strict framing: every byte of the payload must belong to a
+            # CRC-valid page — trailing junk (whether a bad capture
+            # pattern or a fragment shorter than a page header) rejects
+            # the whole stream.
+            if pos + 27 > n or payload[pos : pos + 4] != b"OggS":
+                return None
             header_type = payload[pos + 5]
             granule = int.from_bytes(
                 payload[pos + 6 : pos + 14], "little", signed=True

@@ -762,7 +762,7 @@ def reconcile_first_seen(
     so no second fetch happens."""
     obs = observed.select(F.col(url_col).alias("url")).distinct()
     missing = obs.join(
-        emitted.select(F.col("url")).distinct(), "url", "left_anti"
+        emitted.select(F.col(url_col).alias("url")).distinct(), "url", "left_anti"
     )
     if seen_set is not None:
         missing = seen_set.filter_unseen(missing, url_col="url")

@@ -1104,8 +1104,7 @@ def synth_deep_corpus(
                             content_type="application/xml",
                         )
                     )
-                yield_rows = rows
-            yield pd.DataFrame(yield_rows, columns=list(FETCHES_SCHEMA.names))
+            yield pd.DataFrame(rows, columns=list(FETCHES_SCHEMA.names))
 
     ids = spark.range(0, n_hosts, numPartitions=n_parts)
     return ids.mapInPandas(build, FETCHES_SCHEMA)

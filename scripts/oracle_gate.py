@@ -1,7 +1,12 @@
 """Driver-style correctness gate: run every __spark_entry__.queries() entry
 and its oracle_sql() on the same parquet at a given SF, compare row count,
 sorted-column schema, and value frame equality. Mirrors the per-round
-CORRECTNESS_r{N}.json check so regressions surface before the driver runs."""
+CORRECTNESS_r{N}.json check so regressions surface before the driver runs.
+
+STRICT=1 disables the numeric-tolerant salvage path and compares floats
+bit-exactly (via ``float.hex`` normalization, the same rule
+``scripts/check_oracle.py`` applies) — this is the mode the README's
+verification claim refers to."""
 import json
 import os
 import sys
@@ -9,10 +14,12 @@ import sys
 import duckdb
 from pyspark.sql import SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as e
 
+STRICT = bool(os.environ.get("STRICT"))
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 ONLY = set(sys.argv[2:]) or None
 if ONLY:
@@ -58,21 +65,30 @@ for name, fn in e.queries().items():
         cols = sorted(sdf.columns)
         row["schema_match"] = cols == sorted(odf.columns)
         if row["rows_match"] and row["schema_match"]:
-            a = sdf[cols].sort_values(cols).reset_index(drop=True)
-            b = odf[cols].sort_values(cols).reset_index(drop=True)
-            try:
-                b = b.astype(a.dtypes.to_dict())
-            except (TypeError, ValueError):
-                pass
-            row["values_match"] = a.equals(b)
-            if not row["values_match"]:
-                # salvage: numeric-tolerant compare
-                import pandas.testing as pt
+            if STRICT:
+                from check_oracle import normalize
+
+                a, b = normalize(sdf), normalize(odf)
+                row["values_match"] = a.equals(b)
+                if not row["values_match"]:
+                    diff = (a != b).any(axis=1)
+                    row["detail"] = f"{int(diff.sum())} differing rows (bit-exact)"
+            else:
+                a = sdf[cols].sort_values(cols).reset_index(drop=True)
+                b = odf[cols].sort_values(cols).reset_index(drop=True)
                 try:
-                    pt.assert_frame_equal(a, b, check_dtype=False, check_exact=False)
-                    row["values_match"] = True
-                except AssertionError as ex:
-                    row["detail"] = str(ex).split("\n")[0][:200]
+                    b = b.astype(a.dtypes.to_dict())
+                except (TypeError, ValueError):
+                    pass
+                row["values_match"] = a.equals(b)
+                if not row["values_match"]:
+                    # salvage: numeric-tolerant compare
+                    import pandas.testing as pt
+                    try:
+                        pt.assert_frame_equal(a, b, check_dtype=False, check_exact=False)
+                        row["values_match"] = True
+                    except AssertionError as ex:
+                        row["detail"] = str(ex).split("\n")[0][:200]
         else:
             row["values_match"] = False
     except Exception as ex:  # noqa: BLE001
