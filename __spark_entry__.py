@@ -418,30 +418,151 @@ ORDER BY doc_id, frame_no
 """
 
 
+def _mixed_media_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The five-format mixed binary media column (BMP / PNG / GIF /
+    grayscale JPEG / color JPEG by doc_id % 5) shared by
+    media_mixed_pixel_stats and media_features — one column, one decode
+    cascade, per-format closed-form pixels."""
+    from frontier.synth import (
+        synth_bmp_pixel_payloads,
+        synth_gif_pixel_payloads,
+        synth_jpeg_block_payloads,
+        synth_jpeg_color_payloads,
+        synth_png_pixel_payloads,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        synth_bmp_pixel_payloads(docs.filter("doc_id % 5 = 0"))
+        .unionByName(synth_png_pixel_payloads(docs.filter("doc_id % 5 = 1")))
+        .unionByName(synth_gif_pixel_payloads(docs.filter("doc_id % 5 = 2")))
+        .unionByName(synth_jpeg_block_payloads(docs.filter("doc_id % 5 = 3")))
+        .unionByName(synth_jpeg_color_payloads(docs.filter("doc_id % 5 = 4")))
+    )
+
+
 def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Media feature extraction into the ANN embedding contract (stub
-    embedder: component i = hash byte i / 256, an exact dyadic rational —
-    the squared norm is bit-exact across engines, no rounding slack)."""
+    """REAL content-derived media features: the five-format mixed media
+    column (BMP/PNG/GIF/grayscale JPEG/color JPEG) through the full
+    decode cascade into embed_image_content — grayscale 4×4 grid of
+    floor-mean intensities, components m/1024 (exact dyadic rationals).
+    The oracle re-derives every grid cell from the per-format closed-form
+    pixel values, so a flipped image, misrouted dispatch, or any decoder
+    defect changes sq_norm / the index-weighted idx_dot (which pins cell
+    ORDER — a transposed or mirrored grid cannot match)."""
     from frontier.multimodal import extract_media_features
 
-    out = extract_media_features(_media_payloads(spark, sf_dir), dim=16)
+    out = extract_media_features(_mixed_media_column(spark, sf_dir), dim=16)
     return out.select(
         "doc_id",
-        F.aggregate(
-            "embedding", F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")
+        F.expr(
+            "aggregate(embedding, CAST(0.0 AS DOUBLE),"
+            " (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
         ).alias("sq_norm"),
+        F.expr(
+            "aggregate(zip_with(embedding, sequence(1, 16),"
+            " (v, i) -> CAST(v AS DOUBLE) * CAST(i AS DOUBLE)),"
+            " CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+        ).alias("idx_dot"),
     ).orderBy("doc_id")
 
 
-# embedding[i] = byte i of sha256 / 256 → sq_norm = sum(b_i^2) / 65536,
-# exact in both engines (dyadic rationals, integer numerators < 2^21).
+# Per-format per-pixel gray (r+g+b) in closed form, 4×4 grid floor-means
+# m = cell_sum // cell_area (0 for empty cells), components m/1024 →
+# sq_norm = Σ m² / 2^20, idx_dot = Σ (i·4+j+1)·m / 2^10 — all dyadic
+# rationals, bit-exact in any summation order.
 _MEDIA_FEATURES_ORACLE = """
+WITH bmpish AS (
+    SELECT d.doc_id, 4 + d.doc_id % 5 AS w, 3 + d.doc_id % 4 AS h,
+           xs.x, ys.y,
+           ((d.doc_id*31 + ys.y*7 + xs.x*3) % 256
+            + (d.doc_id*31 + ys.y*7 + xs.x*3 + 5) % 256
+            + (d.doc_id*31 + ys.y*7 + xs.x*3 + 10) % 256) AS gray
+    FROM documents d
+    JOIN range(0, 8) xs(x) ON xs.x < 4 + d.doc_id % 5
+    JOIN range(0, 6) ys(y) ON ys.y < 3 + d.doc_id % 4
+    WHERE d.doc_id % 5 IN (0, 1)
+),
+gifpx AS (
+    SELECT doc_id, w, h, x, y,
+           (idx + (idx * 2) % 256 + (idx * 3) % 256) AS gray
+    FROM (
+        SELECT d.doc_id, 4 + d.doc_id % 5 AS w, 3 + d.doc_id % 4 AS h,
+               xs.x, ys.y,
+               (d.doc_id*31 + ys.y*7 + xs.x*3) % 256 AS idx
+        FROM documents d
+        JOIN range(0, 8) xs(x) ON xs.x < 4 + d.doc_id % 5
+        JOIN range(0, 6) ys(y) ON ys.y < 3 + d.doc_id % 4
+        WHERE d.doc_id % 5 = 2
+    )
+),
+jgray AS (
+    SELECT d.doc_id, 8*(1 + d.doc_id % 3) AS w, 8*(1 + d.doc_id % 2) AS h,
+           xs.x, ys.y,
+           3 * (2 * ((d.doc_id*31 + (ys.y//8)*7 + (xs.x//8)*3) % 128)) AS gray
+    FROM documents d
+    JOIN range(0, 24) xs(x) ON xs.x < 8*(1 + d.doc_id % 3)
+    JOIN range(0, 16) ys(y) ON ys.y < 8*(1 + d.doc_id % 2)
+    WHERE d.doc_id % 5 = 3
+),
+jcblk AS (
+    SELECT d.doc_id, 16*(1 + d.doc_id % 2) AS w, 16*(1 + d.doc_id % 3) AS h,
+           xs.xb, ys.yb,
+           2 * ((d.doc_id * 31 + ys.yb * 7 + xs.xb * 3) % 128) AS yv,
+           2 * ((d.doc_id * 17 + (ys.yb // 2) * 5 + (xs.xb // 2) * 11)
+                % 128) AS cbv,
+           2 * ((d.doc_id * 23 + (ys.yb // 2) * 3 + (xs.xb // 2) * 13)
+                % 128) AS crv
+    FROM documents d
+    JOIN range(0, 4) xs(xb) ON xs.xb < 2 * (1 + d.doc_id % 2)
+    JOIN range(0, 6) ys(yb) ON ys.yb < 2 * (1 + d.doc_id % 3)
+    WHERE d.doc_id % 5 = 4
+),
+jcolor AS (
+    SELECT b.doc_id, b.w, b.h, xs.x, ys.y,
+           (LEAST(255, GREATEST(0,
+                FLOOR(yv + 1.402 * (crv - 128) + 0.5)))
+            + LEAST(255, GREATEST(0,
+                FLOOR(yv - 0.344136 * (cbv - 128)
+                         - 0.714136 * (crv - 128) + 0.5)))
+            + LEAST(255, GREATEST(0,
+                FLOOR(yv + 1.772 * (cbv - 128) + 0.5)))) AS gray
+    FROM jcblk b
+    JOIN range(0, 32) xs(x) ON xs.x // 8 = b.xb
+    JOIN range(0, 48) ys(y) ON ys.y // 8 = b.yb
+),
+allpx AS (
+    SELECT * FROM bmpish UNION ALL SELECT * FROM gifpx
+    UNION ALL SELECT * FROM jgray UNION ALL SELECT * FROM jcolor
+),
+cells AS (
+    SELECT dd.doc_id, dd.w, dd.h, gi.i, gj.j,
+           (((gi.i+1)*dd.h)//4 - (gi.i*dd.h)//4)
+             * (((gj.j+1)*dd.w)//4 - (gj.j*dd.w)//4) AS area
+    FROM (SELECT DISTINCT doc_id, w, h FROM allpx) dd,
+         range(0, 4) gi(i), range(0, 4) gj(j)
+),
+cellm AS (
+    -- CAST: the jcolor arm's FLOOR() promotes the unioned gray to
+    -- DOUBLE, and DuckDB's // does not floor on doubles.
+    SELECT c.doc_id, c.i, c.j, c.area,
+           COALESCE(SUM(CAST(p.gray AS BIGINT)), 0) AS s
+    FROM cells c
+    LEFT JOIN allpx p ON p.doc_id = c.doc_id
+        AND p.y >= (c.i*c.h)//4 AND p.y < ((c.i+1)*c.h)//4
+        AND p.x >= (c.j*c.w)//4 AND p.x < ((c.j+1)*c.w)//4
+    GROUP BY c.doc_id, c.i, c.j, c.area
+),
+m AS (
+    SELECT doc_id, i, j,
+           CASE WHEN area > 0 THEN s // area ELSE 0 END AS m
+    FROM cellm
+)
 SELECT doc_id,
-       list_sum(list_transform(generate_series(0, 15),
-         i -> ('0x' || substr(sha256(coalesce(text, '')), 2*i + 1, 2))::BIGINT
-              * ('0x' || substr(sha256(coalesce(text, '')), 2*i + 1, 2))::BIGINT
-       )) / 65536.0 AS sq_norm
-FROM documents
+       SUM(m * m) / 1048576.0 AS sq_norm,
+       SUM((i * 4 + j + 1) * m) / 1024.0 AS idx_dot
+FROM m
+GROUP BY doc_id
 ORDER BY doc_id
 """
 
@@ -1017,27 +1138,10 @@ def _media_mixed_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     a dispatch that misroutes or a decoder that breaks on any one format
     fails the whole hash."""
     from frontier.multimodal import image_pixel_stats
-    from frontier.synth import (
-        synth_bmp_pixel_payloads,
-        synth_gif_pixel_payloads,
-        synth_jpeg_block_payloads,
-        synth_jpeg_color_payloads,
-        synth_png_pixel_payloads,
-    )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    media = (
-        synth_bmp_pixel_payloads(docs.filter("doc_id % 5 = 0"))
-        .unionByName(synth_png_pixel_payloads(docs.filter("doc_id % 5 = 1")))
-        .unionByName(synth_gif_pixel_payloads(docs.filter("doc_id % 5 = 2")))
-        .unionByName(
-            synth_jpeg_block_payloads(docs.filter("doc_id % 5 = 3"))
-        )
-        .unionByName(
-            synth_jpeg_color_payloads(docs.filter("doc_id % 5 = 4"))
-        )
+    return image_pixel_stats(_mixed_media_column(spark, sf_dir)).orderBy(
+        "doc_id"
     )
-    return image_pixel_stats(media).orderBy("doc_id")
 
 
 def _mixed_arm(oracle: str, k: int) -> str:
@@ -1241,6 +1345,166 @@ _DEDUP_DHASH_ORACLE = (
 )
 
 
+def _dedup_media_embedding_cosine(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Embedding-dedup over REAL content-derived vectors end to end:
+    planted near-duplicate BMPs (uniform brightness shifts with mod-256
+    wraparound perturbations) → the real decode cascade →
+    embed_image_content grid-intensity embeddings → banded sign-sketch
+    LSH (4 bands × 4 above-mean bits, capped buckets, OR-construction)
+    → exact integer cosine verify: keep pairs with cos ≥ 0.99, tested as
+    ``10^4·dot² ≥ 9801·‖a‖²·‖b‖²`` on the integer grid values (all
+    int64-safe), so the decision and the emitted (dot, norms) are
+    bit-exact. The oracle recomputes embeddings from the closed-form
+    pixel formula — a decoder defect, flipped grid, or broken band join
+    changes the pair set. Scale shape: equality join on (band, bucket)
+    with per-bucket caps, all-pairs confined within buckets — the same
+    plan as dedup_embedding_cosine, with the embedding column now
+    produced from pixels instead of read from parquet."""
+    from frontier.multimodal import extract_media_features
+    from frontier.synth import synth_bmp_neardup_payloads
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = extract_media_features(synth_bmp_neardup_payloads(docs), dim=16)
+    sk = emb.select(
+        "doc_id",
+        F.expr(
+            "transform(embedding, v -> CAST(CAST(v AS DOUBLE) * 1024.0 AS BIGINT))"
+        ).alias("m"),
+    ).withColumn(
+        "total", F.expr("aggregate(m, CAST(0 AS BIGINT), (a, x) -> a + x)")
+    ).withColumn(
+        "bands",
+        F.expr(
+            "transform(sequence(0, 3), b ->"
+            "  (CASE WHEN 16 * element_at(m, 4*b + 1) > total THEN 1 ELSE 0 END)"
+            "+ (CASE WHEN 16 * element_at(m, 4*b + 2) > total THEN 2 ELSE 0 END)"
+            "+ (CASE WHEN 16 * element_at(m, 4*b + 3) > total THEN 4 ELSE 0 END)"
+            "+ (CASE WHEN 16 * element_at(m, 4*b + 4) > total THEN 8 ELSE 0 END))"
+        ),
+    )
+    banded = sk.select(
+        "doc_id", "m", F.posexplode("bands").alias("band_no", "band_val")
+    )
+    kept = (
+        banded.groupBy("band_no", "band_val")
+        .count()
+        .filter("count <= 64")
+        .drop("count")
+    )
+    inb = banded.join(kept, ["band_no", "band_val"])
+    pairs = (
+        inb.select("band_no", "band_val", F.col("doc_id").alias("doc_a"),
+                   F.col("m").alias("ma"))
+        .join(
+            inb.select("band_no", "band_val", F.col("doc_id").alias("doc_b"),
+                       F.col("m").alias("mb")),
+            ["band_no", "band_val"],
+        )
+        .filter("doc_a < doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    scored = pairs.select(
+        "doc_a",
+        "doc_b",
+        F.expr(
+            "aggregate(zip_with(ma, mb, (x, y) -> x * y),"
+            " CAST(0 AS BIGINT), (a, x) -> a + x)"
+        ).alias("dot_m"),
+        F.expr(
+            "aggregate(ma, CAST(0 AS BIGINT), (a, x) -> a + x * x)"
+        ).alias("norm_a"),
+        F.expr(
+            "aggregate(mb, CAST(0 AS BIGINT), (a, x) -> a + x * x)"
+        ).alias("norm_b"),
+    )
+    return scored.filter(
+        "dot_m > 0 AND 10000 * dot_m * dot_m >= 9801 * norm_a * norm_b"
+    ).orderBy("doc_a", "doc_b")
+
+
+# Closed-form replica of the whole pipeline: neardup pixel formula →
+# grid floor-means → above-mean sign bands → capped-bucket candidates →
+# integer cosine filter 10^4·dot² ≥ 9801·na·nb (cos ≥ 0.99).
+_DEDUP_MEDIA_EMBED_ORACLE = """
+WITH d2 AS (
+    SELECT doc_id, doc_id - doc_id % 3 AS base, (doc_id % 3) * 2 AS delta,
+           4 + (doc_id - doc_id % 3) % 5 AS w,
+           3 + (doc_id - doc_id % 3) % 4 AS h
+    FROM documents
+),
+px AS (
+    SELECT d.doc_id, d.w, d.h, xs.x, ys.y,
+           ((d.base*31 + ys.y*7 + xs.x*3 + d.delta) % 256
+            + (d.base*31 + ys.y*7 + xs.x*3 + 5 + d.delta) % 256
+            + (d.base*31 + ys.y*7 + xs.x*3 + 10 + d.delta) % 256) AS gray
+    FROM d2 d
+    JOIN range(0, 8) xs(x) ON xs.x < d.w
+    JOIN range(0, 6) ys(y) ON ys.y < d.h
+),
+cells AS (
+    SELECT dd.doc_id, dd.w, dd.h, gi.i, gj.j,
+           (((gi.i+1)*dd.h)//4 - (gi.i*dd.h)//4)
+             * (((gj.j+1)*dd.w)//4 - (gj.j*dd.w)//4) AS area
+    FROM d2 dd, range(0, 4) gi(i), range(0, 4) gj(j)
+),
+cellm AS (
+    SELECT c.doc_id, c.i, c.j, c.area, COALESCE(SUM(p.gray), 0) AS s
+    FROM cells c
+    LEFT JOIN px p ON p.doc_id = c.doc_id
+        AND p.y >= (c.i*c.h)//4 AND p.y < ((c.i+1)*c.h)//4
+        AND p.x >= (c.j*c.w)//4 AND p.x < ((c.j+1)*c.w)//4
+    GROUP BY c.doc_id, c.i, c.j, c.area
+),
+m AS (
+    SELECT doc_id, i, j,
+           CASE WHEN area > 0 THEN s // area ELSE 0 END AS m
+    FROM cellm
+),
+tot AS (SELECT doc_id, SUM(m) AS total FROM m GROUP BY doc_id),
+bits AS (
+    SELECT m.doc_id, m.i * 4 + m.j AS k,
+           CASE WHEN 16 * m.m > t.total THEN 1 ELSE 0 END AS bit
+    FROM m JOIN tot t USING (doc_id)
+),
+bands AS (
+    SELECT doc_id, k // 4 AS band_no,
+           SUM(bit * (1 << (k % 4))) AS band_val
+    FROM bits GROUP BY doc_id, k // 4
+),
+kept AS (
+    SELECT band_no, band_val FROM bands
+    GROUP BY band_no, band_val HAVING COUNT(*) <= 64
+),
+inb AS (SELECT b.* FROM bands b JOIN kept USING (band_no, band_val)),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM inb a JOIN inb b
+      ON a.band_no = b.band_no AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+),
+norms AS (SELECT doc_id, SUM(m * m) AS n2 FROM m GROUP BY doc_id),
+dots AS (
+    SELECT c.doc_a, c.doc_b, SUM(ma.m * mb.m) AS dot_m
+    FROM cand c
+    JOIN m ma ON ma.doc_id = c.doc_a
+    JOIN m mb ON mb.doc_id = c.doc_b AND ma.i = mb.i AND ma.j = mb.j
+    GROUP BY c.doc_a, c.doc_b
+)
+SELECT d.doc_a, d.doc_b,
+       CAST(d.dot_m AS BIGINT) AS dot_m,
+       CAST(na.n2 AS BIGINT) AS norm_a,
+       CAST(nb.n2 AS BIGINT) AS norm_b
+FROM dots d
+JOIN norms na ON na.doc_id = d.doc_a
+JOIN norms nb ON nb.doc_id = d.doc_b
+WHERE d.dot_m > 0
+  AND 10000 * d.dot_m * d.dot_m >= 9801 * na.n2 * nb.n2
+ORDER BY doc_a, doc_b
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         name: qd.build for name, qd in REGISTRY.items()
@@ -1273,6 +1537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["media_wav_pcm_stats"] = _media_wav_pcm_stats
     out["media_image_dhash"] = _media_image_dhash
     out["dedup_image_dhash"] = _dedup_image_dhash
+    out["dedup_media_embedding_cosine"] = _dedup_media_embedding_cosine
     return out
 
 
@@ -1306,4 +1571,5 @@ def oracle_sql() -> dict[str, str]:
     out["media_wav_pcm_stats"] = _MEDIA_WAV_PCM_ORACLE
     out["media_image_dhash"] = _MEDIA_DHASH_ORACLE
     out["dedup_image_dhash"] = _DEDUP_DHASH_ORACLE
+    out["dedup_media_embedding_cosine"] = _DEDUP_MEDIA_EMBED_ORACLE
     return out
