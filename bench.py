@@ -212,15 +212,11 @@ def warmup_crawl(spark, corpus, n_hosts: int) -> None:
     forest.unpersist()  # release caches + the warm-up's temp page files
 
 
-def crawl_bench(spark, sf: float, workdir: str) -> tuple[float, int, int]:
-    """Materialize the corpus + warm up (untimed), then time the crawl.
-    Returns (seconds, urls_processed, pages)."""
+def prepare_crawl(spark, sf: float, workdir: str):
+    """Materialize the corpus + warm up (untimed). Returns
+    (corpus, seeds, n_hosts) ready for timed samples."""
     from frontier.synth import synth_crawl_corpus
-    from frontier.waves import (
-        cluster_fetch_store,
-        prepare_fetches,
-        sitemap_tree_for_homepages,
-    )
+    from frontier.waves import cluster_fetch_store, prepare_fetches
 
     n_hosts = max(8, int(20000 * sf))
     leaves, pages_per_leaf = 4, 250
@@ -246,31 +242,54 @@ def crawl_bench(spark, sf: float, workdir: str) -> tuple[float, int, int]:
     seeds = [f"http://host{i}.example.com/" for i in range(n_hosts)]
 
     warmup_crawl(spark, corpus, n_hosts)
-    # flush the warm-up's dirty pages (page-sink parquet + snapshots):
-    # background writeback otherwise lands mid-timed-run and skews waves
-    # by multiples (measured 5.7 s vs 30 s for the identical wave-0 job)
-    os.sync()
+    return corpus, seeds, n_hosts
 
-    # min of 3 timed crawls: this sandbox VM has multi-minute noise phases
-    # with 2-6x swings on identical jobs (documented in BENCH/BASELINE.md);
-    # the minimum is the only estimator of the engine rather than the
-    # neighbor load. All runs are reported in the JSON for transparency.
-    runs: list[float] = []
-    n_pages = n_nodes = 0
-    for _ in range(3):
-        start = time.perf_counter()
-        forest = sitemap_tree_for_homepages(
-            spark, seeds, corpus, use_known_paths=False, store_urls_unique=True,
-            fetches_prepared=True,
-        )
-        n_pages = forest.pages.count()
-        n_nodes = forest.nodes.count()
-        runs.append(time.perf_counter() - start)
-        forest.unpersist()
+
+# A sample counts as quiet when memcpy bandwidth is within ~2x of the
+# quiet-phase reference (46.6/s, BENCH/ceilings.json); below that the box
+# is in a documented degraded phase and the sample measures the neighbors.
+QUIET_MEMCPY_MIN = 22.0
+GATE_WAIT_S = 20.0
+GATE_ATTEMPTS = 3
+
+
+def timed_crawl_sample(spark, corpus, seeds, n_hosts: int) -> dict:
+    """ONE probe-gated timed crawl: wait (bounded) for a quiet host
+    phase, flush writeback, time the crawl, record the probe evidence.
+    Returns {sec, urls, pages, probe, quiet, waited_s}."""
+    waited = 0.0
+    probe = None
+    for _ in range(GATE_ATTEMPTS):
+        probe = host_phase_probe(1.0)
+        if probe["memcpy64mb_per_sec"] >= QUIET_MEMCPY_MIN:
+            break
+        time.sleep(GATE_WAIT_S)
+        waited += GATE_WAIT_S
+    from frontier.waves import sitemap_tree_for_homepages
+
+    # flush dirty pages (page-sink parquet + snapshots): background
+    # writeback otherwise lands mid-timed-run and skews waves by
+    # multiples (measured 5.7 s vs 30 s for the identical wave-0 job)
+    os.sync()
+    start = time.perf_counter()
+    forest = sitemap_tree_for_homepages(
+        spark, seeds, corpus, use_known_paths=False, store_urls_unique=True,
+        fetches_prepared=True,
+    )
+    n_pages = forest.pages.count()
+    n_nodes = forest.nodes.count()
+    sec = time.perf_counter() - start
+    forest.unpersist()
     # URLs processed = sitemap fetches (nodes minus synthetic roots) + page
     # records parsed — the unit BASELINE.md's throughput metric counts
-    urls = n_pages + (n_nodes - n_hosts)
-    return min(runs), urls, n_pages, runs
+    return {
+        "sec": round(sec, 3),
+        "urls": n_pages + (n_nodes - n_hosts),
+        "pages": n_pages,
+        "probe": probe,
+        "quiet": probe["memcpy64mb_per_sec"] >= QUIET_MEMCPY_MIN,
+        "waited_s": waited,
+    }
 
 
 def main() -> None:
@@ -283,9 +302,9 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     probe_before = host_phase_probe()
+    samples: list[dict] = []
     try:
-        crawl_s, urls, _pages, crawl_runs = crawl_bench(spark, sf, workdir)
-        timings["frontier_crawl"] = round(crawl_s, 3)
+        corpus, seeds, n_hosts = prepare_crawl(spark, sf, workdir)
 
         from frontier.datapipe import REGISTRY
 
@@ -303,22 +322,46 @@ def main() -> None:
             ).save()
             return time.perf_counter() - start
 
-        # min-of-2 — but the two runs are INTERLEAVED as two full passes
-        # over the query list, not back-to-back: this sandbox gets
-        # multi-second-to-minute contention phases (hypervisor neighbors)
-        # that would poison BOTH back-to-back runs of an unlucky query,
-        # while minutes-apart passes rarely land in the same phase.
-        # A final retry pass re-times non-trivial queries whose two
+        # Crawl samples are INTERLEAVED with the per-query passes — one
+        # before, one between, one after — so the three samples span the
+        # whole bench run (~10+ min) instead of one back-to-back window:
+        # this sandbox gets multi-minute contention phases (hypervisor
+        # neighbors, documented in BENCH/BASELINE.md) that would poison a
+        # consecutive-sample window whole (measured round 4: 15.9/25.3/
+        # 21.7 s consecutive vs 7.9 s interleaved-quiet on identical
+        # code). Each sample is additionally probe-gated: if the memcpy
+        # probe says the box is in a degraded phase, wait (bounded) for
+        # it to pass, and record the probe alongside the timing.
+        samples.append(timed_crawl_sample(spark, corpus, seeds, n_hosts))
+
+        # per-query min-of-2, the two runs minutes apart (same rationale);
+        # a final retry pass re-times non-trivial queries whose two
         # samples still disagree >1.5x (both may have been poisoned).
         runs_by: dict[str, list[float]] = {n: [] for n in BENCH_QUERIES}
-        for _pass in range(2):
-            for name in BENCH_QUERIES:
-                runs_by[name].append(_time_one(name))
+        for name in BENCH_QUERIES:
+            runs_by[name].append(_time_one(name))
+        samples.append(timed_crawl_sample(spark, corpus, seeds, n_hosts))
+        for name in BENCH_QUERIES:
+            runs_by[name].append(_time_one(name))
+        samples.append(timed_crawl_sample(spark, corpus, seeds, n_hosts))
         for name in BENCH_QUERIES:
             runs = runs_by[name]
             if min(runs) > 1.0 and max(runs) > 1.5 * min(runs):
                 runs.append(_time_one(name))
             timings[name] = round(min(runs), 3)
+
+        # if no sample landed in a quiet phase, keep trying (bounded):
+        # the headline is the driver's scoreboard and a degraded-phase-only
+        # reading misreports the engine by 2-6x.
+        extra = 0
+        while not any(s["quiet"] for s in samples) and extra < 2:
+            samples.append(timed_crawl_sample(spark, corpus, seeds, n_hosts))
+            extra += 1
+
+        quiet = [s for s in samples if s["quiet"]] or samples
+        best = min(quiet, key=lambda s: s["sec"])
+        crawl_s, urls = best["sec"], best["urls"]
+        timings["frontier_crawl"] = crawl_s
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
         spark.stop()
@@ -333,7 +376,17 @@ def main() -> None:
                 "sf": sf,
                 "cpus": CPUS,
                 "crawl_urls": urls,
-                "crawl_runs_sec": [round(r, 3) for r in crawl_runs],
+                "crawl_runs_sec": [s["sec"] for s in samples],
+                "crawl_samples": [
+                    {
+                        "sec": s["sec"],
+                        "quiet": s["quiet"],
+                        "waited_s": s["waited_s"],
+                        "memcpy64mb_per_sec": s["probe"]["memcpy64mb_per_sec"],
+                        "alu_per_sec": s["probe"]["alu_per_sec"],
+                    }
+                    for s in samples
+                ],
                 "host_phase": {
                     "before": probe_before,
                     "after": host_phase_probe(),
