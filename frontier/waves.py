@@ -602,7 +602,17 @@ class _WaveRunner:
             if not skip_recompute:
                 df.write.mode("overwrite").parquet(path)
             return self.spark.read.schema(PARSE_OUT_SCHEMA).parquet(path)
-        return df.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+        # LAZY checkpoint (round-4 verdict #3, per-wave fixed cost): the
+        # eager variant spent one whole Spark job per wave materializing
+        # the parse output, then the pending-frontier checkpoint launched
+        # a SECOND job re-scanning it. Lazy, the pending checkpoint's
+        # action computes the parse stage and persists it (DISK_ONLY,
+        # lineage truncated) in the SAME job — that action's narrow
+        # coalesce iterates every parse partition, so the checkpoint is
+        # complete. FRONTIER_WAVE_LEGACY restores the two-job shape for
+        # A/B attribution on this noisy host.
+        eager = bool(os.environ.get("FRONTIER_WAVE_LEGACY"))
+        return df.localCheckpoint(eager=eager, storageLevel=StorageLevel.DISK_ONLY)
 
     def run(self, pending: DataFrame) -> None:
         with _arrow_byte_batches(self.spark):
@@ -622,6 +632,9 @@ class _WaveRunner:
         # assembly keeps enough width for downstream sorts/writes to use
         # every core on their map side
         assembly_cap = max(small_cap, self.spark.sparkContext.defaultParallelism // 2)
+        bucketed = FETCH_BUCKET_COL in self.fetches.columns
+        buckets_hint: list[int] | None = None  # wave 0 derives its own
+        pending_rows: int | None = None  # wave 0's frontier size unknown
         while True:
             t0 = time.perf_counter()
             if self.seen_filter is not None:
@@ -629,9 +642,11 @@ class _WaveRunner:
                 # fetch join — the Bloom side was built once per crawl;
                 # skipped URLs simply don't appear in this crawl's forest
                 pending = self.seen_filter(pending)
-            fetchable = pending.filter(F.col("blocked_reason").isNull())
-            blocked = pending.filter(F.col("blocked_reason").isNotNull())
-            joined = self._fetch_join(fetchable, blocked)
+            fetchable = pending.filter("blocked_reason IS NULL")
+            blocked = pending.filter("blocked_reason IS NOT NULL")
+            joined = self._fetch_join(
+                fetchable, blocked, buckets_hint, pending_rows
+            )
             skip = self._wave_committed(wave)
             pages_dir = self._pages_wave_dir(wave)
             if pages_dir is not None and not skip:
@@ -657,19 +672,20 @@ class _WaveRunner:
             # node row. Derived from the (checkpointed) parse output instead
             # of a second store scan — at a 100 TB store the extra
             # broadcast-subquery scan per wave was the single biggest fixed
-            # cost. Lazy-checkpointed: nothing reads it until final assembly,
-            # then it's computed once and cached.
-            miss_nodes = self._miss_nodes(fetchable, parsed).localCheckpoint(
-                eager=False
-            )
+            # cost. NOT checkpointed (round-4 verdict #3): both inputs
+            # (parse snapshot, pending frontier) are already cached with
+            # truncated lineage, so the assembly-time recompute is a tiny
+            # broadcast anti-join — while the per-wave localCheckpoint
+            # call cost ~0.13 s of driver-side physical planning per wave.
+            miss_nodes = self._miss_nodes(fetchable, parsed)
             # assembly reads the (already-materialized) snapshot through a
             # narrow coalesce — final counts/sorts over a crawl's union of
             # waves otherwise launch #waves × parse-width near-empty tasks
             wave_out = parsed.coalesce(assembly_cap).unionByName(miss_nodes)
             # per-wave lineage tag for metrics/telemetry (north rule)
             self.wave_outputs.append(
-                wave_out.withColumn("phase", F.lit(self.phase)).withColumn(
-                    "wave", F.lit(wave)
+                wave_out.selectExpr(
+                    "*", f"'{self.phase}' AS phase", f"{wave} AS wave"
                 )
             )
 
@@ -684,36 +700,65 @@ class _WaveRunner:
             # emptiness check and both broadcast builds of the next
             # iteration then read a handful of cached partitions instead of
             # re-scanning the wide snapshot three times
-            pending = (
-                children.select(
-                    F.col("seed"),
-                    F.col("child_url").alias("url"),
-                    F.col("url").alias("parent_url"),
-                    "seq",
-                    "level",
-                    "lineage",
-                    "path_key",
-                    "parent_urls",
-                    F.lit(False).alias("quiet_404"),
-                    "blocked_reason",
+            pending = children.selectExpr(
+                "seed",
+                "child_url AS url",
+                "url AS parent_url",
+                "seq",
+                "level",
+                "lineage",
+                "path_key",
+                "parent_urls",
+                "false AS quiet_404",
+                "blocked_reason",
+            ).coalesce(small_cap)
+            t_plan = time.perf_counter()
+            if bucketed and not os.environ.get("FRONTIER_WAVE_LEGACY"):
+                # ONE job closes the wave: persist the next frontier and
+                # compute its bucket histogram in the same action — the
+                # histogram doubles as the emptiness check AND the next
+                # wave's scan-pruning bucket list, replacing the eager
+                # checkpoint job + isEmpty job + next wave's
+                # distinct-bucket collect. Lineage stays bounded: pending
+                # is one narrow hop off the wave's parse snapshot.
+                pending = pending.persist(StorageLevel.DISK_ONLY)
+                rows = (
+                    pending.groupBy(fetch_bucket(F.col("url")).alias("b"))
+                    .count()
+                    .collect()
                 )
-                .coalesce(small_cap)
-                .localCheckpoint(eager=True)
-            )
+                buckets_hint = [r["b"] for r in rows]
+                pending_rows = sum(r["count"] for r in rows)
+                empty = not rows
+            else:
+                pending = pending.localCheckpoint(eager=True)
+            t_pending = time.perf_counter()
             if trace:
                 print(
                     f"[wave {self.phase}/{wave}] expand+checkpoint "
                     f"{time.perf_counter() - t0:.2f}s total",
                     file=sys.stderr,
                 )
+            # the fused close above (persist + histogram) already decided
+            # emptiness and the next bucket list; the legacy/unbucketed
+            # path still pays a separate isEmpty job. The histogram is
+            # computed before the next wave's seen filter runs, so it is
+            # a superset of the post-filter buckets — pruning with a
+            # superset is always safe.
+            if not (bucketed and not os.environ.get("FRONTIER_WAVE_LEGACY")):
+                buckets_hint = None
+                empty = pending.isEmpty()
             LAST_WAVE_TIMINGS.append(
                 {
                     "phase": self.phase,
                     "wave": wave,
                     "seconds": round(time.perf_counter() - t0, 3),
+                    "plan_s": round(t_plan - t0, 3),
+                    "pending_job_s": round(t_pending - t_plan, 3),
+                    "close_s": round(time.perf_counter() - t_pending, 3),
                 }
             )
-            if pending.isEmpty():
+            if empty:
                 break
             wave += 1
             if wave > K.MAX_RECURSION_LEVEL + 1:  # safety net; R1 blocks first
@@ -723,34 +768,41 @@ class _WaveRunner:
         """Invalid-node rows for pending URLs absent from the fetch store —
         exactly what the parse stage emits for a 404
         (udfs.unfetchable_reason + '404 Not Found'), built declaratively."""
-        parsed_urls = (
-            parsed.filter(F.col("rec") == "node")
-            .select(F.col("requested_url").alias("url"))
+        # single selectExpr calls: plan building is per-wave driver time,
+        # and every Column object costs a py4j round trip (measured ~0.07 s
+        # of the wave's fixed cost was this method's column chatter)
+        parsed_urls = parsed.filter("rec = 'node'").selectExpr(
+            "requested_url AS url"
         )
-        return fetchable.join(F.broadcast(parsed_urls), "url", "left_anti").select(
-            F.lit("node").alias("rec"),
+        return fetchable.join(
+            F.broadcast(parsed_urls), "url", "left_anti"
+        ).selectExpr(
+            "'node' AS rec",
             "seed",
             "url",
-            F.col("url").alias("requested_url"),
+            "url AS requested_url",
             "parent_url",
             "seq",
             "level",
             "lineage",
             "path_key",
             "parent_urls",
-            F.lit(K.KIND_INVALID).alias("kind"),
-            F.concat(
-                F.lit("Unable to fetch sitemap from "),
-                F.col("url"),
-                F.lit(": 404 Not Found"),
-            ).alias("reason"),
+            f"'{K.KIND_INVALID}' AS kind",
+            "concat('Unable to fetch sitemap from ', url,"
+            " ': 404 Not Found') AS reason",
             "quiet_404",
-            F.lit(None).cast("string").alias("child_url"),
-            F.lit(None).cast("string").alias("blocked_reason"),
-            F.lit(0).alias("n_pages"),
+            "CAST(NULL AS STRING) AS child_url",
+            "CAST(NULL AS STRING) AS blocked_reason",
+            "0 AS n_pages",
         )
 
-    def _fetch_join(self, fetchable: DataFrame, blocked: DataFrame) -> DataFrame:
+    def _fetch_join(
+        self,
+        fetchable: DataFrame,
+        blocked: DataFrame,
+        buckets_hint: list[int] | None = None,
+        pending_rows: int | None = None,
+    ) -> DataFrame:
         """(pending ⨝ fetch store) without ever moving payload bodies.
 
         Plan shape (scale-critical at a 100 TB store):
@@ -771,14 +823,20 @@ class _WaveRunner:
             # wave's URLs hash into (directory-level partition pruning — the
             # scan never opens unrelated buckets' files, so a homogeneous
             # wave like the robots probe reads ~1/64 of the store's payload
-            # bytes). fetchable is checkpointed small, so the distinct-agg
-            # collect is one tiny driver action per wave, bounded by depth.
-            wave_buckets = [
-                r[0]
-                for r in fetchable.select(fetch_bucket(F.col("url")).alias("b"))
-                .distinct()
-                .collect()
-            ]
+            # bytes). Waves ≥1 receive the bucket list precomputed by the
+            # previous wave's closing histogram action (buckets_hint);
+            # wave 0 pays one tiny driver collect over the seed frame.
+            if buckets_hint is not None:
+                wave_buckets = buckets_hint
+            else:
+                wave_buckets = [
+                    r[0]
+                    for r in fetchable.select(
+                        fetch_bucket(F.col("url")).alias("b")
+                    )
+                    .distinct()
+                    .collect()
+                ]
             store = store.filter(
                 F.col(FETCH_BUCKET_COL).isin(wave_buckets)
             ).drop(FETCH_BUCKET_COL)
@@ -806,19 +864,29 @@ class _WaveRunner:
                 .select("url", "r.final_url", "r.status", "r.content_type", "r.body")
             )
             hits = matched.join(F.broadcast(fetchable), "url", "inner")
-        null_fetch = [
-            F.lit(None).cast("string").alias("final_url"),
-            F.lit(None).cast("int").alias("status"),
-            F.lit(None).cast("string").alias("content_type"),
-            F.lit(None).cast("binary").alias("body"),
-        ]
-        blocked = blocked.select("*", *null_fetch)
+        blocked = blocked.selectExpr(
+            "*",
+            "CAST(NULL AS STRING) AS final_url",
+            "CAST(NULL AS INT) AS status",
+            "CAST(NULL AS STRING) AS content_type",
+            "CAST(NULL AS BINARY) AS body",
+        )
         wave_input = hits.unionByName(blocked)
         # the union SUMS its branches' partition counts, and pending inherits
         # this wave's count — unchecked, partitions double every wave and the
         # parse stage degenerates into thousands of empty Python-worker
-        # launches. Cap with a narrow coalesce (no body shuffle).
-        cap = 2 * self.spark.sparkContext.defaultParallelism
+        # launches. Cap with a narrow coalesce (no body shuffle). When the
+        # previous wave's closing histogram told us the frontier is SMALL,
+        # shrink the parse width to ~256 URLs/task: a near-empty wave run
+        # at full width pays a task launch + Arrow/Python round trip per
+        # empty slice, which dominates deep crawls' per-wave fixed cost.
+        par = self.spark.sparkContext.defaultParallelism
+        cap = 2 * par
+        if pending_rows is not None:
+            # floor at one task per core: URL count under-estimates work
+            # for page-heavy leaves, so small-but-fat waves keep a full
+            # complement of parse tasks
+            cap = min(cap, max(par, (pending_rows + 255) // 256))
         return wave_input.coalesce(max(1, cap))
 
 
