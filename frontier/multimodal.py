@@ -3075,3 +3075,497 @@ def extract_ogg_metadata(media: DataFrame) -> DataFrame:
             yield out
 
     return media.select("doc_id", "payload").mapInPandas(run, OGG_META_SCHEMA)
+
+
+# --- REAL FLAC decode (round-5: the one compressed-audio codec that is
+# hand-rollable stdlib, the way the image codecs were in round 4). The
+# encoder below writes spec-correct streams (RFC 9639 framing: STREAMINFO,
+# frame headers with CRC-8, CONSTANT/VERBATIM/FIXED/LPC subframes, Rice
+# residual partitions, frame CRC-16); the decoder inverts all of it and
+# VERIFIES both CRCs, so a flipped bit, mis-framed subframe, wrong
+# predictor order, or broken Rice parameter cannot round-trip. Reference
+# semantics parity: usp has no audio surface — this extends the engine's
+# multimodal column family (SURVEY.md §2.10) beyond metadata-only
+# compressed audio.
+
+
+class _BitWriter:
+    __slots__ = ("buf", "acc", "nbits")
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, bits: int) -> None:
+        if bits == 0:
+            return
+        self.acc = (self.acc << bits) | (value & ((1 << bits) - 1))
+        self.nbits += bits
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.buf.append((self.acc >> self.nbits) & 0xFF)
+        self.acc &= (1 << self.nbits) - 1
+
+    def write_unary(self, q: int) -> None:
+        # FLAC unary: q zero bits then a one (libFLAC read_unary counts
+        # leading zeros)
+        while q >= 32:
+            self.write(0, 32)
+            q -= 32
+        self.write(1, q + 1)
+
+    def align(self) -> None:
+        if self.nbits:
+            self.write(0, 8 - self.nbits)
+
+    def bytes(self) -> bytes:
+        assert self.nbits == 0
+        return bytes(self.buf)
+
+
+class _BitReader:
+    __slots__ = ("data", "pos")
+
+    def __init__(self, data: bytes, pos_bits: int = 0) -> None:
+        self.data = data
+        self.pos = pos_bits
+
+    def read(self, bits: int) -> int:
+        out = 0
+        for _ in range(bits):
+            byte = self.data[self.pos >> 3]
+            out = (out << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
+            self.pos += 1
+        return out
+
+    def read_signed(self, bits: int) -> int:
+        v = self.read(bits)
+        return v - (1 << bits) if v >> (bits - 1) else v
+
+    def read_unary(self) -> int:
+        q = 0
+        while self.read(1) == 0:
+            q += 1
+        return q
+
+    def align(self) -> None:
+        self.pos = (self.pos + 7) & ~7
+
+
+def _crc8_flac(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16_flac(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = (
+                ((crc << 1) ^ 0x8005) & 0xFFFF
+                if crc & 0x8000
+                else (crc << 1) & 0xFFFF
+            )
+    return crc
+
+
+def _flac_utf8_number(n: int) -> bytes:
+    """FLAC's extended-UTF-8 coding of frame/sample numbers."""
+    if n < 0x80:
+        return bytes([n])
+    out = []
+    marks = [(0x7FF, 0xC0, 1), (0xFFFF, 0xE0, 2), (0x1FFFFF, 0xF0, 3),
+             (0x3FFFFFF, 0xF8, 4), (0x7FFFFFFF, 0xFC, 5)]
+    for limit, lead, cont in marks:
+        if n <= limit:
+            out.append(lead | (n >> (6 * cont)))
+            for k in range(cont - 1, -1, -1):
+                out.append(0x80 | ((n >> (6 * k)) & 0x3F))
+            return bytes(out)
+    raise ValueError("frame number too large")
+
+
+def _read_flac_utf8(br: "_BitReader") -> int:
+    first = br.read(8)
+    if first < 0x80:
+        return first
+    cont = 0
+    for lead, c in ((0xFC, 5), (0xF8, 4), (0xF0, 3), (0xE0, 2), (0xC0, 1)):
+        if (first & ~(0xFF >> (c + 2))) == lead:
+            cont = c
+            n = first & (0xFF >> (c + 2))
+            break
+    else:
+        raise ValueError("bad utf8 number")
+    for _ in range(cont):
+        b = br.read(8)
+        if b & 0xC0 != 0x80:
+            raise ValueError("bad utf8 continuation")
+        n = (n << 6) | (b & 0x3F)
+    return n
+
+
+_FIXED_COEFS = {
+    0: [],
+    1: [1],
+    2: [2, -1],
+    3: [3, -3, 1],
+    4: [4, -6, 4, -1],
+}
+
+
+def _rice_encode(bw: _BitWriter, residuals, param: int) -> None:
+    for r in residuals:
+        u = (-r * 2 - 1) if r < 0 else r * 2
+        bw.write_unary(u >> param)
+        bw.write(u, param)
+
+
+def _rice_pick_param(residuals) -> int:
+    if not len(residuals):
+        return 0
+    mean = sum(abs(int(r)) for r in residuals) / max(1, len(residuals))
+    param = 0
+    while (1 << param) < mean + 1 and param < 14:
+        param += 1
+    return param
+
+
+def build_flac_payload(
+    samples, sample_rate: int = 16000, blocksize: int = 32
+) -> bytes:
+    """Spec-correct FLAC encoder for 16-bit mono streams: STREAMINFO +
+    fixed-blocksize frames whose subframe types cycle VERBATIM → FIXED
+    (order cycling 0-4) → LPC (order 2, shift 1) by frame index, with
+    CONSTANT chosen whenever a block is genuinely constant; Rice residual
+    partition order alternates 0/1. Every frame carries a real header
+    CRC-8 and trailer CRC-16. The synth harness for
+    :func:`decode_flac_samples`."""
+    s = [int(v) for v in samples]
+    total = len(s)
+    bw = _BitWriter()
+    # STREAMINFO (34 bytes), last-metadata flag set
+    si = _BitWriter()
+    si.write(blocksize, 16)  # min blocksize
+    si.write(blocksize, 16)  # max blocksize
+    si.write(0, 24)  # min framesize unknown
+    si.write(0, 24)  # max framesize unknown
+    si.write(sample_rate, 20)
+    si.write(0, 3)  # channels - 1
+    si.write(15, 5)  # bits per sample - 1
+    si.write(total, 36)
+    for _ in range(16):
+        si.write(0, 8)  # MD5 unknown
+    header = b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big") + si.bytes()
+
+    frames = bytearray()
+    for fidx, off in enumerate(range(0, total, blocksize)):
+        block = s[off : off + blocksize]
+        n = len(block)
+        fh = _BitWriter()
+        fh.write(0b11111111111110, 14)  # sync
+        fh.write(0, 1)  # reserved
+        fh.write(0, 1)  # blocking strategy: fixed
+        fh.write(0b0111, 4)  # blocksize: 16-bit at end of header
+        fh.write(0b0000, 4)  # sample rate: from STREAMINFO
+        fh.write(0b0000, 4)  # channel assignment: mono
+        fh.write(0b100, 3)  # sample size: 16 bits
+        fh.write(0, 1)  # reserved
+        for b in _flac_utf8_number(fidx):
+            fh.write(b, 8)
+        fh.write(n - 1, 16)
+        hdr = fh.bytes()
+        fb = _BitWriter()
+        for b in hdr:
+            fb.write(b, 8)
+        fb.write(_crc8_flac(hdr), 8)
+
+        constant = all(v == block[0] for v in block)
+        kind = fidx % 3
+        fb.write(0, 1)  # subframe header pad bit
+        if constant:
+            fb.write(0b000000, 6)
+            fb.write(0, 1)  # no wasted bits
+            fb.write(block[0] & 0xFFFF, 16)
+        elif kind == 0:
+            fb.write(0b000001, 6)  # VERBATIM
+            fb.write(0, 1)
+            for v in block:
+                fb.write(v & 0xFFFF, 16)
+        else:
+            if kind == 1:
+                order = fidx % 5
+                if order > n:
+                    order = 0
+                fb.write(0b001000 | order, 6)  # FIXED
+                fb.write(0, 1)
+                coefs = _FIXED_COEFS[order]
+                shift = 0
+            else:
+                order = min(2, n)
+                fb.write(0b100000 | (order - 1), 6)  # LPC
+                fb.write(0, 1)
+                coefs, shift = [3, -1][:order], 1
+                if order < 2:
+                    coefs, shift = [1], 0
+            for v in block[:order]:  # warmup
+                fb.write(v & 0xFFFF, 16)
+            if kind == 2:
+                fb.write(15 - 1, 4)  # qlp precision - 1 (15 bits)
+                fb.write(shift, 5)  # shift (signed, positive here)
+                for c in coefs:
+                    fb.write(c & 0x7FFF, 15)
+            residuals = [
+                block[i]
+                - (
+                    sum(
+                        coefs[j] * block[i - 1 - j] for j in range(order)
+                    )
+                    >> shift
+                    if kind == 2
+                    else sum(
+                        coefs[j] * block[i - 1 - j] for j in range(order)
+                    )
+                )
+                for i in range(order, n)
+            ]
+            fb.write(0b00, 2)  # residual method: Rice, 4-bit params
+            porder = fidx % 2 if n % 2 == 0 and (n >> 1) > order else 0
+            fb.write(porder, 4)
+            nparts = 1 << porder
+            start = 0
+            for p in range(nparts):
+                cnt = (n >> porder) - (order if p == 0 else 0)
+                part = residuals[start : start + cnt]
+                start += cnt
+                param = _rice_pick_param(part)
+                fb.write(param, 4)
+                _rice_encode(fb, part, param)
+        fb.align()
+        body = fb.bytes()
+        frames += body + _crc16_flac(body).to_bytes(2, "big")
+    return header + bytes(frames)
+
+
+def decode_flac_samples(payload: bytes):
+    """REAL FLAC decode: STREAMINFO parse, frame-header walk (sync code,
+    blocksize/rate/channel/sample-size codes, extended-UTF-8 frame
+    number, CRC-8 VERIFIED), subframe decode for CONSTANT / VERBATIM /
+    FIXED(0-4) / LPC with Rice residual partitions (any partition
+    order), fixed+LPC predictor reconstruction, and frame CRC-16
+    VERIFIED over the exact frame bytes. Returns ``(samples int32 array,
+    meta)`` for 16-bit mono streams or None for non-FLAC / corrupt /
+    unsupported payloads (honest None, like the other decoders)."""
+    try:
+        if payload[:4] != b"fLaC":
+            return None
+        pos = 4
+        streaminfo = None
+        while True:
+            if pos + 4 > len(payload):
+                return None
+            last = payload[pos] & 0x80
+            btype = payload[pos] & 0x7F
+            size = int.from_bytes(payload[pos + 1 : pos + 4], "big")
+            body = payload[pos + 4 : pos + 4 + size]
+            if len(body) < size:
+                return None
+            if btype == 0:
+                streaminfo = body
+            pos += 4 + size
+            if last:
+                break
+        if streaminfo is None or len(streaminfo) < 34:
+            return None
+        br = _BitReader(streaminfo)
+        br.read(16)  # min blocksize
+        br.read(16)
+        br.read(24)
+        br.read(24)
+        sample_rate = br.read(20)
+        channels = br.read(3) + 1
+        bps = br.read(5) + 1
+        total = br.read(36)
+        if channels != 1 or bps != 16 or not sample_rate:
+            return None  # scope: 16-bit mono (the synth contract)
+        out: list[int] = []
+        while len(out) < total:
+            frame_start = pos
+            br = _BitReader(payload, pos * 8)
+            if br.read(14) != 0b11111111111110:
+                return None
+            br.read(1)
+            br.read(1)  # blocking strategy
+            bs_code = br.read(4)
+            sr_code = br.read(4)
+            chan = br.read(4)
+            ss_code = br.read(3)
+            br.read(1)
+            if chan != 0:
+                return None
+            _read_flac_utf8(br)
+            if bs_code == 0b0110:
+                n = br.read(8) + 1
+            elif bs_code == 0b0111:
+                n = br.read(16) + 1
+            elif bs_code == 0b0001:
+                n = 192
+            elif 0b0010 <= bs_code <= 0b0101:
+                n = 576 << (bs_code - 0b0010)
+            elif bs_code >= 0b1000:
+                n = 256 << (bs_code - 0b1000)
+            else:
+                return None
+            if sr_code == 0b1100:
+                br.read(8)
+            elif sr_code in (0b1101, 0b1110):
+                br.read(16)
+            elif sr_code == 0b1111:
+                return None
+            hdr_len = (br.pos // 8) - frame_start
+            if _crc8_flac(payload[frame_start : frame_start + hdr_len]) != br.read(8):
+                return None
+            if ss_code == 0b100:
+                bits = 16
+            elif ss_code == 0b001:
+                bits = 8
+            elif ss_code == 0b010:
+                bits = 12
+            elif ss_code == 0b101:
+                bits = 20
+            elif ss_code == 0b110:
+                bits = 24
+            elif ss_code == 0b000:
+                bits = bps
+            else:
+                return None
+            # subframe
+            if br.read(1) != 0:
+                return None
+            stype = br.read(6)
+            wasted = 0
+            if br.read(1):
+                wasted = 1 + br.read_unary()
+            eff = bits - wasted
+            if stype == 0b000000:
+                v = br.read_signed(eff)
+                block = [v] * n
+            elif stype == 0b000001:
+                block = [br.read_signed(eff) for _ in range(n)]
+            elif 0b001000 <= stype <= 0b001100 or stype >= 0b100000:
+                if stype >= 0b100000:
+                    order = (stype & 0x1F) + 1
+                    block = [br.read_signed(eff) for _ in range(order)]
+                    prec = br.read(4) + 1
+                    if prec == 16:
+                        return None
+                    shift = br.read_signed(5)
+                    coefs = [br.read_signed(prec) for _ in range(order)]
+                    lpc = True
+                else:
+                    order = stype & 0x07
+                    block = [br.read_signed(eff) for _ in range(order)]
+                    coefs, shift, lpc = _FIXED_COEFS[order], 0, False
+                method = br.read(2)
+                if method != 0b00:
+                    return None  # Rice2 not in scope
+                porder = br.read(4)
+                nparts = 1 << porder
+                residuals: list[int] = []
+                for p in range(nparts):
+                    cnt = (n >> porder) - (order if p == 0 else 0)
+                    if cnt < 0:
+                        return None
+                    param = br.read(4)
+                    if param == 0b1111:
+                        esc = br.read(5)
+                        for _ in range(cnt):
+                            residuals.append(
+                                _BitReader.read_signed(br, esc) if esc else 0
+                            )
+                    else:
+                        for _ in range(cnt):
+                            q = br.read_unary()
+                            u = (q << param) | br.read(param)
+                            residuals.append(
+                                (u >> 1) if u % 2 == 0 else -((u + 1) >> 1)
+                            )
+                for i, r in enumerate(residuals):
+                    idx = order + i
+                    pred = sum(
+                        coefs[j] * block[idx - 1 - j] for j in range(order)
+                    )
+                    if lpc:
+                        pred >>= shift
+                    block.append(r + pred)
+            else:
+                return None
+            if wasted:
+                block = [v << wasted for v in block]
+            br.align()
+            body_len = (br.pos // 8) - frame_start
+            stored_crc16 = br.read(16)
+            if (
+                _crc16_flac(payload[frame_start : frame_start + body_len])
+                != stored_crc16
+            ):
+                return None
+            out.extend(block)
+            pos = br.pos // 8
+        if len(out) != total:
+            return None
+        return (
+            np.asarray(out, dtype=np.int64),
+            {"sample_rate_hz": sample_rate, "channels": 1, "bits": 16},
+        )
+    except (IndexError, ValueError):
+        return None
+
+
+def flac_pcm_stats(media: DataFrame) -> DataFrame:
+    """``(doc_id, payload)`` → REAL decoded-sample statistics for FLAC
+    streams — the same order-sensitive stats contract as
+    :func:`audio_pcm_stats` (a mis-framed subframe or broken predictor
+    changes the zero-crossing count), now over a COMPRESSED container.
+    Non-FLAC/corrupt payloads yield no row. Shuffle-free mapInPandas."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                decoded = decode_flac_samples(
+                    bytes(payload) if payload is not None else b""
+                )
+                if decoded is None:
+                    continue
+                samples, _meta = decoded
+                s = samples.astype(np.int64)
+                neg = s < 0
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "n_samples": int(s.size),
+                        "sum_amp": int(s.sum()),
+                        "sum_abs": int(np.abs(s).sum()),
+                        "zero_crossings": int(
+                            np.count_nonzero(neg[1:] != neg[:-1])
+                        ),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_samples", "sum_amp", "sum_abs",
+                    "zero_crossings",
+                ],
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        run, PCM_STATS_SCHEMA
+    )

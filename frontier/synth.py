@@ -1218,3 +1218,38 @@ def synth_ogg_payloads(docs: DataFrame) -> DataFrame:
             )
 
     return docs.select("doc_id").mapInPandas(build, "doc_id long, payload binary")
+
+
+def synth_flac_payloads(docs: DataFrame) -> DataFrame:
+    """``documents`` → ``(doc_id, payload binary)`` of REAL FLAC streams
+    (spec framing: STREAMINFO, CRC-8 frame headers, CONSTANT / VERBATIM /
+    FIXED / LPC subframes with Rice residual partitions, frame CRC-16)
+    whose every sample is closed-form, so a SQL oracle re-derives the
+    decoded waveform statistics exactly:
+
+        n1 = 50 + doc_id % 100     modulus-walk segment (constant zero
+        sample[i] = ((doc_id*13 + i*17) % 4001) - 2000     crossings)
+        n2 = 10 + doc_id % 23      constant tail (forces CONSTANT
+        sample[n1 + j] = (doc_id*7) % 512 - 256            subframes)
+
+    blocksize 32 → every doc emits several frames, cycling the encoder's
+    VERBATIM → FIXED(order 0-4) → LPC subframe choice, with the constant
+    tail exercising CONSTANT — all four subframe types under one oracle."""
+    from .multimodal import build_flac_payload
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            payloads = []
+            for doc_id in batch["doc_id"]:
+                i = int(doc_id)
+                n1, n2 = 50 + i % 100, 10 + i % 23
+                seg1 = (i * 13 + np.arange(n1, dtype=np.int64) * 17) % 4001 - 2000
+                tail = np.full(n2, (i * 7) % 512 - 256, dtype=np.int64)
+                payloads.append(
+                    build_flac_payload(np.concatenate([seg1, tail]))
+                )
+            yield pd.DataFrame(
+                {"doc_id": batch["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    return docs.select("doc_id").mapInPandas(build, "doc_id long, payload binary")
