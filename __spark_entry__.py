@@ -419,31 +419,35 @@ ORDER BY doc_id, frame_no
 
 
 def _mixed_media_column(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The five-format mixed binary media column (BMP / PNG / GIF /
-    grayscale JPEG / color JPEG by doc_id % 5) shared by
+    """The SIX-format mixed binary media column (BMP / PNG / GIF /
+    grayscale JPEG / color JPEG / TIFF by doc_id % 6) shared by
     media_mixed_pixel_stats and media_features — one column, one decode
-    cascade, per-format closed-form pixels."""
+    cascade, per-format closed-form pixels. TIFF (round-5) carries the
+    same pixel formula as BMP/PNG through a third container walk (IFD
+    tags, strip framing, PackBits, both byte orders)."""
     from frontier.synth import (
         synth_bmp_pixel_payloads,
         synth_gif_pixel_payloads,
         synth_jpeg_block_payloads,
         synth_jpeg_color_payloads,
         synth_png_pixel_payloads,
+        synth_tiff_pixel_payloads,
     )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return (
-        synth_bmp_pixel_payloads(docs.filter("doc_id % 5 = 0"))
-        .unionByName(synth_png_pixel_payloads(docs.filter("doc_id % 5 = 1")))
-        .unionByName(synth_gif_pixel_payloads(docs.filter("doc_id % 5 = 2")))
-        .unionByName(synth_jpeg_block_payloads(docs.filter("doc_id % 5 = 3")))
-        .unionByName(synth_jpeg_color_payloads(docs.filter("doc_id % 5 = 4")))
+        synth_bmp_pixel_payloads(docs.filter("doc_id % 6 = 0"))
+        .unionByName(synth_png_pixel_payloads(docs.filter("doc_id % 6 = 1")))
+        .unionByName(synth_gif_pixel_payloads(docs.filter("doc_id % 6 = 2")))
+        .unionByName(synth_jpeg_block_payloads(docs.filter("doc_id % 6 = 3")))
+        .unionByName(synth_jpeg_color_payloads(docs.filter("doc_id % 6 = 4")))
+        .unionByName(synth_tiff_pixel_payloads(docs.filter("doc_id % 6 = 5")))
     )
 
 
 def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL content-derived media features: the five-format mixed media
-    column (BMP/PNG/GIF/grayscale JPEG/color JPEG) through the full
+    """REAL content-derived media features: the six-format mixed media
+    column (BMP/PNG/GIF/grayscale JPEG/color JPEG/TIFF) through the full
     decode cascade into embed_image_content — grayscale 4×4 grid of
     floor-mean intensities, components m/1024 (exact dyadic rationals).
     The oracle re-derives every grid cell from the per-format closed-form
@@ -481,7 +485,7 @@ WITH bmpish AS (
     FROM documents d
     JOIN range(0, 8) xs(x) ON xs.x < 4 + d.doc_id % 5
     JOIN range(0, 6) ys(y) ON ys.y < 3 + d.doc_id % 4
-    WHERE d.doc_id % 5 IN (0, 1)
+    WHERE d.doc_id % 6 IN (0, 1, 5)
 ),
 gifpx AS (
     SELECT doc_id, w, h, x, y,
@@ -493,7 +497,7 @@ gifpx AS (
         FROM documents d
         JOIN range(0, 8) xs(x) ON xs.x < 4 + d.doc_id % 5
         JOIN range(0, 6) ys(y) ON ys.y < 3 + d.doc_id % 4
-        WHERE d.doc_id % 5 = 2
+        WHERE d.doc_id % 6 = 2
     )
 ),
 jgray AS (
@@ -503,7 +507,7 @@ jgray AS (
     FROM documents d
     JOIN range(0, 24) xs(x) ON xs.x < 8*(1 + d.doc_id % 3)
     JOIN range(0, 16) ys(y) ON ys.y < 8*(1 + d.doc_id % 2)
-    WHERE d.doc_id % 5 = 3
+    WHERE d.doc_id % 6 = 3
 ),
 jcblk AS (
     SELECT d.doc_id, 16*(1 + d.doc_id % 2) AS w, 16*(1 + d.doc_id % 3) AS h,
@@ -516,7 +520,7 @@ jcblk AS (
     FROM documents d
     JOIN range(0, 4) xs(xb) ON xs.xb < 2 * (1 + d.doc_id % 2)
     JOIN range(0, 6) ys(yb) ON ys.yb < 2 * (1 + d.doc_id % 3)
-    WHERE d.doc_id % 5 = 4
+    WHERE d.doc_id % 6 = 4
 ),
 jcolor AS (
     SELECT b.doc_id, b.w, b.h, xs.x, ys.y,
@@ -1144,11 +1148,11 @@ def _media_mixed_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _mixed_arm(oracle: str, k: int) -> str:
+def _mixed_arm(oracle: str, k: int, mod: int = 6) -> str:
     """One format's closed form, filtered to its doc_id slice (DuckDB
     allows a WITH-bearing query as a parenthesized derived table)."""
     body = oracle.rsplit("ORDER BY", 1)[0]
-    return f"SELECT * FROM ({body}) arm{k} WHERE doc_id % 5 = {k}"
+    return f"SELECT * FROM ({body}) arm{k} WHERE doc_id % {mod} = {k}"
 
 
 def _media_mixed_oracle() -> str:
@@ -1158,6 +1162,7 @@ def _media_mixed_oracle() -> str:
         _MEDIA_GIF_PIXEL_ORACLE,  # 2
         _MEDIA_JPEG_PIXEL_ORACLE,  # 3: grayscale
         _MEDIA_JPEG_COLOR_PIXEL_ORACLE,  # 4: color
+        _MEDIA_BMP_PIXEL_ORACLE,  # 5: TIFF carries the same pixel formula
     ]
     return (
         " UNION ALL ".join(_mixed_arm(o, k) for k, o in enumerate(arms))
@@ -1204,6 +1209,20 @@ FROM lagged
 GROUP BY doc_id
 ORDER BY doc_id
 """
+
+
+def _media_tiff_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL TIFF pixel decode (round-5 sixth cascade format): header/IFD
+    walk in BOTH byte orders (MM for doc%3==0, II otherwise), tag
+    extraction, two-row strip framing, PackBits expansion (doc%2==1) —
+    over TIFFs carrying the same closed-form pixel grid as the BMP
+    query, so the identical oracle gates a third, entirely different
+    container walk."""
+    from frontier.multimodal import image_pixel_stats
+    from frontier.synth import synth_tiff_pixel_payloads
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return image_pixel_stats(synth_tiff_pixel_payloads(docs)).orderBy("doc_id")
 
 
 def _media_flac_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1589,6 +1608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["dedup_image_dhash"] = _dedup_image_dhash
     out["dedup_media_embedding_cosine"] = _dedup_media_embedding_cosine
     out["media_flac_pcm_stats"] = _media_flac_pcm_stats
+    out["media_tiff_pixel_stats"] = _media_tiff_pixel_stats
     return out
 
 
@@ -1624,4 +1644,5 @@ def oracle_sql() -> dict[str, str]:
     out["dedup_image_dhash"] = _DEDUP_DHASH_ORACLE
     out["dedup_media_embedding_cosine"] = _DEDUP_MEDIA_EMBED_ORACLE
     out["media_flac_pcm_stats"] = _MEDIA_FLAC_PCM_ORACLE
+    out["media_tiff_pixel_stats"] = _MEDIA_BMP_PIXEL_ORACLE
     return out

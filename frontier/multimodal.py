@@ -858,15 +858,17 @@ def decode_image_pixels(blob: bytes):
     24-bit BMP → PNG (gray/truecolor/palette/alpha, 8/16-bit, Adam7
     interlace) → GIF (incl. interlaced; first frame of animations) →
     JPEG (baseline grayscale + 4:2:0 color, progressive SOF2, DRI restart
-    intervals). Returns an ``(h, w, 3)`` uint8 RGB array with y measured
-    from the TOP, or None when no real decoder covers the payload — e.g.
-    arithmetic-coded JPEG — in which case callers skip the row or fall
-    back to the stub path."""
+    intervals) → TIFF (baseline 8-bit gray/RGB, both byte orders,
+    uncompressed + PackBits, multi-strip). Returns an ``(h, w, 3)`` uint8
+    RGB array with y measured from the TOP, or None when no real decoder
+    covers the payload — e.g. arithmetic-coded JPEG — in which case
+    callers skip the row or fall back to the stub path."""
     for decode in (
         decode_bmp_pixels,
         decode_png_pixels,
         decode_gif_pixels,
         decode_jpeg_pixels,
+        decode_tiff_pixels,
     ):
         px = decode(blob)
         if px is not None:
@@ -3089,7 +3091,7 @@ def extract_ogg_metadata(media: DataFrame) -> DataFrame:
 # compressed audio.
 
 
-class _BitWriter:
+class _FlacBitWriter:
     __slots__ = ("buf", "acc", "nbits")
 
     def __init__(self) -> None:
@@ -3124,7 +3126,7 @@ class _BitWriter:
         return bytes(self.buf)
 
 
-class _BitReader:
+class _FlacBitReader:
     __slots__ = ("data", "pos")
 
     def __init__(self, data: bytes, pos_bits: int = 0) -> None:
@@ -3191,7 +3193,7 @@ def _flac_utf8_number(n: int) -> bytes:
     raise ValueError("frame number too large")
 
 
-def _read_flac_utf8(br: "_BitReader") -> int:
+def _read_flac_utf8(br: "_FlacBitReader") -> int:
     first = br.read(8)
     if first < 0x80:
         return first
@@ -3220,7 +3222,7 @@ _FIXED_COEFS = {
 }
 
 
-def _rice_encode(bw: _BitWriter, residuals, param: int) -> None:
+def _rice_encode(bw: _FlacBitWriter, residuals, param: int) -> None:
     for r in residuals:
         u = (-r * 2 - 1) if r < 0 else r * 2
         bw.write_unary(u >> param)
@@ -3249,9 +3251,9 @@ def build_flac_payload(
     :func:`decode_flac_samples`."""
     s = [int(v) for v in samples]
     total = len(s)
-    bw = _BitWriter()
+    bw = _FlacBitWriter()
     # STREAMINFO (34 bytes), last-metadata flag set
-    si = _BitWriter()
+    si = _FlacBitWriter()
     si.write(blocksize, 16)  # min blocksize
     si.write(blocksize, 16)  # max blocksize
     si.write(0, 24)  # min framesize unknown
@@ -3268,7 +3270,7 @@ def build_flac_payload(
     for fidx, off in enumerate(range(0, total, blocksize)):
         block = s[off : off + blocksize]
         n = len(block)
-        fh = _BitWriter()
+        fh = _FlacBitWriter()
         fh.write(0b11111111111110, 14)  # sync
         fh.write(0, 1)  # reserved
         fh.write(0, 1)  # blocking strategy: fixed
@@ -3281,7 +3283,7 @@ def build_flac_payload(
             fh.write(b, 8)
         fh.write(n - 1, 16)
         hdr = fh.bytes()
-        fb = _BitWriter()
+        fb = _FlacBitWriter()
         for b in hdr:
             fb.write(b, 8)
         fb.write(_crc8_flac(hdr), 8)
@@ -3383,7 +3385,7 @@ def decode_flac_samples(payload: bytes):
                 break
         if streaminfo is None or len(streaminfo) < 34:
             return None
-        br = _BitReader(streaminfo)
+        br = _FlacBitReader(streaminfo)
         br.read(16)  # min blocksize
         br.read(16)
         br.read(24)
@@ -3397,7 +3399,7 @@ def decode_flac_samples(payload: bytes):
         out: list[int] = []
         while len(out) < total:
             frame_start = pos
-            br = _BitReader(payload, pos * 8)
+            br = _FlacBitReader(payload, pos * 8)
             if br.read(14) != 0b11111111111110:
                 return None
             br.read(1)
@@ -3487,7 +3489,7 @@ def decode_flac_samples(payload: bytes):
                         esc = br.read(5)
                         for _ in range(cnt):
                             residuals.append(
-                                _BitReader.read_signed(br, esc) if esc else 0
+                                _FlacBitReader.read_signed(br, esc) if esc else 0
                             )
                     else:
                         for _ in range(cnt):
@@ -3569,3 +3571,206 @@ def flac_pcm_stats(media: DataFrame) -> DataFrame:
     return media.select("doc_id", "payload").mapInPandas(
         run, PCM_STATS_SCHEMA
     )
+
+
+# --- REAL TIFF decode (round-5: sixth format in the dispatch cascade).
+# Baseline TIFF 6.0, uncompressed + PackBits, 8-bit grayscale/RGB, both
+# byte orders, multi-strip — pure struct/numpy like the other decoders.
+
+
+def _packbits_decode(data: bytes) -> bytes:
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        ctrl = data[i]
+        i += 1
+        if ctrl < 128:  # literal run of ctrl+1 bytes
+            out += data[i : i + ctrl + 1]
+            i += ctrl + 1
+        elif ctrl > 128:  # repeat next byte 257-ctrl times
+            out += bytes([data[i]]) * (257 - ctrl)
+            i += 1
+        # ctrl == 128: no-op
+    return bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """Simple spec-correct PackBits: repeat runs >= 3 become replicate
+    packets, everything else literal packets (<=128 bytes each)."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, data[i]])
+            i += run
+            continue
+        lit_start = i
+        i += run
+        while i < n and i - lit_start < 128:
+            run = 1
+            while i + run < n and run < 3 and data[i + run] == data[i]:
+                run += 1
+            if run >= 3:
+                break
+            i += 1
+        out += bytes([i - lit_start - 1]) + data[lit_start:i]
+    return bytes(out)
+
+
+def encode_tiff(
+    pixels,
+    byteorder: str = "<",
+    compression: int = 1,
+    rows_per_strip: int = 2,
+) -> bytes:
+    """Baseline TIFF 6.0 encoder for the synth harness: 8-bit grayscale
+    ((h, w) input) or RGB ((h, w, 3)), either byte order, compression 1
+    (none) or 32773 (PackBits), multi-strip. The decoder under test must
+    invert byte order, strip framing, and PackBits to recover pixels."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    spp = 1 if gray else 3
+    rows_per_strip = max(1, rows_per_strip)
+    n_strips = (h + rows_per_strip - 1) // rows_per_strip
+    strips = []
+    for s in range(n_strips):
+        rows = px[s * rows_per_strip : (s + 1) * rows_per_strip]
+        raw = rows.tobytes()
+        strips.append(_packbits_encode(raw) if compression == 32773 else raw)
+
+    E = byteorder  # "<" or ">"
+    entries = []  # (tag, type, count, value_bytes_or_int)
+
+    def entry(tag, typ, count, value):
+        entries.append((tag, typ, count, value))
+
+    # SHORT=3, LONG=4
+    entry(256, 3, 1, w)
+    entry(257, 3, 1, h)
+    if gray:
+        entry(258, 3, 1, 8)
+    else:
+        entry(258, 3, 3, None)  # offset to 3 shorts, filled below
+    entry(259, 3, 1, compression)
+    entry(262, 3, 1, 1 if gray else 2)
+    entry(273, 4, n_strips, None)  # strip offsets
+    entry(277, 3, 1, spp)
+    entry(278, 3, 1, rows_per_strip)
+    entry(279, 4, n_strips, None)  # strip byte counts
+
+    header = struct.pack(
+        E + "2sHI", b"II" if E == "<" else b"MM", 42, 8
+    )
+    ifd_size = 2 + 12 * len(entries) + 4
+    data_start = 8 + ifd_size
+    # layout: [bits-per-sample array][strip offsets][strip counts][strips]
+    extra = bytearray()
+    extra_offsets = {}
+    if not gray:
+        extra_offsets[258] = data_start + len(extra)
+        extra += struct.pack(E + "3H", 8, 8, 8)
+    if n_strips > 1:
+        extra_offsets[273] = data_start + len(extra)
+        extra += b"\x00" * (4 * n_strips)
+        extra_offsets[279] = data_start + len(extra)
+        extra += struct.pack(E + f"{n_strips}I", *(len(s) for s in strips))
+    strip_start = data_start + len(extra)
+    offs = []
+    pos = strip_start
+    for s in strips:
+        offs.append(pos)
+        pos += len(s)
+    if n_strips > 1:
+        extra[
+            extra_offsets[273] - data_start : extra_offsets[273] - data_start + 4 * n_strips
+        ] = struct.pack(E + f"{n_strips}I", *offs)
+
+    ifd = struct.pack(E + "H", len(entries))
+    for tag, typ, count, value in entries:
+        if tag == 258 and not gray:
+            val = extra_offsets[258]
+        elif tag == 273:
+            val = offs[0] if n_strips == 1 else extra_offsets[273]
+        elif tag == 279:
+            val = len(strips[0]) if n_strips == 1 else extra_offsets[279]
+        else:
+            val = value
+        if typ == 3 and count == 1:
+            vbytes = struct.pack(E + "HH", val, 0)
+        else:
+            vbytes = struct.pack(E + "I", val)
+        ifd += struct.pack(E + "HHI", tag, typ, count) + vbytes
+    ifd += struct.pack(E + "I", 0)  # no next IFD
+    return header + ifd + bytes(extra) + b"".join(strips)
+
+
+def decode_tiff_pixels(payload: bytes):
+    """REAL TIFF decode: header/IFD walk in either byte order, tag
+    extraction (dims, bits, compression, photometric, strip layout),
+    per-strip PackBits expansion, row reassembly across strips. Returns
+    ``(h, w, 3)`` uint8 RGB (grayscale replicated) or None for non-TIFF
+    / unsupported variants (honest None: only baseline 8-bit gray/RGB,
+    compression 1/32773)."""
+    try:
+        if payload[:4] == b"II*\x00":
+            E = "<"
+        elif payload[:4] == b"MM\x00*":
+            E = ">"
+        else:
+            return None
+        (ifd_off,) = struct.unpack_from(E + "I", payload, 4)
+        (n_entries,) = struct.unpack_from(E + "H", payload, ifd_off)
+        tags: dict[int, tuple[int, int, bytes]] = {}
+        for k in range(n_entries):
+            tag, typ, count = struct.unpack_from(
+                E + "HHI", payload, ifd_off + 2 + 12 * k
+            )
+            tags[tag] = (typ, count, payload[ifd_off + 2 + 12 * k + 8 :][:4])
+
+        def tag_values(tag):
+            typ, count, raw = tags[tag]
+            size = {3: 2, 4: 4}[typ]
+            fmt = "H" if typ == 3 else "I"
+            if size * count <= 4:
+                return list(
+                    struct.unpack_from(E + f"{count}{fmt}", raw, 0)
+                )
+            (off,) = struct.unpack_from(E + "I", raw, 0)
+            return list(struct.unpack_from(E + f"{count}{fmt}", payload, off))
+
+        w = tag_values(256)[0]
+        h = tag_values(257)[0]
+        compression = tag_values(259)[0] if 259 in tags else 1
+        photometric = tag_values(262)[0]
+        spp = tag_values(277)[0] if 277 in tags else 1
+        bits = tag_values(258) if 258 in tags else [8] * spp
+        if any(b != 8 for b in bits) or len(bits) != spp:
+            return None
+        if compression not in (1, 32773):
+            return None
+        if (photometric, spp) not in ((1, 1), (2, 3)):
+            return None
+        rows_per_strip = tag_values(278)[0] if 278 in tags else h
+        offsets = tag_values(273)
+        counts = tag_values(279)
+        if len(offsets) != len(counts):
+            return None
+        raw = bytearray()
+        for off, cnt in zip(offsets, counts):
+            chunk = payload[off : off + cnt]
+            if len(chunk) < cnt:
+                return None
+            raw += _packbits_decode(chunk) if compression == 32773 else chunk
+        if len(raw) != h * w * spp:
+            return None
+        arr = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(h, w, spp)
+        if spp == 1:
+            arr = np.repeat(arr, 3, axis=2)
+        _ = rows_per_strip  # framing validated via total length
+        return arr
+    except (struct.error, IndexError, KeyError, ValueError):
+        return None

@@ -1253,3 +1253,38 @@ def synth_flac_payloads(docs: DataFrame) -> DataFrame:
             )
 
     return docs.select("doc_id").mapInPandas(build, "doc_id long, payload binary")
+
+
+def synth_tiff_pixel_payloads(docs: DataFrame) -> DataFrame:
+    """``documents`` → ``(doc_id, payload binary)`` of REAL baseline TIFFs
+    carrying the SAME closed-form pixel grid as
+    :func:`synth_bmp_pixel_payloads` (w = 4+doc%5, h = 3+doc%4,
+    pixel(x,y)[c] = (doc*31 + y*7 + x*3 + c*5) % 256), so the BMP oracle
+    arm gates a completely different container walk. Variants cycle by
+    doc_id: byte order MM (doc%3==0) / II, compression PackBits (doc%2==1)
+    / none, two-row strips — the decoder must invert all of it."""
+    from .multimodal import encode_tiff
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            payloads = []
+            for doc_id in batch["doc_id"]:
+                i = int(doc_id)
+                w, h = 4 + i % 5, 3 + i % 4
+                y, x, c = np.meshgrid(
+                    np.arange(h), np.arange(w), np.arange(3), indexing="ij"
+                )
+                px = ((i * 31 + y * 7 + x * 3 + c * 5) % 256).astype(np.uint8)
+                payloads.append(
+                    encode_tiff(
+                        px,
+                        byteorder=">" if i % 3 == 0 else "<",
+                        compression=32773 if i % 2 else 1,
+                        rows_per_strip=2,
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": batch["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    return docs.select("doc_id").mapInPandas(build, "doc_id long, payload binary")
