@@ -596,3 +596,17 @@ def test_ogg_walk_never_raises(blob):
 
     parse_ogg_metadata(blob)
     parse_ogg_metadata(b"OggS\x00\x02" + blob)
+
+
+def test_ogg_trailing_junk_rejected():
+    """Round-5 strict framing: every byte must belong to a CRC-valid
+    page — trailing junk after valid pages rejects the stream, whether
+    it is a full bogus capture pattern or a fragment shorter than a
+    page header."""
+    from frontier.multimodal import build_ogg_vorbis_payload, parse_ogg_metadata
+
+    payload = build_ogg_vorbis_payload(1, 8000, 1234, 2)
+    assert parse_ogg_metadata(payload) is not None
+    assert parse_ogg_metadata(payload + b"junk after the last page") is None
+    assert parse_ogg_metadata(payload + b"\x00") is None  # < header size
+    assert parse_ogg_metadata(payload + b"OggS") is None  # truncated header
