@@ -1211,6 +1211,74 @@ ORDER BY doc_id
 """
 
 
+def _media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL content-derived AUDIO embeddings: synthesized FLAC streams
+    through the full verified decode (CRC-8/CRC-16, all four subframe
+    types) into embed_audio_content — 16 temporal segments of floor-mean
+    absolute amplitude, components m/32768 (exact dyadic rationals). The
+    oracle re-derives every segment from the closed-form sample formula;
+    idx_dot pins segment ORDER, so a re-ordered or mis-framed decode
+    cannot match."""
+    from frontier.multimodal import extract_media_features
+    from frontier.synth import synth_flac_payloads
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = extract_media_features(synth_flac_payloads(docs), dim=16)
+    return out.select(
+        "doc_id",
+        F.expr(
+            "aggregate(embedding, CAST(0.0 AS DOUBLE),"
+            " (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+        ).alias("sq_norm"),
+        F.expr(
+            "aggregate(zip_with(embedding, sequence(1, 16),"
+            " (v, i) -> CAST(v AS DOUBLE) * CAST(i AS DOUBLE)),"
+            " CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+        ).alias("idx_dot"),
+    ).orderBy("doc_id")
+
+
+# synth_flac_payloads sample formula (see _MEDIA_FLAC_PCM_ORACLE), 16
+# temporal segments [k·n//16, (k+1)·n//16), m = seg |s| floor-mean →
+# sq_norm = Σ m² / 2^30, idx_dot = Σ (k+1)·m / 2^15 — dyadic-exact.
+_MEDIA_AUDIO_FEATURES_ORACLE = """
+WITH params AS (
+    SELECT doc_id, 50 + doc_id % 100 AS n1, 10 + doc_id % 23 AS n2,
+           (doc_id * 7) % 512 - 256 AS c
+    FROM documents
+),
+samp AS (
+    SELECT p.doc_id, ii.i, p.n1 + p.n2 AS n,
+           ABS(CASE WHEN ii.i < p.n1
+                THEN ((p.doc_id * 13 + ii.i * 17) % 4001) - 2000
+                ELSE p.c END) AS a
+    FROM params p
+    JOIN range(0, 182) ii(i) ON ii.i < p.n1 + p.n2
+),
+segs AS (
+    SELECT s.doc_id, ks.k,
+           ((ks.k + 1) * s.n) // 16 - (ks.k * s.n) // 16 AS seglen,
+           SUM(CASE WHEN s.i >= (ks.k * s.n) // 16
+                     AND s.i < ((ks.k + 1) * s.n) // 16
+                    THEN s.a ELSE 0 END) AS segsum
+    FROM samp s, range(0, 16) ks(k)
+    GROUP BY s.doc_id, ks.k, seglen
+),
+m AS (
+    SELECT doc_id, k,
+           CASE WHEN seglen > 0
+                THEN CAST(segsum AS BIGINT) // seglen ELSE 0 END AS m
+    FROM segs
+)
+SELECT doc_id,
+       SUM(m * m) / 1073741824.0 AS sq_norm,
+       SUM((k + 1) * m) / 32768.0 AS idx_dot
+FROM m
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 def _media_tiff_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL TIFF pixel decode (round-5 sixth cascade format): header/IFD
     walk in BOTH byte orders (MM for doc%3==0, II otherwise), tag
@@ -1609,6 +1677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["dedup_media_embedding_cosine"] = _dedup_media_embedding_cosine
     out["media_flac_pcm_stats"] = _media_flac_pcm_stats
     out["media_tiff_pixel_stats"] = _media_tiff_pixel_stats
+    out["media_audio_features"] = _media_audio_features
     return out
 
 
@@ -1645,4 +1714,5 @@ def oracle_sql() -> dict[str, str]:
     out["dedup_media_embedding_cosine"] = _DEDUP_MEDIA_EMBED_ORACLE
     out["media_flac_pcm_stats"] = _MEDIA_FLAC_PCM_ORACLE
     out["media_tiff_pixel_stats"] = _MEDIA_BMP_PIXEL_ORACLE
+    out["media_audio_features"] = _MEDIA_AUDIO_FEATURES_ORACLE
     return out

@@ -683,11 +683,15 @@ def embed_image_content(payload: bytes, dim: int = 16) -> list[float] | None:
 def embed_media_content(payload: bytes, dim: int = 16) -> list[float]:
     """Real-path-first media embedding: content-derived grid-intensity
     vector for any payload the REAL image decode cascade covers
-    (:func:`embed_image_content`); deterministic hash pseudo-embedding
-    (:func:`embed_media_stub`) for formats whose decoders cannot exist in
-    this container (compressed audio samples, non-MJPEG video) — a
-    documented fallback, never taken for decodable images."""
+    (:func:`embed_image_content`), waveform energy-envelope vector for
+    decodable audio (:func:`embed_audio_content`: FLAC, PCM WAV);
+    deterministic hash pseudo-embedding (:func:`embed_media_stub`) only
+    for formats whose decoders cannot exist in this container (MP3/Vorbis
+    samples, non-MJPEG video) — a documented fallback, never taken for
+    decodable payloads."""
     vec = embed_image_content(payload, dim)
+    if vec is None:
+        vec = embed_audio_content(payload, dim)
     return vec if vec is not None else embed_media_stub(payload, dim)
 
 
@@ -3774,3 +3778,31 @@ def decode_tiff_pixels(payload: bytes):
         return arr
     except (struct.error, IndexError, KeyError, ValueError):
         return None
+
+
+def embed_audio_content(payload: bytes, dim: int = 16) -> list[float] | None:
+    """REAL content-derived audio embedding — the waveform counterpart of
+    :func:`embed_image_content`: decode (FLAC via
+    :func:`decode_flac_samples`, then PCM WAV via
+    :func:`decode_wav_samples`) → ``dim`` equal temporal segments
+    ``[k·n//dim, (k+1)·n//dim)`` → per-segment floor-mean absolute
+    amplitude ``m = seg_abs_sum // seg_len`` (0 for empty segments) →
+    component ``m / 32768.0``. Every component is an exact dyadic
+    rational (m ≤ 32767 < 2^15), so dots/norms are bit-exact across
+    engines while the values are pure waveform energy envelope — a
+    re-ordered, mis-framed, or wrongly-predicted decode changes the
+    vector. Returns None when no real audio decoder covers the payload."""
+    decoded = decode_flac_samples(payload)
+    if decoded is None:
+        decoded = decode_wav_samples(payload)
+    if decoded is None:
+        return None
+    samples = np.abs(np.asarray(decoded[0], dtype=np.int64))
+    n = samples.size
+    vec: list[float] = []
+    for k in range(dim):
+        a, b = (k * n) // dim, ((k + 1) * n) // dim
+        seg = samples[a:b]
+        m = int(seg.sum()) // seg.size if seg.size else 0
+        vec.append(m / 32768.0)
+    return vec

@@ -95,3 +95,55 @@ def test_extract_media_features_defaults_to_real_path(spark):
     [row] = extract_media_features(media).collect()
     expect = [m / 1024.0 for m in _grid_means(px)]
     assert [pytest.approx(v) for v in row.embedding] == expect
+
+
+def test_audio_embedding_matches_hand_computation():
+    from frontier.multimodal import build_flac_payload, embed_audio_content
+
+    s = ((np.arange(137) * 29) % 801) - 400
+    n = len(s)
+    aa = np.abs(s.astype(np.int64))
+    expect = []
+    for k in range(16):
+        a, b = k * n // 16, (k + 1) * n // 16
+        expect.append((int(aa[a:b].sum()) // (b - a) if b > a else 0) / 32768.0)
+    assert embed_audio_content(build_flac_payload(s)) == expect
+
+
+def test_audio_embedding_is_container_invariant():
+    """Same samples through FLAC and WAV → same embedding (content, not
+    bytes)."""
+    from frontier.multimodal import (
+        build_flac_payload,
+        build_wav_payload,
+        embed_audio_content,
+    )
+
+    s = ((np.arange(90) * 53) % 601) - 300
+    flac = embed_audio_content(build_flac_payload(s))
+    wav = embed_audio_content(
+        build_wav_payload(1, 16000, 16, len(s), data=s.astype("<i2").tobytes())
+    )
+    assert flac == wav
+
+
+def test_audio_embedding_order_sensitive():
+    from frontier.multimodal import build_flac_payload, embed_audio_content
+
+    s = ((np.arange(128) * 37) % 997) - 498
+    fwd = embed_audio_content(build_flac_payload(s))
+    rev = embed_audio_content(build_flac_payload(s[::-1].copy()))
+    assert fwd != rev
+
+
+def test_media_content_prefers_real_audio_over_stub():
+    from frontier.multimodal import (
+        build_flac_payload,
+        embed_audio_content,
+        embed_media_content,
+        embed_media_stub,
+    )
+
+    p = build_flac_payload(((np.arange(64) * 7) % 101) - 50)
+    assert embed_media_content(p) == embed_audio_content(p)
+    assert embed_media_content(p) != embed_media_stub(p, 16)
