@@ -602,17 +602,13 @@ class _WaveRunner:
             if not skip_recompute:
                 df.write.mode("overwrite").parquet(path)
             return self.spark.read.schema(PARSE_OUT_SCHEMA).parquet(path)
-        # LAZY checkpoint (round-4 verdict #3, per-wave fixed cost): the
-        # eager variant spent one whole Spark job per wave materializing
-        # the parse output, then the pending-frontier checkpoint launched
-        # a SECOND job re-scanning it. Lazy, the pending checkpoint's
-        # action computes the parse stage and persists it (DISK_ONLY,
-        # lineage truncated) in the SAME job — that action's narrow
-        # coalesce iterates every parse partition, so the checkpoint is
-        # complete. FRONTIER_WAVE_LEGACY restores the two-job shape for
-        # A/B attribution on this noisy host.
-        eager = bool(os.environ.get("FRONTIER_WAVE_LEGACY"))
-        return df.localCheckpoint(eager=eager, storageLevel=StorageLevel.DISK_ONLY)
+        # EAGER deliberately: a lazy checkpoint here would defer the parse
+        # computation into the pending-frontier close action, whose narrow
+        # coalesce(small_cap) caps the combined job at small_cap tasks —
+        # throttling the parse stage to a fraction of the cores whenever
+        # small_cap < parallelism (measured as the round-5 lazy-variant
+        # trap at local[32]). The parse job must run at its own width.
+        return df.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
 
     def run(self, pending: DataFrame) -> None:
         with _arrow_byte_batches(self.spark):
