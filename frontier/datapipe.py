@@ -389,12 +389,20 @@ _register(
 )
 
 # classic relational coverage: TPC-H Q1-style pricing summary
+# scaled-integer accumulation: quantities are integral, prices/discounts
+# exact 2-decimal in the synthetic data, so cents x basis-points sums are
+# exact BIGINTs in both engines and the final constant division is a
+# single correctly-rounded double op. (The earlier DECIMAL(20,4) product
+# diverged by 1 ULP at sf0.1: Spark and DuckDB resolve the decimal
+# multiply's precision overflow with different scale reductions.)
 _PRICING_SQL = """
 SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE) AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4))
-                * (1 - CAST(l_discount AS DECIMAL(20,4)))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+            AS DOUBLE) / 100 AS sum_base_price,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)))
+            AS DOUBLE) / 10000 AS sum_disc_price,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2024-09-02 00:00:00'
