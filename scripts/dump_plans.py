@@ -98,6 +98,11 @@ AUDITED = {
     "sitemap_write_roundtrip": "host-window pagination + ordered-agg per file + shuffle-free mapInPandas parse; bodies never re-exchange",
     "crawl_novelty_kmv": "two-level bottom-k (bucket k-mins then global); exchanges bounded by buckets*k rows per crawl",
     "continuous_crawl_e2e": "text collapses to md5/octet_length in the scan projection; diff joins move (url, fp) pairs; discovery is the bloom-prefiltered exact anti-join; admission the salted bounded top-k; candidates localCheckpointed before the seen-table compaction rewrites the anti-join's input files",
+    "media_features": "one shuffle-free Arrow kernel per format arm (decode + grid embed inside the scan); the union's arms never exchange payload bytes",
+    "media_audio_features": "shuffle-free Arrow kernel: FLAC decode + segment envelope inside the scan task",
+    "dedup_media_embedding_cosine": "equality join on (band_no, band_val) with capped buckets; all-pairs confined within buckets; embeddings are 16 ints — payloads never cross an exchange",
+    "media_flac_pcm_stats": "shuffle-free Arrow decode kernel; only the presentation sort exchanges",
+    "media_tiff_pixel_stats": "shuffle-free Arrow decode kernel; only the presentation sort exchanges",
     "sitemap_index_write_roundtrip": "one ordered-agg groupBy per host + shuffle-free mapInPandas parse-back; lastmod carried positionally, W3C-validated in the kernel",
     "media_jpeg_color_pixel_stats": "shuffle-free mapInPandas REAL color JPEG decode (interleaved 4:2:0 MCUs, two quant + four Huffman tables, integer-plane JFIF transform); same single-stage shape",
     "media_jpeg_progressive_pixel_stats": "shuffle-free mapInPandas REAL progressive decode (segment pre-pass + coefficient accumulation over 8 scans); same single-stage shape",
