@@ -1279,6 +1279,116 @@ ORDER BY doc_id
 """
 
 
+def _ann_media_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN over REAL content-derived embeddings end to end: the
+    six-format mixed media column → decode cascade → grid-intensity
+    embeddings → brute-force cosine top-3 for the first ten docs (the
+    ANN family's documented exact baseline; the LSH-banded scale path is
+    dedup_media_embedding_cosine). All arithmetic that decides the
+    ranking is exact: integer dots/norms, one correctly-rounded
+    sqrt/divide per pair identical in both engines, ties broken by id —
+    so the emitted (neighbor, rank) pairs are bit-stable. Scale shape:
+    the query side is a 10-row broadcast; the corpus side streams
+    through one projection — payloads never cross an exchange."""
+    from frontier.multimodal import extract_media_features
+
+    emb = extract_media_features(_mixed_media_column(spark, sf_dir), dim=16)
+    cells = (
+        emb.select(
+            "doc_id",
+            F.expr(
+                "transform(embedding, v -> CAST(CAST(v AS DOUBLE) * 1024.0 AS BIGINT))"
+            ).alias("m"),
+        )
+        .withColumn(
+            "n2",
+            F.expr("aggregate(m, CAST(0 AS BIGINT), (a, x) -> a + x * x)"),
+        )
+        .filter("n2 > 0")
+    )
+    q = cells.filter("doc_id < 10").select(
+        F.col("doc_id").alias("q_id"),
+        F.col("m").alias("mq"),
+        F.col("n2").alias("norm_q"),
+    )
+    c = cells.select(
+        F.col("doc_id").alias("neighbor_id"),
+        F.col("m").alias("mn"),
+        F.col("n2").alias("norm_n"),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter("neighbor_id <> q_id")
+        .withColumn(
+            "dot_m",
+            F.expr(
+                "aggregate(zip_with(mq, mn, (x, y) -> x * y),"
+                " CAST(0 AS BIGINT), (a, x) -> a + x)"
+            ),
+        )
+        .withColumn(
+            "cosine",
+            F.expr(
+                "CAST(dot_m AS DOUBLE)"
+                " / (sqrt(CAST(norm_q AS DOUBLE)) * sqrt(CAST(norm_n AS DOUBLE)))"
+            ),
+        )
+    )
+    return (
+        scored.withColumn(
+            "rk",
+            F.expr(
+                "CAST(row_number() OVER (PARTITION BY q_id"
+                " ORDER BY cosine DESC, neighbor_id) AS BIGINT)"
+            ),
+        )
+        .filter("rk <= 3")
+        .select("q_id", "neighbor_id", "rk", "dot_m", "norm_q", "norm_n")
+        .orderBy("q_id", "rk")
+    )
+
+
+# reuses the media_features closed-form grid CTEs (same mixed column),
+# then exact integer dots/norms + the identical one-sqrt-one-divide
+# cosine for ranking.
+_ANN_MEDIA_TOPK_TAIL = """norms AS (
+    SELECT doc_id, SUM(m * m) AS n2 FROM m GROUP BY doc_id HAVING SUM(m * m) > 0
+),
+dots AS (
+    SELECT a.doc_id AS q_id, b.doc_id AS neighbor_id, SUM(a.m * b.m) AS dot_m
+    FROM m a JOIN m b ON a.i = b.i AND a.j = b.j AND b.doc_id <> a.doc_id
+    WHERE a.doc_id < 10
+    GROUP BY a.doc_id, b.doc_id
+),
+scored AS (
+    SELECT d.q_id, d.neighbor_id, d.dot_m, nq.n2 AS norm_q, nn.n2 AS norm_n,
+           CAST(d.dot_m AS DOUBLE)
+             / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nn.n2 AS DOUBLE)))
+             AS cosine
+    FROM dots d
+    JOIN norms nq ON nq.doc_id = d.q_id
+    JOIN norms nn ON nn.doc_id = d.neighbor_id
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+                                 ORDER BY cosine DESC, neighbor_id) AS rk
+    FROM scored
+)
+SELECT q_id, neighbor_id, CAST(rk AS BIGINT) AS rk,
+       CAST(dot_m AS BIGINT) AS dot_m,
+       CAST(norm_q AS BIGINT) AS norm_q,
+       CAST(norm_n AS BIGINT) AS norm_n
+FROM ranked WHERE rk <= 3
+ORDER BY q_id, rk
+"""
+
+
+def _ann_media_topk_oracle() -> str:
+    head = _MEDIA_FEATURES_ORACLE.rsplit("SELECT doc_id,", 1)[0]
+    return head.rstrip() + ",\n" + _ANN_MEDIA_TOPK_TAIL
+
+
 def _media_tiff_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL TIFF pixel decode (round-5 sixth cascade format): header/IFD
     walk in BOTH byte orders (MM for doc%3==0, II otherwise), tag
@@ -1678,6 +1788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["media_flac_pcm_stats"] = _media_flac_pcm_stats
     out["media_tiff_pixel_stats"] = _media_tiff_pixel_stats
     out["media_audio_features"] = _media_audio_features
+    out["ann_media_cosine_topk"] = _ann_media_cosine_topk
     return out
 
 
@@ -1715,4 +1826,5 @@ def oracle_sql() -> dict[str, str]:
     out["media_flac_pcm_stats"] = _MEDIA_FLAC_PCM_ORACLE
     out["media_tiff_pixel_stats"] = _MEDIA_BMP_PIXEL_ORACLE
     out["media_audio_features"] = _MEDIA_AUDIO_FEATURES_ORACLE
+    out["ann_media_cosine_topk"] = _ann_media_topk_oracle()
     return out
